@@ -1,0 +1,139 @@
+"""Text-analysis column expressions — tokenization, stats, fingerprints,
+language-ID heuristics. All JVM-side builtins (split/transform/filter/
+aggregate/md5/xxhash64) so they vectorize and scale linearly; no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny multi-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small: the heuristic is a scoring rule, not a
+#: model.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "von"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty string -> empty array (unlike a bare
+    ``split`` which yields ``[""]``)."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+#: BPE-ish pre-tokenizer: word pieces, digit runs, single punctuation —
+#: the common first pass of byte-pair tokenizers. Same regex semantics in
+#: Java (Spark) and RE2 (DuckDB oracle): no lookarounds.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (regex extraction, JVM-side)."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_SPLIT_PATTERN), 0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0.0 for empty)."""
+    t = _c(text)
+    total = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(0.0)
+
+
+def avg_word_length(text: Column | str) -> Column:
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = whitespace_tokens(F.lower(_c(text)))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def detect_language(text: Column | str) -> Column:
+    """Stopword-scoring language ID: argmax over per-language stopword
+    ratios; 'und' when no list scores > 0. Deterministic tie-break by
+    language code order."""
+    scores = [(code, stopword_ratio(text, code)) for code in sorted(STOPWORDS)]
+    best_code = F.lit("und")
+    best_score = F.lit(0.0)
+    for code, score in scores:
+        better = score > best_score
+        best_code = F.when(better, F.lit(code)).otherwise(best_code)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_code
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-range length,
+    low punctuation, presence of stopwords (prose-likeness)."""
+    t = _c(text)
+    n_tok = token_count(t).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(t) * 4.0, F.lit(1.0))
+    sw = stopword_ratio(t)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    score = 0.5 * len_score + 0.3 * sw_score + 0.2 * (1.0 - punct_penalty)
+    return F.round(score, 6)
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text.
+    md5 is identical across engines -> DuckDB-oracle-checkable."""
+    return F.md5(normalized_text(text))
+
+
+def rolling_hashes(text: Column | str, window: int = 8) -> Column:
+    """Rolling (Rabin-Karp-style) fingerprints: xxhash64 of every
+    ``window``-char slide of the normalized text. Returns array<long>;
+    winnow downstream with ``array_min``/sampling for shingle signatures."""
+    t = normalized_text(text)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+    return F.when(
+        n >= window,
+        F.transform(idx, lambda i: F.xxhash64(t.substr(i, F.lit(window)))),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles as array<string> (for Jaccard/MinHash).
+    Empty/short docs -> empty array."""
+    toks = whitespace_tokens(F.lower(_c(text)))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n - F.lit(k - 1))
+    sh = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )

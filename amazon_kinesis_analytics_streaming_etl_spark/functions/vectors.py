@@ -1,0 +1,53 @@
+"""Vector math over ``array<float>`` columns — pure JVM expressions.
+
+Built on ``zip_with`` / ``aggregate`` higher-order functions so the hot
+path stays inside whole-stage codegen (no Python). Used by the similarity
+and embedding-dedup operators. At 100 TB these expressions scale linearly
+per-row with no shuffle; shuffles only appear in the surrounding join/topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length numeric arrays (JVM-side)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    """L2 norm."""
+    a = F.col(a) if isinstance(a, str) else a
+    sq = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return F.sqrt(sq)
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL-safe on zero-norm vectors (returns NULL)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
+
+
+def sign_bits(a: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: one sign bit per plane, packed as a
+    long. ``planes`` is a small deterministic list (seeded off-line), so the
+    signature is reproducible and computable fully JVM-side.
+
+    Scale path for ANN: group vectors by signature bucket; compare only
+    within buckets (and neighboring probes) instead of all pairs.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot(a, arr)
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + (bit * F.lit(int(2**i)).cast("long"))
+    return sig

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers (north-star LLM-pipeline surface; PAPERS.md top-k methods):
+
+- ``brute_force_topk``    — exact cosine top-k. One pass over the corpus;
+  per-partition TakeOrdered (Spark's sort+limit is a distributed top-k:
+  partial top-k per partition, merge on driver — no global sort shuffle of
+  the full corpus).
+- ``lsh_topk``            — sign-bit LSH bucket pre-filter (same answer
+  quality knob as IVF nprobe: more probe buckets = higher recall), then
+  exact cosine only within probed buckets. The scale path: candidate set
+  shrinks by ~2^bits, shuffles keyed by bucket id.
+
+Both are expressed with JVM higher-order functions (no Python UDF in the
+scoring loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, sign_bits
+
+
+def _query_lit(query_vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Deterministic: ties broken by ascending id. The plan is
+    scan -> project(score) -> TakeOrderedAndProject — verify with
+    .explain() that no full-width shuffle appears.
+    """
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict scoring to vectors whose sign-bit LSH
+    signature is within ``probe_hamming`` bits of the query's signature.
+
+    With b planes the candidate set is ~ N * sum_{i<=probe_hamming} C(b,i) / 2^b.
+    Recall improves with probe_hamming (multi-probe LSH); exact re-ranking
+    happens only on candidates.
+    """
+    import itertools
+
+    # Compute the query signature driver-side (tiny, pure python mirror of
+    # functions.vectors.sign_bits).
+    qsig = 0
+    for i, plane in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if d >= 0:
+            qsig |= 1 << i
+    nbits = len(planes)
+    probes = {qsig}
+    for r in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(nbits), r):
+            s = qsig
+            for b in bits:
+                s ^= 1 << b
+            probes.add(s)
+
+    sig = sign_bits(F.col(vec_col), planes)
+    cand = df.withColumn("_sig", sig).where(
+        F.col("_sig").isin([int(p) for p in probes])
+    )
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def topk_pairs_per_group(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most-similar pairs within each group (blocked all-pairs +
+    windowed rank). The group column bounds the join; at scale the group
+    is an LSH bucket or cluster id, never the whole corpus.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a._id") < F.col("b._id"))
+    ).select(
+        F.col("a.grp").alias(group_col),
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(group_col, "id_a", "id_b", "cos_sim", "rnk")
+    )

@@ -1,0 +1,346 @@
+"""LLM-data-pipeline queries (north star): dedup, similarity search,
+text analysis, multimodal plumbing — each as an oracle-checkable query
+where SQL can express it (md5 and list arithmetic are portable; the
+xxhash64-based MinHash/SimHash signatures are engine-specific and get
+rows-only checks, with pytest ground-truth verification instead).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    bpe_token_count,
+    detect_language,
+    fingerprint_md5,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from ..operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from ..operators.multimodal import decode_media, extract_features, synthetic_media
+from ..operators.similarity import brute_force_topk, lsh_topk, topk_pairs_per_group
+from .relational import register
+
+# Deterministic LSH hyperplanes (seeded; 64-dim embeddings).
+_rng = random.Random(42)
+LSH_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(8)]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# DuckDB twin of functions.text.normalized_text
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# DuckDB twin of functions.text.whitespace_tokens over lowered text
+_TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           min(doc_id)      AS keep_id,
+           count(*)         AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 of normalized text: one hash-agg shuffle."""
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
+               i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+    ),
+    inv AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+      FROM inv a JOIN inv b ON md5(a.sh) = md5(b.sh) AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-shingle Jaccard >= 0.5 via inverted
+    shingle index (no all-pairs compare; shuffle keyed by shingle hash)."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # engine-specific hashes -> rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) candidates, exact-Jaccard verified at
+    0.5. Recall vs the exact twin (dedup_ngram_jaccard) is asserted in
+    tests; the driver check is rows-only because the banded signature uses
+    engine-native xxhash64."""
+    return minhash_near_dup_pairs(
+        _docs(spark, sf_dir), num_hashes=64, bands=16, k=3, threshold=0.5
+    )
+
+
+@register("dedup_simhash")  # engine-specific hashes -> rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within Hamming distance 3 (pigeonhole
+    banding, popcount verify)."""
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "dedup_embedding",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup within label blocks (the blocked self-join
+    pattern; at scale the block is an LSH bucket)."""
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), block_col="label", threshold=0.35
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@register(
+    "sim_topk_bruteforce",
+    """
+    SELECT b.vec_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 against the vec_id=0 embedding. Query vector is
+    fetched once (single-row lookup) then folded into the plan as a
+    literal -> scan + project + TakeOrdered, no join, no full sort."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@register("sim_topk_lsh")  # approximate -> rows-only check; recall tested in pytest
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucketed ANN (8 planes, multi-probe Hamming<=1):
+    candidate set ~= N * 9/256 before exact re-rank — the scale path."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_topk(emb, [float(x) for x in qvec], LSH_PLANES, k=10, probe_hamming=1)
+
+
+@register(
+    "sim_topk_pairs_per_label",
+    """
+    SELECT label, id_a, id_b, cos_sim, rnk FROM (
+      SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.label
+               ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                        a.vec_id, b.vec_id) AS rnk
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE rnk <= 3
+    """,
+)
+def sim_topk_pairs_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar pairs per label block (blocked pairs + window)."""
+    return topk_pairs_per_group(_emb(spark, sf_dir), group_col="label", k=3)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(len({_TOKS_SQL})), 4) AS avg_tokens,
+           round(avg(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / length(text)), 6) AS avg_punct_ratio,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+             AS total_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics — whitespace tokens, punctuation
+    ratio, BPE-ish token totals. All JVM expressions."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+        F.round(F.avg(punct_ratio(F.col("text"))), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(bpe_token_count(F.col("text"))).cast("long").alias("total_bpe_tokens"),
+    )
+
+
+def _langid_oracle() -> str:
+    """Generate the DuckDB CASE expression mirroring
+    functions.text.detect_language (argmax over stopword ratios, first
+    language in sorted code order wins ties, 'und' when all zero)."""
+    codes = sorted(STOPWORDS)
+    ratio_exprs = {}
+    for code in codes:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[code])
+        ratio_exprs[code] = (
+            f"(CASE WHEN len({_TOKS_SQL}) > 0 THEN "
+            f"len(list_filter({_TOKS_SQL}, x -> list_contains([{words}], x))) * 1.0"
+            f" / len({_TOKS_SQL}) ELSE 0.0 END)"
+        )
+    # first-in-order strict-max semantics
+    branches = []
+    for i, code in enumerate(codes):
+        later = codes[i + 1 :]
+        conds = [f"{ratio_exprs[code]} > 0"] + [
+            f"{ratio_exprs[code]} >= {ratio_exprs[c]}" for c in later
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{code}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+    SELECT {case} AS detected_lang, count(*) AS n
+    FROM documents
+    GROUP BY 1
+    """
+
+
+@register("text_langid", _langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scoring language ID over the corpus (n-gram heuristic)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(detect_language(F.col("text")).alias("detected_lang")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT source,
+           count(DISTINCT md5({_NORM_SQL})) AS n_fingerprints,
+           min(md5({_NORM_SQL}))            AS min_fp
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = fingerprint_md5(F.col("text"))
+    return d.groupBy("source").agg(
+        F.countDistinct(fp).alias("n_fingerprints"),
+        F.min(fp).alias("min_fp"),
+    )
+
+
+def _quality_oracle() -> str:
+    toks = _TOKS_SQL
+    punct = f"(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    sw = (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, x -> list_contains([{en}], x))) * 1.0 / len({toks}) "
+        f"ELSE 0.0 END)"
+    )
+    score = (
+        f"round(0.5 * least(len({toks}) * 1.0 / 100.0, 1.0)"
+        f" + 0.3 * least({sw} * 5.0, 1.0)"
+        f" + 0.2 * (1.0 - least({punct} * 4.0, 1.0)), 6)"
+    )
+    return f"""
+    SELECT lang, round(avg({score}), 4) AS avg_quality, count(*) AS n
+    FROM documents
+    GROUP BY lang
+    """
+
+
+@register("text_quality", _quality_oracle())
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length/stopword/punctuation mix)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.round(F.avg(quality_score(F.col("text"))), 4).alias("avg_quality"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (stubbed codec; real Spark plumbing) — rows-only
+# --------------------------------------------------------------------------
+
+@register("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns -> mapInPandas decode (deterministic fake
+    codec) -> per-kind stats. Exercises the Arrow batch path end-to-end."""
+    media = synthetic_media(spark, n=256)
+    decoded = decode_media(media)
+    return decoded.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("content_digest").alias("n_distinct"),
+        F.min("width").alias("min_w"),
+        F.max("height").alias("max_h"),
+    )
+
+
+@register("multimodal_features_topk")
+def multimodal_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media -> feature vectors (Arrow batches) -> cosine top-5 against
+    media_id=0's features; plumbing parity with the embedding operators."""
+    media = synthetic_media(spark, n=256)
+    feats = extract_features(media)
+    qrow = feats.where(F.col("media_id") == 0).select("features").head()[0]
+    return brute_force_topk(
+        feats, [float(x) for x in qrow], k=5, vec_col="features", id_col="media_id"
+    )

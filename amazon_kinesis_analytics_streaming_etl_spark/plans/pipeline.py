@@ -1,0 +1,154 @@
+"""Pipeline assembly — config -> source -> parse -> sink fan-out (K8).
+
+Reference topology (StreamingEtl.java:78-151): one source (exactly one of
+Kinesis/Kafka), the TripEventSchema deserializer inside the connector, and
+every configured sink attached to the same stream; >=1 sink required.
+
+Spark-first design decision (SURVEY.md §7): instead of N independent
+streaming queries (which would read the source N times and desynchronize
+offsets), the fan-out runs as ONE streaming query whose ``foreachBatch``
+persists each micro-batch and writes all configured sinks from the cached
+batch. One source read, shared offset log, per-batch atomicity for the
+file sink, idempotent-key delivery for the others.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import ConfigError, JobConfig, from_args_and_properties
+from ..operators.parse import split_corrupt
+from ..streaming import sinks as sk
+from ..streaming.sources import resolve_source
+
+
+def _sink_specs(cfg: JobConfig) -> list[tuple[str, Callable[[DataFrame], None]]]:
+    """Build (name, batch-writer) pairs for every configured sink
+    (mirrors the conditional addSink chain, StreamingEtl.java:106-145)."""
+    specs: list[tuple[str, Callable[[DataFrame], None]]] = []
+
+    if cfg.has("OutputBucket"):
+        parquet = cfg.get_bool("ParquetConversion", default=False)  # code default, StreamingEtl.java:219
+        path = sk.job_start_prefix(cfg.get_required("OutputBucket"), cfg.get("OutputPrefix", ""))
+
+        def _file(batch: DataFrame, path=path, parquet=parquet) -> None:
+            sk.write_file_sink_batch(batch, path, parquet=parquet)
+
+        specs.append(("file", _file))
+
+    if cfg.has("OutputElasticsearchEndpoint"):
+        endpoint = cfg.get_required("OutputElasticsearchEndpoint")
+        max_actions = int(cfg.get("ElasticsearchBulkFlushMaxActions", "1000"))
+
+        def _es(batch: DataFrame, endpoint=endpoint, max_actions=max_actions) -> None:
+            sk.es_upsert_batch(batch, endpoint, bulk_max_actions=max_actions)
+
+        specs.append(("elasticsearch", _es))
+
+    if cfg.has("OutputKinesisStream"):
+        stream = cfg.get_required("OutputKinesisStream")
+        region = cfg.get("OutputStreamRegion", "us-east-1")
+
+        def _kinesis(batch: DataFrame, stream=stream, region=region) -> None:
+            sk.kinesis_put_batch(batch, stream, region=region)
+
+        specs.append(("kinesis", _kinesis))
+
+    if cfg.has("OutputKafkaBootstrapServers") and cfg.has("OutputKafkaTopic"):
+        servers = cfg.get_required("OutputKafkaBootstrapServers")
+        topic = cfg.get_required("OutputKafkaTopic")
+
+        def _kafka(batch: DataFrame, servers=servers, topic=topic) -> None:
+            sk.kafka_sink_batch(batch, servers, topic)
+
+        specs.append(("kafka", _kafka))
+
+    if cfg.has("OutputDiscarding"):
+        specs.append(("discarding", sk.noop_sink_batch))
+
+    if not specs:
+        # Mirrors the >=1-sink rule (StreamingEtl.java:147-149).
+        raise ConfigError(
+            "Missing output configuration: configure at least one of "
+            "OutputBucket, OutputElasticsearchEndpoint, OutputKinesisStream, "
+            "OutputKafka{BootstrapServers,Topic}, OutputDiscarding"
+        )
+    return specs
+
+
+@dataclass
+class Pipeline:
+    """A configured streaming-ETL topology (the engine's 'query')."""
+
+    spark: SparkSession
+    cfg: JobConfig
+    extra_sinks: list[tuple[str, Callable[[DataFrame], None]]] = field(default_factory=list)
+
+    @classmethod
+    def from_config(
+        cls,
+        spark: SparkSession,
+        args: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "Pipeline":
+        cfg = from_args_and_properties(args, properties)
+        return cls(spark=spark, cfg=cfg)
+
+    # -- plan assembly -------------------------------------------------------
+
+    def source(self) -> DataFrame:
+        return resolve_source(self.spark, self.cfg)
+
+    def parsed(self) -> tuple[DataFrame, DataFrame]:
+        return split_corrupt(self.source())
+
+    def _foreach_batch(self, specs) -> Callable[[DataFrame, int], None]:
+        def write_all(batch: DataFrame, batch_id: int) -> None:
+            # One materialization shared by every sink (K8 single-read
+            # semantics; the reference reads the source once and fans out,
+            # StreamingEtl.java:106-149).
+            batch.persist()
+            try:
+                errors: list[str] = []
+                for name, write in specs:
+                    try:
+                        write(batch)
+                    except Exception as e:  # per-sink isolation
+                        errors.append(f"{name}: {e}")
+                if errors:
+                    raise RuntimeError(
+                        f"batch {batch_id}: sink failures: {'; '.join(errors)}"
+                    )
+            finally:
+                batch.unpersist()
+
+        return write_all
+
+    # -- execution -----------------------------------------------------------
+
+    def start(self, available_now: bool = False):
+        """Assemble and start the streaming query (the ``env.execute()``
+        analog, StreamingEtl.java:151). Returns the StreamingQuery."""
+        specs = _sink_specs(self.cfg) + self.extra_sinks
+        valid, _corrupt = self.parsed()
+        checkpoint = self.cfg.get("CheckpointLocation")
+        if checkpoint is None:
+            raise ConfigError("CheckpointLocation is required (exactly-once commit log)")
+
+        writer = valid.writeStream.foreachBatch(self._foreach_batch(specs)).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif self.cfg.has("TriggerInterval"):
+            writer = writer.trigger(processingTime=self.cfg.get("TriggerInterval"))
+        return writer.queryName("streaming-etl").start()
+
+    def run_available_now(self) -> None:
+        """Drain all currently-available input and stop (deterministic
+        test/replay mode)."""
+        q = self.start(available_now=True)
+        q.awaitTermination()

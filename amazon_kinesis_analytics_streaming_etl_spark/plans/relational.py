@@ -1,0 +1,792 @@
+"""Relational query surface (SURVEY.md §2B) with DuckDB oracle SQL.
+
+Every query here is a (spark, sf_dir) -> DataFrame callable plus an ANSI
+SQL string the DuckDB oracle runs on the same parquet tables. Conventions
+that make the hash-compare robust (driver sorts columns by name and
+hashes values, order-insensitive):
+
+- every computed column aliased identically in Spark and SQL;
+- double aggregates rounded (2-6 dp) on BOTH sides — engines sum floats
+  in different orders, rounding removes last-ulp drift;
+- timestamps projected as formatted strings (engine-canonical form);
+- every LIMIT ordered by a unique tie-break key.
+
+Scale notes are per-query; the common ones: dimension joins broadcast
+(Catalyst auto, <10 MB), fact-fact joins shuffle on join keys, aggregates
+get map-side partial aggregation, filters/projections push into the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        from ..schemas import load_events
+
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-table scan + hash aggregate. Plan: filter
+    pushed to parquet scan; partial aggregation map-side; one shuffle on
+    the (low-cardinality) group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer (filtered) broadcasts; lineitem join shuffles on orderkey;
+    top-10 is TakeOrdered (no global sort shuffle)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. region/nation/supplier broadcast;
+    the orders filter pushes into the scan; only the customer-orders and
+    lineitem joins shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family
+# --------------------------------------------------------------------------
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_semi",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
+         f_orders AS (SELECT o_custkey, count(*) AS n_f
+                      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+    SELECT coalesce(rich.c_custkey, f_orders.o_custkey) AS custkey,
+           round(coalesce(rich.c_acctbal, -1.0), 2)     AS acctbal,
+           coalesce(f_orders.n_f, 0)                    AS n_f_orders
+    FROM rich FULL OUTER JOIN f_orders ON rich.c_custkey = f_orders.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_acctbal")
+    )
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_f"))
+    )
+    j = rich.join(f_orders, rich.c_custkey == f_orders.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(rich.c_custkey, f_orders.o_custkey).alias("custkey"),
+        F.round(F.coalesce(F.col("c_acctbal"), F.lit(-1.0)), 2).alias("acctbal"),
+        F.coalesce(F.col("n_f"), F.lit(0)).alias("n_f_orders"),
+    )
+
+
+@register(
+    "join_enrich_events",
+    """
+    SELECT r_name, c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+      JOIN customer ON user_id = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, c_mktsegment
+    """,
+)
+def join_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-enrichment shape in batch: fact x 3 broadcast dims. At 100 TB
+    the fact side never shuffles for the join — all three dims broadcast —
+    and the only shuffle is the final low-cardinality aggregate."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation family
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey)  AS n_suppliers,
+           count(DISTINCT l_partkey)  AS n_parts,
+           count(*)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register("agg_approx_distinct")  # no oracle: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct counts (no per-key state explosion). Estimate is
+    engine-specific, so checked rows-only; the exact twin is
+    agg_count_distinct."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
+@register(
+    "agg_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 2)        AS min_price,
+           round(max(l_extendedprice), 2)        AS max_price,
+           round(avg(l_extendedprice), 4)        AS avg_price,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: one shuffle on the partition key, per-partition
+    sort (no global sort). The windowed generalization of K4's keep-one-
+    per-key."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_rank_dense",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2)  AS delta_prev,
+           round(lead(o_totalprice) OVER w - o_totalprice, 2) AS delta_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    tp = F.col("o_totalprice")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(tp - F.lag(tp).over(w), 2).alias("delta_prev"),
+        F.round(F.lead(tp).over(w) - tp, 2).alias("delta_next"),
+    )
+
+
+@register(
+    "topk_global",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject — per-partition partial top-k
+    merged on the driver; never a full global sort shuffle."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.subtract(o)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "set_union",
+    """
+    SELECT DISTINCT c_custkey, 'rich' AS tag FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT DISTINCT c_custkey, 'building' AS tag FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey < 100
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    rich = c.where(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.lit("rich").alias("tag")
+    )
+    bld = c.where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") < 100)).select(
+        "c_custkey", F.lit("building").alias("tag")
+    )
+    return rich.union(bld).distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar function coverage
+# --------------------------------------------------------------------------
+
+@register(
+    "scalar_datetime",
+    """
+    SELECT CAST(year(o_orderdate) AS INT)  AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           count(*) AS n,
+           CAST(min(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)) AS BIGINT) AS min_day_off,
+           strftime(min(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS month_start
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(
+                F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            ).cast("long").alias("min_day_off"),
+            F.date_format(F.min(F.date_trunc("month", F.col("o_orderdate"))), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+        )
+    )
+
+
+@register(
+    "scalar_string",
+    """
+    SELECT p_partkey,
+           upper(p_name)                             AS name_upper,
+           substring(p_name, 1, 4)                   AS pfx,
+           CAST(length(p_name) AS INT)               AS name_len,
+           concat(p_brand, '-', p_type)              AS brand_type,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           CASE WHEN p_name LIKE '%bolt%' THEN 1 ELSE 0 END AS is_bolt
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("pfx"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        F.when(F.col("p_name").like("%bolt%"), 1).otherwise(0).alias("is_bolt"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
+           count(*) AS n,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("tier")
+    )
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+        "seg"
+    )
+    return c.groupBy(tier, seg).agg(
+        F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+
+
+@register(
+    "scalar_math",
+    """
+    SELECT l_linestatus,
+           round(sum(abs(l_extendedprice - 1000.0)), 2)  AS sum_abs_dev,
+           round(avg(sqrt(l_quantity)), 6)               AS avg_sqrt_qty,
+           round(avg(ln(l_extendedprice + 1.0)), 6)      AS avg_log_price,
+           CAST(sum(CAST(ceil(l_discount * 10) AS BIGINT)) AS BIGINT) AS sum_ceil_disc,
+           CAST(sum(CAST(floor(l_tax * 10) AS BIGINT)) AS BIGINT)     AS sum_floor_tax
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.sum(F.abs(F.col("l_extendedprice") - 1000.0)), 2).alias("sum_abs_dev"),
+        F.round(F.avg(F.sqrt("l_quantity")), 6).alias("avg_sqrt_qty"),
+        F.round(F.avg(F.log(F.col("l_extendedprice") + 1.0)), 6).alias("avg_log_price"),
+        F.sum(F.ceil(F.col("l_discount") * 10).cast("long")).cast("long").alias("sum_ceil_disc"),
+        F.sum(F.floor(F.col("l_tax") * 10).cast("long")).cast("long").alias("sum_floor_tax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured
+# --------------------------------------------------------------------------
+
+@register(
+    "json_extract_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(k).cast("int").alias("min_k"),
+            F.max(k).cast("int").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "explode_tokens",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )

@@ -1,0 +1,190 @@
+"""Streaming operators exposed as oracle-checkable queries.
+
+Each query REALLY runs Structured Streaming: a bounded file-source stream
+over the ``events`` parquet (deterministic replay), the streaming
+transformation under test, availableNow trigger, memory sink — then the
+drained result is returned as a batch DataFrame that a batch SQL oracle
+can check. This is the SURVEY.md §5 strategy: streaming semantics
+verified by deterministic micro-batch replay.
+
+Output-mode note: windowed aggregations run in ``complete`` mode here so
+the final state is fully emitted at end-of-stream (append mode would
+withhold windows newer than the watermark — correct for unbounded
+production streams, not for a bounded replay compared against a batch
+oracle). Production pipelines use append + watermark; state-bounding is
+exercised in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_events_stream
+from ..streaming.windows import (
+    replay_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    streaming_dedup,
+    stream_static_join,
+    tumbling_window_agg,
+)
+from .relational import register
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_events_stream(spark, sf_dir)
+
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "stream_tumbling_counts",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type (streaming
+    execution; batch oracle = date_trunc group-by)."""
+    plan = tumbling_window_agg(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        window_size="1 hour",
+        watermark="1 hour",
+        group_cols=["event_type"],
+        aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    out = replay_to_memory(spark, plan, output_mode="complete")
+    return out.select(
+        F.date_format("window_start", _TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    f"""
+    WITH starts AS (
+      SELECT date_trunc('hour', ts)                     AS ws, event_type FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR   AS ws, event_type FROM events
+    )
+    SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start, event_type, count(*) AS n
+    FROM starts
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h size, 1h slide): every event lands in two
+    windows; the oracle materializes both window-starts per event."""
+    plan = sliding_window_agg(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        window_size="2 hours",
+        slide="1 hour",
+        watermark="1 hour",
+        group_cols=["event_type"],
+        aggs=[F.count("*").alias("n")],
+    )
+    out = replay_to_memory(spark, plan, output_mode="complete")
+    return out.select(
+        F.date_format("window_start", _TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
+    "stream_session_windows",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}')                         AS window_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}')    AS window_end,
+           count(*) AS n
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user (streaming state
+    merge). Oracle: classic islands construction with lag + running sum.
+    Spark's session end = last event + gap."""
+    plan = session_window_agg(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        gap="30 minutes",
+        watermark="1 hour",
+        group_cols=["user_id"],
+        aggs=[F.count("*").alias("n")],
+    )
+    out = replay_to_memory(spark, plan, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format("window_start", _TS_FMT_SPARK).alias("window_start"),
+        F.date_format("window_end", _TS_FMT_SPARK).alias("window_end"),
+        "n",
+    )
+
+
+@register(
+    "stream_dedup_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (event_type, user_id): first event per
+    pair survives; counting survivors per type == batch count-distinct.
+    (dropDuplicates state is watermark-bounded in production.)"""
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "100 days").dropDuplicates(
+        ["event_type", "user_id"]
+    )
+    out = replay_to_memory(spark, deduped, output_mode="append")
+    return out.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (the streaming twin of
+    join_enrich_events): per micro-batch the static dim is broadcast;
+    the stream side never shuffles for the join."""
+    stream = _events_stream(spark, sf_dir)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = stream_static_join(
+        stream, F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agged = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return replay_to_memory(spark, agged, output_mode="complete")

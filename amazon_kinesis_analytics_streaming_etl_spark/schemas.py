@@ -1,0 +1,230 @@
+"""Declared schemas — the single source of truth (no inference).
+
+TRIP_EVENT_SCHEMA mirrors the reference's Avro schema
+(reference: src/main/avro/TripEvent.avsc:5-92) field-for-field with the
+timestamp-millis logical type mapped to Spark TimestampType
+(reference: utils/TripEventSchema.java:39-41 registers that conversion).
+
+TESTDATA table schemas mirror /root/repo/FIXTURES.md §B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# --- TripEvent (reference: src/main/avro/TripEvent.avsc:5-92) ---------------
+
+TRIP_EVENT_SCHEMA = StructType(
+    [
+        StructField("vendor_id", IntegerType()),            # TripEvent.avsc:6-9
+        StructField("pickup_datetime", TimestampType()),    # TripEvent.avsc:10-16
+        StructField("dropoff_datetime", TimestampType()),   # TripEvent.avsc:17-23
+        StructField("passenger_count", IntegerType()),      # TripEvent.avsc:24-27
+        StructField("trip_distance", DoubleType()),         # TripEvent.avsc:28-31
+        StructField("ratecode_id", IntegerType()),          # TripEvent.avsc:32-35
+        StructField("store_and_fwd_flag", StringType()),    # TripEvent.avsc:36-39
+        StructField("pickup_location_id", IntegerType()),   # TripEvent.avsc:40-43
+        StructField("dropoff_location_id", IntegerType()),  # TripEvent.avsc:44-47
+        StructField("payment_type", IntegerType()),         # TripEvent.avsc:48-51
+        StructField("fare_amount", DoubleType()),
+        StructField("extra", DoubleType()),
+        StructField("mta_tax", DoubleType()),
+        StructField("tip_amount", DoubleType()),
+        StructField("tolls_amount", DoubleType()),
+        StructField("improvement_surcharge", DoubleType()),
+        StructField("total_amount", DoubleType()),          # TripEvent.avsc:52-79
+        StructField("trip_id", LongType()),                 # TripEvent.avsc:80-83
+        StructField("type", StringType()),                  # TripEvent.avsc:84-87
+        StructField("padding", StringType()),               # TripEvent.avsc:88-91
+    ]
+)
+
+#: Fields whose absence drops the record in the reference (NPE inside
+#: deserialize -> catch-all -> null -> dropped, TripEventSchema.java:57-82).
+#: ``trip_id`` defaults to 0 (TripEventSchema.java:74 ``asLong(0)``) and
+#: ``padding`` defaults to "" (TripEventSchema.java:53,76), so both are
+#: optional.
+TRIP_EVENT_REQUIRED_FIELDS = [
+    f.name for f in TRIP_EVENT_SCHEMA.fields if f.name not in ("trip_id", "padding")
+]
+
+# --- TESTDATA tables (FIXTURES.md §B) ---------------------------------------
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+TESTDATA_SCHEMAS: dict[str, StructType] = {
+    "region": StructType(
+        [StructField("r_regionkey", IntegerType()), StructField("r_name", StringType())]
+    ),
+    "nation": StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    ),
+    "customer": StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    ),
+    "supplier": StructType(
+        [
+            StructField("s_suppkey", LongType()),
+            StructField("s_name", StringType()),
+            StructField("s_nationkey", IntegerType()),
+            StructField("s_acctbal", DoubleType()),
+        ]
+    ),
+    "part": StructType(
+        [
+            StructField("p_partkey", LongType()),
+            StructField("p_name", StringType()),
+            StructField("p_brand", StringType()),
+            StructField("p_type", StringType()),
+            StructField("p_size", IntegerType()),
+            StructField("p_retailprice", DoubleType()),
+        ]
+    ),
+    "orders": StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    ),
+    "lineitem": StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+            StructField("l_suppkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_extendedprice", DoubleType()),
+            StructField("l_discount", DoubleType()),
+            StructField("l_tax", DoubleType()),
+            StructField("l_returnflag", StringType()),
+            StructField("l_linestatus", StringType()),
+            StructField("l_shipdate", TimestampType()),
+        ]
+    ),
+    "events": StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    ),
+    "documents": StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    ),
+    "embeddings": StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    ),
+}
+
+
+#: events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS) which Spark's
+#: vectorized reader rejects; we read it as long (legacy conf) and convert
+#: to TimestampType at load. DuckDB reads the same file natively, so the
+#: oracle sees identical instants (ns truncated to us on both paths — the
+#: testdata generator wrote us-precision values).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        f if f.name != "ts" else StructField("ts", LongType())
+        for f in TESTDATA_SCHEMAS["events"].fields
+    ]
+)
+
+
+def _enable_nanos_as_long(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with ``ts`` as a proper TimestampType."""
+    from pyspark.sql import functions as F
+
+    _enable_nanos_as_long(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    ).select([f.name for f in TESTDATA_SCHEMAS["events"].fields])
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of load_events: bounded file-source replay of the
+    events table (glob path — FileStreamSource requires a dir or glob)."""
+    from pyspark.sql import functions as F
+
+    _enable_nanos_as_long(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.*")
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    ).select([f.name for f in TESTDATA_SCHEMAS["events"].fields])
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load every TESTDATA parquet table; optionally register temp views.
+
+    Scans are plain ``spark.read.parquet`` so Catalyst keeps predicate
+    pushdown / column pruning; do NOT cache here — callers decide.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out

@@ -1,0 +1,227 @@
+"""K1-K8 — sinks.
+
+Reference behaviors mirrored:
+
+- K1/K2 S3 file sink, Parquet or JSON-row mode (StreamingEtl.java:215-239;
+  mode flag ``ParquetConversion``, code default false).
+- K3 payload-driven partitioning — output dir
+  ``pickup_location=%03d/year=%04d/month=%02d`` from each event's
+  ``pickup_location_id`` + ``pickup_datetime``
+  (utils/TripEventBucketAssigner.java:34-41), with a
+  ``job_start=<millis>`` prefix (StreamingEtl.java:217).
+- K4 Elasticsearch/OpenSearch keyed upsert: index = ``type``, doc id =
+  ``trip_id`` -> idempotent, effectively-once (StreamingEtl.java:242-283).
+- K5 Kinesis sink, fixed partition key "0" (StreamingEtl.java:191-205).
+- K6 Kafka sink (StreamingEtl.java:207-212).
+- K7 discarding sink (StreamingEtl.java:131-137).
+- K8 fan-out: one source feeds every configured sink (StreamingEtl.java:106-149).
+
+Scale notes: the file sink relies on Spark's built-in exactly-once commit
+(``_spark_metadata`` + checkpoint offset log — the analog of the
+reference's checkpoint-committed part files, X1). Partition columns are
+derived vectorized and ``partitionBy`` emits Hive-style dirs, so downstream
+scans get partition pruning for free. The non-transactional sinks (ES,
+Kinesis) follow the reference's answer to exactly-once: at-least-once
+delivery + deterministic idempotent keys.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import JobConfig
+
+# --- K3: partition column derivation ---------------------------------------
+
+PARTITION_COLS = ["pickup_location", "year", "month"]
+
+
+def with_partition_columns(df: DataFrame) -> DataFrame:
+    """Derive the reference's bucket-assigner path fields as columns.
+
+    ``pickup_location=%03d/year=%04d/month=%02d``
+    (TripEventBucketAssigner.java:35-40). Zero-padded strings so the
+    Hive-style directory names match the reference's byte-for-byte.
+    """
+    return (
+        df.withColumn("pickup_location", F.format_string("%03d", F.col("pickup_location_id")))
+        .withColumn("year", F.format_string("%04d", F.year("pickup_datetime")))
+        .withColumn("month", F.format_string("%02d", F.month("pickup_datetime")))
+    )
+
+
+def job_start_prefix(base: str, prefix: str = "", job_start_millis: int | None = None) -> str:
+    """``{OutputPrefix}job_start=<millis>/`` path prefix
+    (StreamingEtl.java:217)."""
+    millis = int(time.time() * 1000) if job_start_millis is None else job_start_millis
+    base = base.rstrip("/")
+    return f"{base}/{prefix}job_start={millis}"
+
+
+# --- K1/K2: file sink -------------------------------------------------------
+
+def write_file_sink_batch(events: DataFrame, path: str, parquet: bool = True) -> None:
+    """Batch-mode file sink (used inside foreachBatch and for tests).
+
+    Parquet mode writes columnar files (K1); row mode writes the P3 JSON
+    projection one record per line (K2 — reference encodes via toJson,
+    StreamingEtl.java:233).
+    """
+    from ..operators.serialize import trip_event_to_json
+
+    partitioned = with_partition_columns(events)
+    if parquet:
+        (
+            partitioned.write.mode("append")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(path)
+        )
+    else:
+        (
+            trip_event_to_json(partitioned)
+            .select("value", *PARTITION_COLS)
+            .write.mode("append")
+            .partitionBy(*PARTITION_COLS)
+            .text(path)
+        )
+
+
+def file_sink_stream(events: DataFrame, path: str, checkpoint: str, parquet: bool = True):
+    """Streaming file sink with exactly-once commit (X1): offset log +
+    ``_spark_metadata`` manifest per micro-batch — the Spark analog of the
+    reference's checkpoint-committed part files
+    (StreamingEtl.java:220-238 + cdk/lib/streaming-etl.ts:146-151)."""
+    from ..operators.serialize import trip_event_to_json
+
+    partitioned = with_partition_columns(events)
+    if parquet:
+        writer = partitioned.writeStream.format("parquet")
+    else:
+        writer = (
+            trip_event_to_json(partitioned)
+            .select("value", *PARTITION_COLS)
+            .writeStream.format("text")
+        )
+    return (
+        writer.option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*PARTITION_COLS)
+    )
+
+
+# --- K4: keyed idempotent upsert (Elasticsearch/OpenSearch) -----------------
+
+def es_upsert_batch(
+    events: DataFrame,
+    endpoint: str,
+    transport: Callable[[str, str, str], None] | None = None,
+    bulk_max_actions: int = 1000,
+) -> None:
+    """K4 — keyed upsert: index = event ``type``, doc id = ``trip_id``;
+    re-delivery overwrites, so at-least-once + deterministic id =
+    effectively-once (StreamingEtl.java:250-258).
+
+    ``transport(index, doc_id, json_body)`` abstracts the HTTP layer: the
+    real deployment passes an opensearch-py/SigV4 client wrapper
+    (reference signs with SigV4, AmazonElasticsearchSink.java:70-104);
+    tests pass an in-memory dict writer. Executed per-partition on
+    executors — no driver collect.
+    """
+    from ..operators.serialize import trip_event_to_json
+
+    payload = trip_event_to_json(events).select(
+        F.col("type").alias("_index"),
+        F.col("trip_id").cast("string").alias("_id"),
+        F.col("value"),
+    )
+    if transport is None:
+        raise NotImplementedError(
+            "No ES/OpenSearch client in this environment; pass `transport` "
+            "(index, doc_id, body) -> None. Production: opensearch-py bulk "
+            "helper with SigV4 auth against " + endpoint
+        )
+
+    def _send_partition(rows):
+        batch = []
+        for row in rows:
+            batch.append((row["_index"], row["_id"], row["value"]))
+            if len(batch) >= bulk_max_actions:
+                for ix, id_, body in batch:
+                    transport(ix, id_, body)
+                batch.clear()
+        for ix, id_, body in batch:
+            transport(ix, id_, body)
+
+    payload.foreachPartition(_send_partition)
+
+
+# --- K5: Kinesis sink -------------------------------------------------------
+
+def kinesis_put_batch(
+    events: DataFrame,
+    stream_name: str,
+    region: str = "us-east-1",
+    partition_key: str = "0",
+    client_factory: Callable | None = None,
+) -> None:
+    """K5 — put P3 JSON records to a Kinesis stream with a **fixed
+    partition key "0"** (all records to one shard — reference
+    StreamingEtl.java:199 keeps this curious default; configurable here).
+
+    ``client_factory`` yields an object with
+    ``put_records(StreamName=..., Records=[...])`` (boto3 signature);
+    tests inject a fake. Runs per-partition on executors.
+    """
+    from ..operators.serialize import trip_event_to_json
+
+    payload = trip_event_to_json(events).select("value")
+
+    def _send_partition(rows):
+        if client_factory is not None:
+            client = client_factory()
+        else:  # pragma: no cover - needs AWS creds/network
+            try:
+                import boto3
+            except ImportError as e:
+                raise NotImplementedError(
+                    "boto3 not available; pass client_factory"
+                ) from e
+            client = boto3.client("kinesis", region_name=region)
+        buf = []
+        for row in rows:
+            buf.append({"Data": row["value"].encode(), "PartitionKey": partition_key})
+            if len(buf) == 500:  # Kinesis PutRecords hard limit
+                client.put_records(StreamName=stream_name, Records=buf)
+                buf = []
+        if buf:
+            client.put_records(StreamName=stream_name, Records=buf)
+
+    payload.foreachPartition(_send_partition)
+
+
+# --- K6: Kafka sink ---------------------------------------------------------
+
+def kafka_sink_batch(events: DataFrame, bootstrap_servers: str, topic: str) -> None:
+    """K6 — produce P3 JSON to a Kafka topic (StreamingEtl.java:207-212)."""
+    from ..operators.serialize import trip_event_to_json
+
+    (
+        trip_event_to_json(events)
+        .select(F.col("value").cast("binary").alias("value"))
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )
+
+
+# --- K7: discarding sink ----------------------------------------------------
+
+def noop_sink_batch(events: DataFrame) -> None:
+    """K7 — swallow the stream but force full computation
+    (StreamingEtl.java:131-137); used for smoke/perf runs."""
+    events.write.format("noop").mode("overwrite").save()

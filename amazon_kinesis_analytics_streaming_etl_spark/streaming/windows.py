@@ -1,0 +1,134 @@
+"""Streaming analytics beyond the reference: watermarks, event-time
+windows, stateful dedup, stream-static enrichment.
+
+The reference has none of these (SURVEY.md §2A bottom: no windows/
+watermarks anywhere; README.md:35 even replays with -noWatermark) — this
+module is the north-star streaming surface, built directly on Structured
+Streaming primitives so state stores, late-data handling and checkpoint
+recovery are engine-managed.
+
+``replay_to_memory`` runs any bounded streaming plan deterministically
+(file source + availableNow trigger -> memory sink) — the test/oracle
+harness for every operator here.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _flatten_window(df: DataFrame) -> DataFrame:
+    """Flatten the ``win`` struct to window_start/window_end columns,
+    keeping every other column once."""
+    rest = [c for c in df.columns if c != "win"]
+    return df.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *rest,
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_size: str = "1 hour",
+    watermark: str = "1 hour",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation with late-data drop."""
+    group_cols = group_cols or []
+    aggs = aggs or [F.count("*").alias("n")]
+    return _flatten_window(
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_size).alias("win"), *group_cols)
+        .agg(*aggs)
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    group_cols = group_cols or []
+    aggs = aggs or [F.count("*").alias("n")]
+    return _flatten_window(
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_size, slide).alias("win"), *group_cols)
+        .agg(*aggs)
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    watermark: str = "1 hour",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Session windows (gap-based) — state merges as events arrive."""
+    group_cols = group_cols or []
+    aggs = aggs or [F.count("*").alias("n")]
+    return _flatten_window(
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *group_cols)
+        .agg(*aggs)
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful exactly-once-per-key dedup with bounded state: the
+    watermark expires old keys (generalizes K4's idempotent doc id,
+    StreamingEtl.java:250-258, to arbitrary keys)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols + [ts_col])
+
+
+def stream_static_join(
+    stream: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Stream-static enrichment join. The static side is broadcast when
+    small (Catalyst decides; hint with F.broadcast at call sites for
+    guaranteed map-side join at scale)."""
+    return stream.join(dim, on, how)
+
+
+def replay_to_memory(
+    spark: SparkSession, plan: DataFrame, output_mode: str = "append"
+) -> DataFrame:
+    """Run a bounded streaming plan to completion (availableNow) into an
+    in-memory table; return the result as a batch DataFrame.
+
+    Deterministic: drains everything available, then stops. This is the
+    bridge that lets streaming operators be checked against a batch SQL
+    oracle.
+    """
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet", max_files_per_trigger: int | None = None) -> DataFrame:
+    """Bounded file-source stream over existing data (deterministic
+    replay; the test stand-in for Kinesis/Kafka)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
