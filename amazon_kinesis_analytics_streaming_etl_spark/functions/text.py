@@ -127,6 +127,34 @@ def rolling_hashes(text: Column | str, window: int = 8) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
+def shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """Distinct word-k-shingle hashes as array<bigint> — the linear-time
+    signature used by the dedup operators.
+
+    Built with ``zip_with`` chains so every array expression is evaluated
+    a constant number of times per row (a naive
+    ``transform(sequence, i -> hash(slice(toks, i, k)))`` re-evaluates the
+    token array per shingle — O(tokens^2) per document, catastrophic on
+    long documents). Shingle hash = xxhash64 chained over the k token
+    hashes; distinct triples map to distinct hashes w.h.p., so Jaccard on
+    these equals Jaccard on string shingles (modulo ~2^-64 collisions).
+    """
+    toks = whitespace_tokens(F.lower(_c(text)))
+    n = F.size(toks)
+    h1 = F.transform(toks, lambda t: F.xxhash64(t))
+    h = h1
+    for step in range(1, k):
+        # zip_with pads the shorter side with nulls; the padded tail is
+        # sliced off below (slice length n-k+1).
+        h = F.zip_with(
+            h,
+            F.slice(h1, step + 1, F.greatest(n - step, F.lit(0))),
+            lambda acc, nxt: F.xxhash64(acc, nxt),
+        )
+    valid_len = F.greatest(n - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(F.slice(h, 1, valid_len))
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles as array<string> (for Jaccard/MinHash).
     Empty/short docs -> empty array."""

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_md5, word_shingles
+from ..functions.text import fingerprint_md5, shingle_hashes
 from ..functions.vectors import cosine
 
 # --- exact dedup ------------------------------------------------------------
@@ -56,12 +56,26 @@ def dedup_keep_first(df: DataFrame, key_cols: list[str], order_col: str) -> Data
 
 
 # --- n-gram Jaccard near-dup ------------------------------------------------
+#
+# Materialization note (scale-critical): Catalyst inlines generator
+# children, so `explode(<heavy array expr>)` recomputes the WHOLE array
+# per OUTPUT row — O(shingles^2) per document. Every shingle pipeline
+# therefore materializes the per-doc hashed-shingle array (persist) before
+# exploding or self-joining; at cluster scale this is a cached/checkpointed
+# signature table, the standard shape for corpus dedup.
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), k).alias("_shingles"),
-    ).withColumn("_n_shingles", F.size("_shingles"))
+    """Per-doc distinct word-k-shingle hash arrays: (_id, _h, _n).
+
+    Shingles are 8-byte xxhash64 values, not strings — cheaper to store,
+    shuffle and intersect; collision probability is ~n^2/2^64 (negligible
+    at any realistic corpus size per partition-block).
+    MATERIALIZED (persist) — see module note. Callers should unpersist.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), k).alias("_h")
+    ).persist()
+    return base.withColumn("_n", F.size("_h"))
 
 
 def ngram_jaccard_pairs(
@@ -82,20 +96,29 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
     """
     sh = _shingled(df, text_col, id_col, k)
-    inv = sh.select(
-        "_id",
-        "_n_shingles",
-        F.explode("_shingles").alias("_sh"),
-    ).withColumn("_shash", F.md5("_sh")).drop("_sh")
+    # Inverted index over the materialized hash arrays: explode is O(1)
+    # per output row (see module materialization note).
+    inv = sh.select("_id", "_n", F.explode("_h").alias("_shash"))
 
     a, b = inv.alias("a"), inv.alias("b")
+    # Length-ratio prune (semantics-preserving): jaccard <= min/max, so
+    # pairs with max*threshold > min can never pass the filter.
+    ratio_ok = (
+        F.greatest(F.col("a._n"), F.col("b._n")) * F.lit(threshold)
+        <= F.least(F.col("a._n"), F.col("b._n")).cast("double")
+    )
     inter = (
-        a.join(b, (F.col("a._shash") == F.col("b._shash")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a._shash") == F.col("b._shash"))
+            & (F.col("a._id") < F.col("b._id"))
+            & ratio_ok,
+        )
         .groupBy(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._n_shingles").alias("na"),
-            F.col("b._n_shingles").alias("nb"),
+            F.col("a._n").alias("na"),
+            F.col("b._n").alias("nb"),
         )
         .agg(F.count("*").alias("inter"))
     )
@@ -114,24 +137,28 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, k: int = 3) -> DataFrame:
-    """k seeded min-hash values per doc: h_j(doc) = min over shingles of
-    xxhash64(shingle, seed=j). Pure JVM (transform/aggregate); O(H x S)
-    per row, zero shuffle. Empty-shingle docs get NULL signatures.
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    k: int = 3,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """k seeded min-hash values per doc: h_j(doc) = min over shingle
+    hashes of xxhash64(shingle_hash, seed=j). Pure JVM
+    (transform/aggregate); O(H x S) per row, zero shuffle. Empty-shingle
+    docs get NULL signatures. Pass ``shingled`` (a `_shingled` table) to
+    share the materialized shingle arrays with other stages.
     """
-    sh = _shingled(df, text_col, id_col, k)
+    sh = shingled if shingled is not None else _shingled(df, text_col, id_col, k)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                F.col("_shingles"),
-                lambda s: F.xxhash64(s, j),
-            )
-        ),
+        lambda j: F.array_min(F.transform(F.col("_h"), lambda h: F.xxhash64(h, j))),
     )
     return sh.select(
         F.col("_id"),
-        F.when(F.col("_n_shingles") > 0, sig).alias("signature"),
+        F.when(F.col("_n") > 0, sig).alias("signature"),
     )
 
 
@@ -144,6 +171,8 @@ def minhash_lsh_candidates(
     never an all-pairs comparison.
     """
     rows_per_band = num_hashes // bands
+    # Materialize signatures before the banding explode (module note).
+    signatures = signatures.persist()
     banded = (
         signatures.where(F.col("signature").isNotNull())
         .select(
@@ -190,15 +219,19 @@ def minhash_near_dup_pairs(
     bands/num_hashes); the verify step recomputes true Jaccard only for
     candidates. Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
-    cands = minhash_lsh_candidates(
-        minhash_signature(df, text_col, id_col, num_hashes, k), bands, num_hashes
-    )
+    # One materialized shingle table shared by signature generation and
+    # the verify join (module materialization note).
     sh = _shingled(df, text_col, id_col, k)
+    cands = minhash_lsh_candidates(
+        minhash_signature(df, text_col, id_col, num_hashes, k, shingled=sh),
+        bands,
+        num_hashes,
+    )
     pa = sh.select(
-        F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a"), F.col("_n_shingles").alias("na")
+        F.col("_id").alias("id_a"), F.col("_h").alias("sh_a"), F.col("_n").alias("na")
     )
     pb = sh.select(
-        F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b"), F.col("_n_shingles").alias("nb")
+        F.col("_id").alias("id_b"), F.col("_h").alias("sh_b"), F.col("_n").alias("nb")
     )
     joined = cands.join(pa, "id_a").join(pb, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -223,20 +256,35 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """
     from ..functions.text import whitespace_tokens
 
-    toks = whitespace_tokens(F.lower(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def bit_vote(mask):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+    # Explode token hashes and aggregate 64 bit-vote sums per doc: stays
+    # inside whole-stage codegen (HOF lambdas are interpreted and ~2x
+    # slower here). Partial aggregation collapses each doc's votes
+    # map-side, so the shuffle is docs x 64 longs, not tokens.
+    masks = [1 << i if i < 63 else -(1 << 63) for i in range(64)]
+    flat = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    ).select("_id", F.xxhash64("_tok").alias("_th"))
+    votes = flat.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_th").bitwiseAND(F.lit(m).cast("long")) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i, m in enumerate(masks)
+        ]
+    )
+    sig_terms = [
+        F.when(F.col(f"_v{i}") > 0, F.lit(m).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        mask = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
-        sig = sig + F.when(bit_vote(mask) > 0, mask).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col).alias("_id"), sig.alias("simhash"))
+        for i, m in enumerate(masks)
+    ]
+    sig = sig_terms[0]
+    for term in sig_terms[1:]:
+        sig = sig + term
+    return votes.select("_id", sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -248,7 +296,8 @@ def simhash_near_dup_pairs(
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    sigs = simhash64(df, text_col, id_col)
+    # Materialize signatures before the banding explode (module note).
+    sigs = simhash64(df, text_col, id_col).persist()
     band_structs = F.array(
         *[
             F.struct(

@@ -70,10 +70,19 @@ def write_file_sink_batch(events: DataFrame, path: str, parquet: bool = True) ->
     Parquet mode writes columnar files (K1); row mode writes the P3 JSON
     projection one record per line (K2 — reference encodes via toJson,
     StreamingEtl.java:233).
+
+    The repartition on the partition columns is R1 (reference
+    ``keyBy(pickupLocationId)``, StreamingEtl.java:110) and is the
+    scale-critical move: without it every task writes a file into every
+    partition dir (tasks x dirs tiny files); with it each dir is written
+    by one task — file count == partition count, and downstream scans
+    stay pruned and unfragmented.
     """
     from ..operators.serialize import trip_event_to_json
 
-    partitioned = with_partition_columns(events)
+    partitioned = with_partition_columns(events).repartition(
+        *[F.col(c) for c in PARTITION_COLS]
+    )
     if parquet:
         (
             partitioned.write.mode("append")

@@ -1,0 +1,118 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Also measures the streaming keep-up analog (BASELINE.md): synthetic
+TripEvent JSON parse -> partition-column derivation -> partitioned
+Parquet, reported as records/sec under "etl" (extra key; the required
+contract fields are unchanged).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_enrich_events",
+    "window_running_sum",
+    "topk_global",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "text_stats",
+    "stream_tumbling_counts",
+    "stream_static_enrich",
+]
+
+
+def bench_etl_throughput(spark, n_records: int = 200_000) -> dict:
+    """Parse -> partition -> parquet throughput on synthetic TripEvent
+    JSON (the reference's keep-up criterion: >=16k rec/s sustained,
+    BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.parse import (
+        parse_trip_events,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.sinks import (
+        write_file_sink_batch,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.sources import (
+        synthetic_trip_event_json,
+    )
+
+    out = tempfile.mkdtemp(prefix="bench_etl_")
+    try:
+        raw = spark.range(n_records).select(
+            synthetic_trip_event_json(
+                F.col("id"),
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 86400),
+            ).alias("value")
+        )
+        t0 = time.time()
+        events = parse_trip_events(raw)
+        write_file_sink_batch(events, out, parquet=True)
+        dt = time.time() - t0
+        return {"records": n_records, "sec": round(dt, 3), "recs_per_sec": round(n_records / dt)}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from amazon_kinesis_analytics_streaming_etl_spark.session import get_spark
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup (not counted).
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count() if not df.isStreaming else -1
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    etl = bench_etl_throughput(spark)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "etl": etl,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
