@@ -1,0 +1,197 @@
+"""K1-K8 + X1 sink/pipeline tests: partition layout, parquet/json modes,
+idempotent keyed upsert, Kinesis batching, fan-out, exactly-once restart."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_analytics_streaming_etl_spark.config import ConfigError
+from amazon_kinesis_analytics_streaming_etl_spark.operators.parse import parse_trip_events
+from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import Pipeline
+from amazon_kinesis_analytics_streaming_etl_spark.streaming import sinks as sk
+
+
+def _events_df(spark, n=40, loc_mod=4):
+    payloads = []
+    base = {
+        "vendor_id": 1, "pickup_datetime": "2018-11-23T20:30:14",
+        "dropoff_datetime": "2018-11-23T20:41:02", "passenger_count": 1,
+        "trip_distance": 2.3, "ratecode_id": 1, "store_and_fwd_flag": "N",
+        "pickup_location_id": 1, "dropoff_location_id": 2, "payment_type": 1,
+        "fare_amount": 10.5, "extra": 0.5, "mta_tax": 0.5, "tip_amount": 2.0,
+        "tolls_amount": 0.0, "improvement_surcharge": 0.3, "total_amount": 14.0,
+        "trip_id": 1, "type": "trip", "padding": "",
+    }
+    for i in range(n):
+        r = dict(base)
+        r["trip_id"] = 1000 + i
+        r["pickup_location_id"] = 1 + (i % loc_mod)
+        payloads.append((json.dumps(r),))
+    return parse_trip_events(spark.createDataFrame(payloads, ["value"]))
+
+
+def test_partition_layout_matches_reference_format(spark, tmp_dirs):
+    # TripEventBucketAssigner.java:35-40: pickup_location=%03d/year=%04d/month=%02d
+    events = _events_df(spark)
+    sk.write_file_sink_batch(events, tmp_dirs["out"], parquet=True)
+    dirs = sorted(
+        os.path.relpath(p, tmp_dirs["out"])
+        for p in glob.glob(f"{tmp_dirs['out']}/pickup_location=*/year=*/month=*")
+    )
+    assert dirs == [
+        "pickup_location=001/year=2018/month=11",
+        "pickup_location=002/year=2018/month=11",
+        "pickup_location=003/year=2018/month=11",
+        "pickup_location=004/year=2018/month=11",
+    ]
+    # one file per partition dir (repartition-by-partition-cols, R1)
+    for d in dirs:
+        assert len(glob.glob(f"{tmp_dirs['out']}/{d}/*.parquet")) == 1
+
+
+def test_json_row_mode_writes_p3_projection(spark, tmp_dirs):
+    # K2: row sink stores the 18-field JSON lines (StreamingEtl.java:227-239)
+    events = _events_df(spark, n=8)
+    sk.write_file_sink_batch(events, tmp_dirs["out"], parquet=False)
+    lines = []
+    for p in sorted(set(glob.glob(f"{tmp_dirs['out']}/**/part-*", recursive=True))):
+        if os.path.isfile(p) and not p.endswith("_SUCCESS"):
+            lines += [l for l in open(p).read().splitlines() if l.strip()]
+    assert len(lines) == 8
+    obj = json.loads(lines[0])
+    assert len(obj) == 18 and "payment_type" not in obj
+
+
+def test_es_upsert_idempotent_by_trip_id(spark):
+    # K4: doc id = trip_id -> re-delivery overwrites (StreamingEtl.java:250-258)
+    import tempfile
+
+    events = _events_df(spark, n=10)
+    store_dir = tempfile.mkdtemp()
+
+    def transport(index, doc_id, body, _d=store_dir):
+        # executor-side: emulate a keyed document store on shared disk
+        with open(os.path.join(_d, f"{index}__{doc_id}.json"), "w") as f:
+            f.write(body)
+
+    sk.es_upsert_batch(events, "http://fake:9200", transport=transport)
+    first = sorted(os.listdir(store_dir))
+    sk.es_upsert_batch(events, "http://fake:9200", transport=transport)  # redeliver
+    second = sorted(os.listdir(store_dir))
+    assert first == second and len(first) == 10  # idempotent, keyed by trip_id
+    assert all(name.startswith("trip__") for name in first)  # index = type field
+
+
+def test_kinesis_put_batches_of_500_fixed_partition_key(spark, tmp_path):
+    # K5: PutRecords batches capped at 500; fixed partition key "0"
+    # (StreamingEtl.java:199).
+    events = _events_df(spark, n=1200, loc_mod=1).coalesce(1)
+    log = str(tmp_path / "calls.jsonl")
+
+    class FakeClient:
+        def put_records(self, StreamName, Records):
+            with open(log, "a") as f:
+                f.write(json.dumps({"n": len(Records), "keys": list({r["PartitionKey"] for r in Records})}) + "\n")
+
+    sk.kinesis_put_batch(events, "out-stream", client_factory=FakeClient)
+    calls = [json.loads(l) for l in open(log)]
+    assert sum(c["n"] for c in calls) == 1200
+    assert max(c["n"] for c in calls) <= 500
+    assert all(c["keys"] == ["0"] for c in calls)
+
+
+def _write_source(tmp_dirs, n=30):
+    rows = []
+    base = {
+        "vendor_id": 1, "pickup_datetime": "2018-11-23T20:30:14",
+        "dropoff_datetime": "2018-11-23T20:41:02", "passenger_count": 1,
+        "trip_distance": 2.3, "ratecode_id": 1, "store_and_fwd_flag": "N",
+        "pickup_location_id": 7, "dropoff_location_id": 2, "payment_type": 1,
+        "fare_amount": 10.5, "extra": 0.5, "mta_tax": 0.5, "tip_amount": 2.0,
+        "tolls_amount": 0.0, "improvement_surcharge": 0.3, "total_amount": 14.0,
+        "trip_id": 1, "type": "trip", "padding": "",
+    }
+    for i in range(n):
+        r = dict(base)
+        r["trip_id"] = i
+        rows.append(json.dumps(r))
+    with open(os.path.join(tmp_dirs["src"], "batch1.json"), "w") as f:
+        f.write("\n".join(rows))
+
+
+def test_pipeline_exactly_once_restart(spark, tmp_dirs):
+    # X1: same checkpoint -> already-committed input is not reprocessed.
+    _write_source(tmp_dirs)
+    args = [
+        "--InputFilePath", tmp_dirs["src"],
+        "--OutputBucket", tmp_dirs["out"],
+        "--ParquetConversion", "true",
+        "--CheckpointLocation", tmp_dirs["ckpt"],
+    ]
+    Pipeline.from_config(spark, args=args).run_available_now()
+    paths = glob.glob(f"{tmp_dirs['out']}/job_start=*")
+    count1 = sum(spark.read.parquet(p).count() for p in paths)
+    Pipeline.from_config(spark, args=args).run_available_now()
+    paths = glob.glob(f"{tmp_dirs['out']}/job_start=*")
+    count2 = sum(spark.read.parquet(p).count() for p in paths)
+    assert count1 == 30 and count2 == 30
+
+
+def test_pipeline_fanout_multiple_sinks(spark, tmp_dirs):
+    # K8: one source read feeds every configured sink.
+    _write_source(tmp_dirs, n=12)
+    seen = []
+    pipe = Pipeline.from_config(
+        spark,
+        args=[
+            "--InputFilePath", tmp_dirs["src"],
+            "--OutputBucket", tmp_dirs["out"],
+            "--ParquetConversion", "true",
+            "--OutputDiscarding",
+            "--CheckpointLocation", tmp_dirs["ckpt"],
+        ],
+    )
+    pipe.extra_sinks.append(("probe", lambda batch: seen.append(batch.count())))
+    pipe.run_available_now()
+    assert seen == [12]
+    paths = glob.glob(f"{tmp_dirs['out']}/job_start=*")
+    assert sum(spark.read.parquet(p).count() for p in paths) == 12
+
+
+def test_source_config_validation(spark, tmp_dirs):
+    # S3: exactly one source; >=1 sink (StreamingEtl.java:87-103,147-149)
+    import pytest
+
+    with pytest.raises(ConfigError, match="Ambiguous input"):
+        Pipeline.from_config(
+            spark,
+            args=["--InputFilePath", tmp_dirs["src"], "--InputKinesisStream", "s",
+                  "--OutputDiscarding", "--CheckpointLocation", tmp_dirs["ckpt"]],
+        ).start()
+    with pytest.raises(ConfigError, match="Missing output"):
+        Pipeline.from_config(
+            spark,
+            args=["--InputFilePath", tmp_dirs["src"], "--CheckpointLocation", tmp_dirs["ckpt"]],
+        ).start()
+    with pytest.raises(ConfigError, match="Missing input"):
+        Pipeline.from_config(
+            spark, args=["--OutputDiscarding", "--CheckpointLocation", tmp_dirs["ckpt"]]
+        ).start()
+
+
+def test_config_properties_override_args():
+    # C1: application properties win (ParameterToolUtils.java:44-47)
+    from amazon_kinesis_analytics_streaming_etl_spark.config import (
+        from_args_and_properties,
+    )
+
+    cfg = from_args_and_properties(
+        ["--InputKafkaTopic", "from-args", "--OutputDiscarding"],
+        {"InputKafkaTopic": "from-props"},
+    )
+    assert cfg.get("InputKafkaTopic") == "from-props"
+    assert cfg.get_bool("OutputDiscarding")

@@ -1,0 +1,124 @@
+"""Streaming semantics under deterministic replay: watermark late-data
+drop (append mode), session merge, stateful dedup, stream-static join."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_analytics_streaming_etl_spark.schemas import TESTDATA_SCHEMAS
+from amazon_kinesis_analytics_streaming_etl_spark.streaming.windows import (
+    replay_to_memory,
+    session_window_agg,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, TESTDATA_SCHEMAS["events"])
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _stream(spark, path):
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path + "/part*")
+    )
+
+
+def _ev(eid, ts, user=1, etype="click", value=1.0):
+    return (eid, ts, user, etype, value, "{}")
+
+
+def test_append_mode_watermark_drops_late_rows(spark, tmp_path):
+    """Two availableNow runs over a shared checkpoint: run 2 delivers an
+    event 3 hours older than the persisted watermark — it must be dropped
+    from the aggregation (production late-data policy), and the watermark
+    must survive the restart (X1)."""
+    p = str(tmp_path / "ev")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    os.makedirs(p)
+
+    def run_once():
+        plan = tumbling_window_agg(
+            _stream(spark, p), ts_col="ts", window_size="1 hour", watermark="1 hour",
+            aggs=[F.count("*").alias("n")],
+        )
+        q = (
+            plan.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Run 1: events at 00:30 and 04:30 -> watermark persists at 03:30;
+    # the closed hour-0 window is emitted with n=1.
+    df1 = spark.createDataFrame(
+        [_ev(1, t0), _ev(2, t0 + dt.timedelta(hours=4))], TESTDATA_SCHEMAS["events"]
+    )
+    df1.coalesce(1).write.mode("append").parquet(p)
+    run_once()
+    # Run 2: a late event for hour 0 (< checkpointed watermark) plus an
+    # on-time one.
+    df2 = spark.createDataFrame(
+        [_ev(3, t0 + dt.timedelta(minutes=5)), _ev(4, t0 + dt.timedelta(hours=4, minutes=10))],
+        TESTDATA_SCHEMAS["events"],
+    )
+    df2.coalesce(1).write.mode("append").parquet(p)
+    run_once()
+
+    rows = {(r.window_start.hour, r.n) for r in spark.read.parquet(sink).collect()}
+    assert (0, 1) in rows  # hour-0 emitted once, without the late event
+    assert (0, 2) not in rows
+
+
+def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
+    p = str(tmp_path / "ev2")
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [_ev(1, t0), _ev(1, t0), _ev(2, t0 + dt.timedelta(minutes=1))]
+    _write_events(spark, p, rows)
+    plan = streaming_dedup(_stream(spark, p), key_cols=["event_id"], watermark="1 hour")
+    out = replay_to_memory(spark, plan, output_mode="append")
+    assert out.count() == 2
+
+
+def test_session_window_merges_within_gap(spark, tmp_path):
+    p = str(tmp_path / "ev3")
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        _ev(1, t0, user=1),
+        _ev(2, t0 + dt.timedelta(minutes=5), user=1),   # same session
+        _ev(3, t0 + dt.timedelta(minutes=40), user=1),  # new session (>10m gap)
+        _ev(4, t0, user=2),
+    ]
+    _write_events(spark, p, rows)
+    plan = session_window_agg(
+        _stream(spark, p), ts_col="ts", gap="10 minutes", watermark="1 hour",
+        group_cols=["user_id"], aggs=[F.count("*").alias("n")],
+    )
+    out = replay_to_memory(spark, plan, output_mode="complete")
+    sessions = {(r.user_id, r.n) for r in out.collect()}
+    assert sessions == {(1, 2), (1, 1), (2, 1)}
+    # session end = last event + gap
+    first = out.where((F.col("user_id") == 1) & (F.col("n") == 2)).head()
+    assert first.window_end == t0 + dt.timedelta(minutes=15)
+
+
+def test_stream_static_join_broadcasts(spark, tmp_path):
+    p = str(tmp_path / "ev4")
+    t0 = dt.datetime(2024, 1, 1, 8, 0)
+    _write_events(spark, p, [_ev(1, t0, user=3), _ev(2, t0, user=4), _ev(3, t0, user=99)])
+    dim = spark.createDataFrame([(3, "SEG_A"), (4, "SEG_B")], ["user_id", "seg"])
+    joined = _stream(spark, p).join(F.broadcast(dim), "user_id")
+    out = replay_to_memory(spark, joined, output_mode="append")
+    assert {(r.user_id, r.seg) for r in out.collect()} == {(3, "SEG_A"), (4, "SEG_B")}

@@ -1,0 +1,103 @@
+"""Text-function edge cases + multimodal plumbing determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_analytics_streaming_etl_spark.functions.text import (
+    bpe_token_count,
+    detect_language,
+    fingerprint_md5,
+    punct_ratio,
+    shingle_hashes,
+    token_count,
+    word_shingles,
+)
+from amazon_kinesis_analytics_streaming_etl_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+    FEATURE_DIM,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], ["text"]).select(col.alias("v")).head().v
+
+
+def test_token_count_edges(spark):
+    assert _one(spark, "", token_count("text")) == 0
+    assert _one(spark, "   ", token_count("text")) == 0
+    assert _one(spark, "one", token_count("text")) == 1
+    assert _one(spark, "a  b\t c", token_count("text")) == 3
+
+
+def test_bpe_token_count(spark):
+    # words, digit runs, punctuation singles
+    assert _one(spark, "hello world42, ok!", bpe_token_count("text")) == 6
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, "", punct_ratio("text")) == 0.0
+    assert _one(spark, "abcd", punct_ratio("text")) == 0.0
+    assert _one(spark, "a!b!", punct_ratio("text")) == pytest.approx(0.5)
+
+
+def test_detect_language_stopword_heuristic(spark):
+    assert _one(spark, "the cat is in the house and it is warm", detect_language("text")) == "en"
+    assert _one(spark, "el gato es de la casa y es un animal", detect_language("text")) == "es"
+    assert _one(spark, "le chat est pour la maison et une souris", detect_language("text")) == "fr"
+    assert _one(spark, "der hund und die katze in das haus von berlin", detect_language("text")) == "de"
+    assert _one(spark, "zzz qqq xxx", detect_language("text")) == "und"
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello   World", fingerprint_md5("text"))
+    b = _one(spark, "hello world", fingerprint_md5("text"))
+    c = _one(spark, "hello worlds", fingerprint_md5("text"))
+    assert a == b != c
+
+
+def test_shingle_hashes_matches_string_shingles_cardinality(spark):
+    df = spark.createDataFrame(
+        [("a b c d e a b c d e",), ("x y",), ("",)], ["text"]
+    )
+    out = df.select(
+        F.size(shingle_hashes("text", 3)).alias("nh"),
+        F.size(word_shingles("text", 3)).alias("ns"),
+    ).collect()
+    for r in out:
+        assert r.nh == r.ns  # distinct triple counts agree (hash vs string)
+    # 10 tokens -> 8 shingle windows, 5 distinct ("a b c d e" repeats)
+    assert [r.nh for r in out] == [5, 0, 0]
+
+
+def test_decode_media_deterministic_across_partitioning(spark):
+    media = synthetic_media(spark, n=32)
+    once = {r.media_id: r.content_digest for r in decode_media(media).collect()}
+    again = {
+        r.media_id: r.content_digest
+        for r in decode_media(media.repartition(7)).collect()
+    }
+    assert once == again and len(once) == 32
+
+
+def test_extract_features_shape_and_range(spark):
+    feats = extract_features(synthetic_media(spark, n=8)).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert len(r.features) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r.features)
+
+
+def test_frame_sample_plan_counts(spark):
+    media = synthetic_media(spark, n=4)
+    frames = frame_sample_plan(media, every_ms=1000)
+    counts = {r.media_id: r.n for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    durations = {r.media_id: r.meta.duration_ms for r in media.collect()}
+    for mid, n in counts.items():
+        expected = max((max(durations[mid] - 1, 0)) // 1000 + 1, 1)
+        assert n == expected
