@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd  # module scope: pandas_udf type hints must resolve
+                     # under postponed annotation evaluation
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -312,6 +315,65 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.round(F.avg(quality_score(F.col("text"))), 4).alias("avg_quality"),
         F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pandas UDF surface (Arrow-vectorized Python)
+# --------------------------------------------------------------------------
+
+@register(
+    "udf_pandas_normalize",
+    f"""
+    SELECT source, count(DISTINCT md5({_NORM_SQL})) AS n_distinct_norm
+    FROM documents
+    GROUP BY source
+    """,
+)
+def udf_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow batches) doing text normalization; result
+    provably identical to the JVM expression twin (text_fingerprint) via
+    the shared oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def normalize(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.countDistinct(F.md5(normalize("text"))).alias("n_distinct_norm")
+    )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    """
+    SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (numpy mean over Arrow batches)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pd_mean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    @pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and JVM aggregates in one agg, so
+        # the row count is a pandas aggregate too.
+        return int(v.count())
+
+    from .relational import _t
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(pd_mean("value"), 4).alias("avg_value"),
+        pd_count("value").alias("n"),
     )
 
 

@@ -770,6 +770,133 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "filter_predicates",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_orderpriority LIKE '1-%'
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate family: IN / LIKE / BETWEEN / null-test — all pushed to
+    the parquet scan (verify PushedFilters in .explain)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_orderpriority").like("1-%")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "semi_structured_arrays",
+    """
+    SELECT l_linenumber,
+           round(sum(([l_quantity, l_extendedprice])[2]), 2) AS sum_second,
+           round(avg(([l_quantity, l_extendedprice])[1]), 4) AS avg_first,
+           CAST(max(len([l_quantity, l_extendedprice])) AS INT) AS arr_len
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+)
+def semi_structured_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array constructor + element access + length (1-indexed in both
+    engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.array("l_quantity", "l_extendedprice")
+    return li.groupBy("l_linenumber").agg(
+        F.round(F.sum(F.element_at(arr, 2)), 2).alias("sum_second"),
+        F.round(F.avg(F.element_at(arr, 1)), 4).alias("avg_first"),
+        F.max(F.size(arr)).cast("int").alias("arr_len"),
+    )
+
+
+_SUBQUERY_SQL = """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@register("sql_subqueries", _SUBQUERY_SQL)
+def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + correlated EXISTS through the SQL interface —
+    the identical SQL text runs on both engines (Catalyst rewrites the
+    scalar subquery to a broadcast value and EXISTS to a left-semi join)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SUBQUERY_SQL)
+
+
+@register(
+    "set_union_by_name",
+    """
+    SELECT o_orderkey, count(*) AS n, round(sum(val), 2) AS total FROM (
+      SELECT o_orderkey, o_totalprice AS val FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2.0 AS val FROM orders WHERE o_orderstatus = 'O'
+    )
+    GROUP BY o_orderkey
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: columns aligned by NAME, not position (the two inputs
+    deliberately have different column orders)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.col("o_totalprice").alias("val")
+    )
+    # *2.0, not *0.5: halving 2-decimal prices creates exact half-cent
+    # values where Spark (HALF_UP on decimal repr) and DuckDB (C rounding
+    # on the raw double) round differently.
+    b = o.where(F.col("o_orderstatus") == "O").select(
+        (F.col("o_totalprice") * 2.0).alias("val"), "o_orderkey"
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("total"))
+    )
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (preserves duplicate cardinalities)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.intersectAll(r)
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'O'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_linestatus") == "F").select("l_suppkey")
+    b = li.where(F.col("l_linestatus") == "O").select("l_suppkey")
+    return a.exceptAll(b)
+
+
+@register(
     "agg_pivot",
     """
     SELECT user_id % 10 AS user_bucket,
