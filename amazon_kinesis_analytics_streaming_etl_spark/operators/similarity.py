@@ -92,6 +92,63 @@ def lsh_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into ``nlist``
+    inverted lists by nearest centroid, probe the ``nprobe`` centroids
+    closest to the query, exact-score only those lists.
+
+    ``centroids`` defaults to the embeddings of the first ``nlist`` ids —
+    deterministic and adequate for testing the plan shape; production
+    swaps in k-means centroids (same plan, better recall). Candidate
+    fraction ~= nprobe/nlist; the assignment pass is one broadcast of
+    nlist small vectors, no shuffle.
+    """
+    if centroids is None:
+        rows = (
+            df.orderBy(F.col(id_col).asc())
+            .limit(nlist)
+            .select(vec_col)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[0]] for r in rows]
+
+    # Driver-side: rank centroids for the query, pick probe set.
+    def _cos(a, b):
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    probe_ids = sorted(
+        range(len(centroids)), key=lambda i: -_cos(query_vec, centroids[i])
+    )[:nprobe]
+
+    # Executor-side: assign each vector to its nearest centroid (argmax
+    # over a literal array of centroid vectors — broadcast-sized).
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    sims = F.transform(cent_arr, lambda c: cosine(F.col(vec_col), c))
+    assigned = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    cand = df.withColumn("_list", assigned).where(
+        F.col("_list").isin([int(p) for p in probe_ids])
+    )
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def topk_pairs_per_group(
     df: DataFrame,
     group_col: str = "label",

@@ -177,6 +177,31 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, [float(x) for x in qvec], LSH_PLANES, k=10, probe_hamming=1)
 
 
+@register("sim_topk_ivf")  # approximate -> rows-only; recall tested in pytest
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (16 lists, probe 4): assignment is one broadcast
+    argmax pass, scoring touches ~nprobe/nlist of the corpus."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb, [float(x) for x in qvec], k=10, nlist=16, nprobe=4)
+
+
+@register("dedup_embedding_lsh")  # engine-specific buckets -> rows-only
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with sign-bit LSH blocking (the unblocked-scale
+    path: no label column needed; buckets bound the self-join)."""
+    from ..functions.vectors import sign_bits
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "_bucket", sign_bits(F.col("embedding"), LSH_PLANES)
+    )
+    return embedding_near_dup_pairs(
+        emb, block_col="_bucket", threshold=0.3
+    )
+
+
 @register(
     "sim_topk_pairs_per_label",
     """

@@ -168,6 +168,28 @@ def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_running_totals",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key state machine via applyInPandasWithState (Arrow
+    batches over the state store). Single-batch replay => emitted running
+    totals equal the batch aggregate; multi-batch accumulation is pinned
+    in tests."""
+    from ..streaming.stateful import running_totals_per_key
+
+    plan = running_totals_per_key(_events_stream(spark, sf_dir))
+    out = replay_to_memory(spark, plan, output_mode="append")
+    return out.select(
+        "user_id", "n_events", F.round(F.col("total_value"), 2).alias("total_value")
+    )
+
+
+@register(
     "stream_static_enrich",
     """
     SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -1,0 +1,77 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The built-in stateful operators (windowed aggs, dropDuplicates,
+stream-stream joins) cover the reference's needs; this module is the
+escape hatch for semantics they can't express — arbitrary per-key state
+machines, run as Arrow-batched Python over Spark's state store (so state
+survives checkpoints/restarts like any engine-managed state).
+
+At scale: state is partitioned by key across executors; the Python
+function sees one key's rows per call; shuffle = one hash exchange on the
+key, identical to a groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+RUNNING_TOTALS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_RUNNING_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _running_totals_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals_per_key(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Per-key cumulative (count, sum) state machine: each micro-batch
+    emits the key's running totals so far. With a single-batch replay the
+    output equals a batch groupBy — which is how the oracle checks it —
+    and across batches/restarts the state accumulates (pinned in tests).
+    """
+    sel = stream.select(
+        stream[key_col].alias("user_id"), stream[value_col].alias("value")
+    )
+    return sel.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=_RUNNING_TOTALS_STATE,
+        # "append" so any sink (incl. files) accepts the stream; each
+        # batch appends the key's latest snapshot row — consumers take the
+        # last row per key (idempotent-key pattern again).
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -32,7 +32,9 @@ def test_every_query_has_callable_and_oracle_keys_align(contract):
         "agg_approx_distinct",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_embedding_lsh",
         "sim_topk_lsh",
+        "sim_topk_ivf",
         "multimodal_decode",
         "multimodal_features_topk",
     }

@@ -1,0 +1,110 @@
+"""applyInPandasWithState accumulation across micro-batches; IVF-ANN
+recall; sign-bit-blocked embedding dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_analytics_streaming_etl_spark.schemas import TESTDATA_SCHEMAS
+from amazon_kinesis_analytics_streaming_etl_spark.streaming.stateful import (
+    running_totals_per_key,
+)
+from amazon_kinesis_analytics_streaming_etl_spark.streaming.windows import (
+    replay_to_memory,
+)
+
+
+def _ev(eid, ts, user, value):
+    return (eid, ts, user, "click", value, "{}")
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: state (per-key count and
+    sum) must carry over the restart — the applyInPandasWithState state
+    store behaves like any engine-managed state."""
+    p = str(tmp_path / "ev")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(p)
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+            .format("parquet")
+            .load(p + "/part*")
+        )
+        q = (
+            running_totals_per_key(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    df1 = spark.createDataFrame(
+        [_ev(1, t0, 7, 1.5), _ev(2, t0, 7, 2.5), _ev(3, t0, 8, 1.0)],
+        TESTDATA_SCHEMAS["events"],
+    )
+    df1.coalesce(1).write.mode("append").parquet(p)
+    run_once()
+    df2 = spark.createDataFrame([_ev(4, t0, 7, 4.0)], TESTDATA_SCHEMAS["events"])
+    df2.coalesce(1).write.mode("append").parquet(p)
+    run_once()
+
+    out = spark.read.parquet(sink).collect()
+    latest = {}
+    for r in out:
+        latest[r.user_id] = max(
+            latest.get(r.user_id, (0, 0.0)), (r.n_events, r.total_value)
+        )
+    assert latest[7] == (3, 8.0)  # 2 events batch1 + 1 event batch2
+    assert latest[8] == (1, 1.0)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    exact = [r.vec_id for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = ivf_topk(emb, q, k=10, nlist=16, nprobe=8).collect()
+    assert approx[0].vec_id == 0  # self-retrieval through its own list
+    got = [r.vec_id for r in approx]
+    # probing half the lists must recover a meaningful share of the true top-10
+    assert len(set(got) & set(exact)) >= 3
+    # every reported score is the exact cosine (verified against brute force)
+    exact_all = {r.vec_id: r.cos_sim for r in brute_force_topk(emb, q, k=500).collect()}
+    for r in approx:
+        assert r.cos_sim == pytest.approx(exact_all[r.vec_id], abs=1e-6)
+
+
+def test_embedding_lsh_blocking_collides_identical_vectors(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.vectors import sign_bits
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.llm import LSH_PLANES
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    # plant an exact duplicate of vec_id 0 with a new id
+    dup = base.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    df = base.unionByName(dup).withColumn(
+        "_bucket", sign_bits(F.col("embedding"), LSH_PLANES)
+    )
+    pairs = embedding_near_dup_pairs(df, block_col="_bucket", threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 100000)}
+    assert pairs[0].cos_sim == pytest.approx(1.0, abs=1e-6)
