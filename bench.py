@@ -73,6 +73,83 @@ def bench_etl_throughput(spark, n_records: int = 200_000) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def bench_streaming_keepup(
+    spark,
+    rows_per_sec: int = 20_000,
+    trigger_sec: int = 2,
+    run_sec: int = 14,
+) -> dict:
+    """Real Structured Streaming keep-up run: rate source at
+    ``rows_per_sec`` -> synthetic TripEvent JSON -> parse -> partitioned
+    Parquet, processingTime trigger. BASELINE.md health criterion analog:
+    batch duration < trigger interval at >=16k rec/s."""
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.parse import (
+        parse_trip_events,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.streaming import (
+        synthetic_trip_event_json,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.sinks import (
+        file_sink_stream,
+    )
+
+    out = tempfile.mkdtemp(prefix="bench_stream_")
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .load()
+        .select(
+            synthetic_trip_event_json(F.col("value"), F.col("timestamp")).alias("value")
+        )
+    )
+    events = parse_trip_events(raw)
+    q = (
+        file_sink_stream(events, out, ckpt, parquet=True)
+        .trigger(processingTime=f"{trigger_sec} seconds")
+        .start()
+    )
+    _t.sleep(run_sec)
+    progress = list(q.recentProgress)
+    q.stop()
+    batches = [
+        p
+        for p in progress
+        if p.get("numInputRows", 0) > 0 and p.get("batchDuration") is not None
+    ]
+    # drop the first batch (JVM/codegen warmup dominates it)
+    if len(batches) > 1:
+        batches = batches[1:]
+    if not batches:
+        return {"rows_per_sec_target": rows_per_sec, "keepup": False, "batches": 0}
+    avg_batch_ms = sum(p["batchDuration"] for p in batches) / len(batches)
+    processed = [
+        p["processedRowsPerSecond"]
+        for p in batches
+        if p.get("processedRowsPerSecond")
+    ]
+    rate = round(sum(processed) / len(processed)) if processed else None
+    # keep-up = sustained processing rate >= ingest rate (BASELINE.md's
+    # millisBehindLatest≈0 analog); batch-duration alone is too noisy on
+    # a short run where catch-up batches exceed the trigger by design.
+    keepup = (rate is not None and rate >= rows_per_sec) or (
+        avg_batch_ms < trigger_sec * 1000
+    )
+    return {
+        "rows_per_sec_target": rows_per_sec,
+        "trigger_ms": trigger_sec * 1000,
+        "avg_batch_ms": round(avg_batch_ms),
+        "processed_rows_per_sec": rate,
+        "keepup": keepup,
+        "batches": len(batches),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from amazon_kinesis_analytics_streaming_etl_spark.session import get_spark
@@ -94,6 +171,7 @@ def main() -> None:
         _ = n
 
     etl = bench_etl_throughput(spark)
+    streaming = bench_streaming_keepup(spark)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -109,6 +187,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "etl": etl,
+                "streaming": streaming,
             }
         )
     )
