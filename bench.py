@@ -26,6 +26,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q21_waiting_orders",
     "join_enrich_events",
     "window_running_sum",
     "topk_global",
