@@ -897,6 +897,77 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_events",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts, round(max(value), 2) AS p_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+           p.p_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click enriched with the
+    user's most recent at-or-before purchase. One shuffle on user_id via
+    union+window — compare DuckDB's native ASOF JOIN as the oracle.
+    Purchases are pre-aggregated per (user, ts) so exact-tie picks are
+    deterministic in both engines."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("p_value"))
+    )
+    j = asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["p_value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.col("p_value_right").alias("p_value"),
+    )
+
+
+@register(
+    "time_bucket_rollup",
+    """
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+             AS bucket,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: 15-minute buckets x type.
+    Spark's window() generator is the streaming-compatible twin; in batch
+    it's a pure projection (no shuffle beyond the aggregate), and the
+    bucket column is a partition-friendly sink key."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "15 minutes").start.alias("bucket_ts"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "agg_pivot",
     """
     SELECT user_id % 10 AS user_bucket,

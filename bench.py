@@ -81,7 +81,8 @@ def bench_streaming_keepup(
     spark,
     rows_per_sec: int = 20_000,
     trigger_sec: int = 2,
-    run_sec: int = 14,
+    min_batches: int = 3,
+    max_wait_sec: int = 60,
 ) -> dict:
     """Real Structured Streaming keep-up run: rate source at
     ``rows_per_sec`` -> synthetic TripEvent JSON -> parse -> partitioned
@@ -118,14 +119,20 @@ def bench_streaming_keepup(
         .trigger(processingTime=f"{trigger_sec} seconds")
         .start()
     )
-    _t.sleep(run_sec)
-    progress = list(q.recentProgress)
+    # poll until enough input batches completed (a fixed sleep races with
+    # session warmup when the bench suite ran just before)
+    deadline = _t.time() + max_wait_sec
+    batches: list = []
+    while _t.time() < deadline:
+        _t.sleep(trigger_sec)
+        batches = [
+            p
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0 and p.get("batchDuration") is not None
+        ]
+        if len(batches) > min_batches:  # > so one remains after warmup drop
+            break
     q.stop()
-    batches = [
-        p
-        for p in progress
-        if p.get("numInputRows", 0) > 0 and p.get("batchDuration") is not None
-    ]
     # drop the first batch (JVM/codegen warmup dominates it)
     if len(batches) > 1:
         batches = batches[1:]

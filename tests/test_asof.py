@@ -1,0 +1,72 @@
+"""asof_join semantics: >= tie matching, left-join NULLs, tolerance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from amazon_kinesis_analytics_streaming_etl_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic_tie_and_null(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),  # before any right -> NULL
+            (2, "u1", _ts("2024-01-01 10:05:00")),  # exact tie -> matches 10:05
+            (3, "u1", _ts("2024-01-01 10:30:00")),  # after both -> latest (10:10)
+            (4, "u2", _ts("2024-01-01 10:30:00")),  # other key, no right rows
+        ],
+        "id int, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:05:00"), 5.0),
+            ("u1", _ts("2024-01-01 10:10:00"), 7.0),
+        ],
+        "user string, ts timestamp, val double",
+    )
+    out = {
+        r["id"]: (r["ts_right"], r["val_right"])
+        for r in asof_join(left, right, on="ts", by="user").collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (_ts("2024-01-01 10:05:00"), 5.0)
+    assert out[3] == (_ts("2024-01-01 10:10:00"), 7.0)
+    assert out[4] == (None, None)
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 11:00:00"))], "id int, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-01 10:00:00"), 3.0)], "user string, ts timestamp, val double"
+    )
+    with_tol = asof_join(
+        left, right, on="ts", by="user", tolerance_seconds=1800
+    ).collect()[0]
+    assert with_tol["val_right"] is None  # 1h old > 30min tolerance
+    no_tol = asof_join(left, right, on="ts", by="user").collect()[0]
+    assert no_tol["val_right"] == 3.0
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The whole as-of is ONE exchange (on the by-key) + window — no join
+    node at all in the physical plan."""
+    left = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    right = spark.range(5).select(
+        (F.col("id") % 3).alias("k"),
+        F.timestamp_seconds(F.col("id") * 100).alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    plan = asof_join(left, right, on="ts", by="k")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
