@@ -1,0 +1,138 @@
+"""Scale operators: bucketing (co-located joins) and salting (skew).
+
+These are the two knobs SURVEY.md §2B's scale posture calls for beyond
+what AQE gives automatically:
+
+- **Bucketing** pre-shuffles a table ONCE at write time. Two tables
+  bucketed by the same key with the same bucket count join with ZERO
+  exchange at read time — at 100 TB this turns every recurring fact-fact
+  join on the bucket key into a shuffle-free sort-merge. This is the
+  durable version of the reference's ``keyBy`` placement
+  (StreamingEtl.java:110): the partitioning lives in the table layout
+  instead of each job's runtime.
+
+- **Salting** splits a hot key across ``n_salts`` sub-keys so one
+  reducer doesn't receive the whole key's data. AQE's skew-join handles
+  most cases at runtime (enabled in session.py); explicit salting is for
+  the cases AQE can't re-plan: skewed *aggregations* (two-phase
+  partial/final) and skewed joins against a replicable right side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- bucketing --------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    Bucket count is a layout contract: pick once per subject area (both
+    sides of a recurring join must match) and size so a bucket's share of
+    the largest table fits an executor (~128-512 MB/bucket at rest).
+    Sorting within buckets additionally removes the Sort from sort-merge
+    joins and enables min/max skipping on the sort key.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a (bucketed) table; joins/aggs on the bucket key skip their
+    Exchange when both sides share bucketing."""
+    return spark.table(table)
+
+
+# --- salting ----------------------------------------------------------------
+
+_DECOMPOSABLE = {"sum", "count", "min", "max"}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str] | str,
+    aggs: dict[str, str] | list[tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs``: (column, fn) pairs — a dict column->fn, or a list of pairs
+    when one column needs several fns — with fn in {sum,count,min,max,
+    avg}. Phase 1 groups by (keys, salt) — the hot key's rows spread over
+    ``n_salts`` partial groups; phase 2 merges partials by key alone
+    (tiny input). avg decomposes to sum+count and is reassembled exactly.
+
+    The salt is ``pmod(hash(all columns), n_salts)`` — deterministic (no
+    rand(): replays/retries stay stable) and uniform within a hot key.
+    Output column names are ``{fn}_{col}`` (avg_x from sum_x/count_x).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    pairs = list(aggs.items()) if isinstance(aggs, dict) else list(aggs)
+    for _, fn in pairs:
+        if fn not in _DECOMPOSABLE | {"avg"}:
+            raise ValueError(f"non-decomposable agg: {fn}")
+
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias("_salt")
+
+    partial_exprs, final_exprs, post = [], [], []
+    for col, fn in pairs:
+        if fn == "avg":
+            partial_exprs += [
+                F.sum(col).alias(f"_ps_{col}"),
+                F.count(col).alias(f"_pc_{col}"),
+            ]
+            final_exprs += [
+                F.sum(f"_ps_{col}").alias(f"_s_{col}"),
+                F.sum(f"_pc_{col}").alias(f"_c_{col}"),
+            ]
+            post.append((F.col(f"_s_{col}") / F.col(f"_c_{col}")).alias(f"avg_{col}"))
+        elif fn == "count":
+            partial_exprs.append(F.count(col).alias(f"_p_{fn}_{col}"))
+            final_exprs.append(F.sum(f"_p_{fn}_{col}").alias(f"count_{col}"))
+        else:
+            partial_exprs.append(getattr(F, fn)(col).alias(f"_p_{fn}_{col}"))
+            final_exprs.append(getattr(F, fn)(f"_p_{fn}_{col}").alias(f"{fn}_{col}"))
+
+    partial = df.select(*df.columns, salt).groupBy(*keys, "_salt").agg(*partial_exprs)
+    final = partial.groupBy(*keys).agg(*final_exprs)
+    keep = [c for c in final.columns if not c.startswith(("_s_", "_c_"))]
+    return final.select(*keep, *post) if post else final
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the LEFT side has hot keys and the RIGHT side is
+    small enough to replicate ``n_salts``-fold (but perhaps not small
+    enough, or not chosen by the planner, to broadcast).
+
+    Left rows get a deterministic salt in [0, n_salts); the right side is
+    exploded once per salt value; joining on (key, salt) spreads each hot
+    key over n_salts reducers. Semantically identical to the plain join.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    salt_l = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left = skewed.withColumn("_salt", salt_l)
+    right = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return left.join(right, on + ["_salt"], how).drop("_salt")

@@ -938,6 +938,33 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_agg_events",
+    """
+    SELECT event_type, round(sum(value), 2) AS sum_value,
+           count(value) AS count_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a LOW-cardinality (hence skewed
+    at scale) key — 5 event types means 5 reducers own everything in a
+    plain groupBy; salting spreads each over 16 partials first. The
+    oracle is the plain GROUP BY: salting must be invisible in results."""
+    from ..operators.scale import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e, "event_type", [("value", "sum"), ("value", "count")], n_salts=16
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).alias("sum_value"),
+        "count_value",
+    )
+
+
+@register(
     "time_bucket_rollup",
     """
     SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S')

@@ -1,0 +1,104 @@
+"""Bucketed co-located joins (zero-exchange plan) and salting
+(semantics-preserving skew mitigation)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+    read_table,
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def skewed_df(spark):
+    # 10k rows; key 0 holds ~50% of them (hot), the rest uniform over 100 keys
+    return spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.pmod(F.col("id"), F.lit(100)))
+        .alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_matches_plain_agg(spark, skewed_df):
+    plain = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"], r["av"])
+        for r in skewed_df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.avg("v").alias("av"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["sum_v"], r["count_v"], r["min_v"], r["max_v"], r["avg_v"])
+        for r in salted_agg(
+            skewed_df, "k", {"v": "sum"} | {}, n_salts=8
+        ).join(
+            salted_agg(skewed_df, "k", {"v": "count"}, n_salts=8), "k"
+        ).join(
+            salted_agg(skewed_df, "k", {"v": "min"}, n_salts=8), "k"
+        ).join(
+            salted_agg(skewed_df, "k", {"v": "max"}, n_salts=8), "k"
+        ).join(
+            salted_agg(skewed_df, "k", {"v": "avg"}, n_salts=8), "k"
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k, (s, c, mn, mx, av) in plain.items():
+        ss, sc, smn, smx, sav = salted[k]
+        assert ss == pytest.approx(s)
+        assert sc == c
+        assert smn == mn and smx == mx
+        assert sav == pytest.approx(av)
+
+
+def test_salted_join_matches_plain_join(spark, skewed_df):
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), F.col("id")).alias("nm")
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["nm"])
+        for r in skewed_df.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["nm"])
+        for r in salted_join(skewed_df, dim, "k", n_salts=8).collect()
+    )
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed by the join key with equal bucket counts ->
+    the sort-merge join reads pre-shuffled buckets: ZERO Exchange nodes."""
+    wh = tempfile.mkdtemp(prefix="bucket_wh_")
+    try:
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        write_bucketed(li, "li_b", "l_orderkey", 8, sort_cols=["l_orderkey"])
+        write_bucketed(o, "o_b", "o_orderkey", 8, sort_cols=["o_orderkey"])
+        a, b = read_table(spark, "li_b"), read_table(spark, "o_b")
+        joined = a.join(
+            b.hint("merge"), a.l_orderkey == b.o_orderkey
+        ).select("l_orderkey", "o_totalprice", "l_quantity")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it's still correct
+        expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        for t in ("li_b", "o_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(wh, ignore_errors=True)
