@@ -27,6 +27,7 @@ from ..streaming.windows import (
     sliding_window_agg,
     streaming_dedup,
     stream_static_join,
+    stream_stream_interval_join,
     tumbling_window_agg,
 )
 from .relational import register
@@ -186,6 +187,54 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     out = replay_to_memory(spark, plan, output_mode="append")
     return out.select(
         "user_id", "n_events", F.round(F.col("total_value"), 2).alias("total_value")
+    )
+
+
+@register(
+    "stream_stream_join_conversions",
+    f"""
+    SELECT c.event_id AS click_id, c.user_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+           strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           round(p.value, 2) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 30 minutes after a
+    click, per user — two independent file-source streams, watermark-
+    bounded join state, batch range-join oracle."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+    )
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        key=F.col("user_id") == F.col("p_user"),
+        left_ts="c_ts",
+        right_ts="p_ts",
+        interval="30 MINUTES",
+        watermark="1 hour",
+    )
+    out = replay_to_memory(spark, joined, output_mode="append")
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("c_ts", _TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("p_ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
     )
 
 

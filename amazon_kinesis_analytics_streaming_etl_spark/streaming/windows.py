@@ -103,6 +103,33 @@ def stream_static_join(
     return stream.join(dim, on, how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key,
+    left_ts: str,
+    right_ts: str,
+    interval: str,
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join: right events within [left_ts, left_ts +
+    interval] per key. Both sides carry watermarks (required — they bound
+    the join state: a buffered left row can be dropped once the right
+    watermark passes its interval end, and vice versa). Inner results
+    emit as soon as both sides arrive; outer results wait for the
+    watermark. State is O(events within the watermark+interval horizon)
+    per key — bounded, unlike an unwatermarked stream join."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        key
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {interval}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def replay_to_memory(
     spark: SparkSession, plan: DataFrame, output_mode: str = "append"
 ) -> DataFrame:

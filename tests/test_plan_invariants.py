@@ -1,0 +1,42 @@
+"""Catalog-wide physical-plan invariants.
+
+Every batch query's executed plan is checked for the accidents that
+don't show up in small-SF correctness runs but kill a 100 TB run:
+CartesianProduct, and BroadcastNestedLoopJoin outside the whitelisted
+scalar-threshold crossJoins (1-row broadcast sides, intentional).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# crossJoin against a 1-row aggregate (scalar threshold broadcast) is the
+# intended plan: a BroadcastNestedLoopJoin whose build side is one row.
+SCALAR_THRESHOLD_QUERIES = {
+    "q11_important_stock",
+    "q22_sales_opportunity",
+}
+
+def _batch_queries():
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    return {
+        name: fn
+        for name, fn in QUERIES.items()
+        if not name.startswith("stream_") and not name.startswith("multimodal_")
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_batch_queries()))
+def test_no_cartesian_or_accidental_bnlj(spark, name):
+    fn = _batch_queries()[name]
+    df = fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    if name not in SCALAR_THRESHOLD_QUERIES:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: non-equi broadcast join (add to whitelist only if the "
+            f"build side is provably tiny)\n{plan}"
+        )
