@@ -358,6 +358,28 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The 100 TB path is approx_percentile (t-digest,
+    no per-group sort buffer) — engine-specific, so the exact form is
+    the oracle-checked one."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
 @register("agg_approx_distinct")  # no oracle: HLL estimates are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for

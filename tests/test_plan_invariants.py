@@ -29,6 +29,24 @@ def _batch_queries():
     }
 
 
+def test_filters_reach_the_parquet_scan(spark):
+    """q6 is the canonical pushdown probe: shipdate/discount/quantity
+    range predicates must appear as PushedFilters on the lineitem scan,
+    and the scan must read only the 4 referenced columns."""
+    qs = _batch_queries()
+    df = qs["q6_forecast_revenue"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert set(
+        c.split(":")[0]
+        for c in read_schema.split("<", 1)[1].rsplit(">", 1)[0].split(",")
+    ) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
 @pytest.mark.parametrize("name", sorted(_batch_queries()))
 def test_no_cartesian_or_accidental_bnlj(spark, name):
     fn = _batch_queries()[name]
