@@ -837,6 +837,63 @@ def semi_structured_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hof_array_ops",
+    """
+    SELECT l_orderkey,
+           round(list_aggregate(list_sort(list(l_quantity)), 'sum'), 2) AS qty_sum,
+           round(list_max(list(l_quantity)), 2) AS qty_max,
+           CAST(len(list(l_quantity)) AS INT) AS n_items
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over collected arrays: aggregate (fold),
+    array_max, size — all JVM lambda expressions, no UDF. collect_list
+    is per-group bounded (order lines per order), never a global
+    collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("qs"))
+        .select(
+            "l_orderkey",
+            F.round(
+                F.aggregate("qs", F.lit(0.0), lambda acc, x: acc + x), 2
+            ).alias("qty_sum"),
+            F.round(F.array_max("qs"), 2).alias("qty_max"),
+            F.size("qs").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    WITH agg AS (SELECT l_returnflag,
+                        round(sum(l_quantity), 2)      AS qty,
+                        round(sum(l_extendedprice), 2) AS price
+                 FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, metric, value
+    FROM agg UNPIVOT (value FOR metric IN (qty, price))
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of per-flag aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 _SUBQUERY_SQL = """
     SELECT c_custkey, round(c_acctbal, 2) AS acctbal
     FROM customer c
