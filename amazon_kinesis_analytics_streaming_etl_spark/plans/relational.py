@@ -894,6 +894,37 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "map_roundtrip",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type coverage: build map<event_type, n> per user-bucket with
+    map_from_entries, then explode it back and re-aggregate — the
+    roundtrip must equal the plain GROUP BY (the oracle). Exercises map
+    construction, explode over maps, and map_keys/values pruning."""
+    e = _t(spark, sf_dir, "events")
+    per_bucket = (
+        e.groupBy((F.col("user_id") % 50).alias("bucket"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("bucket")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "cnt"))
+            ).alias("m")
+        )
+    )
+    return (
+        per_bucket.select(F.explode("m").alias("event_type", "cnt"))
+        .groupBy("event_type")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
 _SUBQUERY_SQL = """
     SELECT c_custkey, round(c_acctbal, 2) AS acctbal
     FROM customer c
