@@ -14,6 +14,8 @@ file sink, idempotent-key delivery for the others.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -23,6 +25,40 @@ from ..config import ConfigError, JobConfig, from_args_and_properties
 from ..operators.parse import split_corrupt
 from ..streaming import sinks as sk
 from ..streaming.sources import resolve_source
+
+
+class BatchLedger:
+    """Batch-id commit ledger for foreachBatch sinks (SURVEY.md §7).
+
+    Structured Streaming replays a micro-batch after failure with the
+    SAME batch_id. Idempotent-key sinks (ES upsert) absorb that for
+    free; append-style sinks (file, Kinesis, Kafka) would double-write.
+    The ledger records ``<sink>/<batch_id>`` markers AFTER each sink's
+    write succeeds; a replayed batch skips sinks already marked — the
+    same effectively-once recipe as the reference's idempotent doc id
+    (StreamingEtl.java:250-258), applied at batch granularity.
+
+    Markers are written atomically (tmp + rename). Driver-side only —
+    one tiny file per (sink, batch), no executor coordination. On object
+    stores, point the ledger at the checkpoint volume (same durability
+    domain as the offset log: a lost ledger + surviving offset log can't
+    disagree).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _marker(self, sink: str, batch_id: int) -> str:
+        return os.path.join(self.path, f"{sink}-{batch_id}")
+
+    def committed(self, sink: str, batch_id: int) -> bool:
+        return os.path.exists(self._marker(sink, batch_id))
+
+    def commit(self, sink: str, batch_id: int) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        os.close(fd)
+        os.rename(tmp, self._marker(sink, batch_id))
 
 
 def _sink_specs(cfg: JobConfig) -> list[tuple[str, Callable[[DataFrame], None]]]:
@@ -105,7 +141,9 @@ class Pipeline:
     def parsed(self) -> tuple[DataFrame, DataFrame]:
         return split_corrupt(self.source())
 
-    def _foreach_batch(self, specs) -> Callable[[DataFrame, int], None]:
+    def _foreach_batch(
+        self, specs, ledger: BatchLedger | None = None
+    ) -> Callable[[DataFrame, int], None]:
         def write_all(batch: DataFrame, batch_id: int) -> None:
             # One materialization shared by every sink (K8 single-read
             # semantics; the reference reads the source once and fans out,
@@ -114,8 +152,12 @@ class Pipeline:
             try:
                 errors: list[str] = []
                 for name, write in specs:
+                    if ledger is not None and ledger.committed(name, batch_id):
+                        continue  # replayed batch: this sink already landed
                     try:
                         write(batch)
+                        if ledger is not None:
+                            ledger.commit(name, batch_id)
                     except Exception as e:  # per-sink isolation
                         errors.append(f"{name}: {e}")
                 if errors:
@@ -137,10 +179,11 @@ class Pipeline:
         checkpoint = self.cfg.get("CheckpointLocation")
         if checkpoint is None:
             raise ConfigError("CheckpointLocation is required (exactly-once commit log)")
+        ledger = BatchLedger(os.path.join(checkpoint, "sink_ledger"))
 
-        writer = valid.writeStream.foreachBatch(self._foreach_batch(specs)).option(
-            "checkpointLocation", checkpoint
-        )
+        writer = valid.writeStream.foreachBatch(
+            self._foreach_batch(specs, ledger)
+        ).option("checkpointLocation", checkpoint)
         if available_now:
             writer = writer.trigger(availableNow=True)
         elif self.cfg.has("TriggerInterval"):

@@ -195,3 +195,46 @@ def test_config_properties_override_args():
     )
     assert cfg.get("InputKafkaTopic") == "from-props"
     assert cfg.get_bool("OutputDiscarding")
+
+
+def test_batch_ledger_skips_committed_sinks_on_replay(spark, tmp_dirs):
+    """Mid-batch crash simulation: sink A lands, sink B throws, the batch
+    is replayed with the same batch_id -> A must NOT double-write."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import BatchLedger
+
+    events = _events_df(spark, n=10)
+    writes: list[str] = []
+
+    def sink_a(batch):
+        writes.append("a")
+        sk.write_file_sink_batch(batch, tmp_dirs["out"], parquet=True)
+
+    fail_once = {"armed": True}
+
+    def sink_b(batch):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("transient sink outage")
+        writes.append("b")
+
+    pipe = Pipeline.from_config(
+        spark,
+        args=["--InputFilePath", "unused", "--OutputDiscarding", "true",
+              "--CheckpointLocation", tmp_dirs["ckpt"]],
+    )
+    ledger = BatchLedger(os.path.join(tmp_dirs["ckpt"], "sink_ledger"))
+    write_all = pipe._foreach_batch(
+        [("a", sink_a), ("b", sink_b)], ledger
+    )
+
+    try:
+        write_all(events, batch_id=7)  # b fails -> batch marked failed
+        raise AssertionError("expected sink failure to propagate")
+    except RuntimeError as e:
+        assert "transient sink outage" in str(e)
+    assert ledger.committed("a", 7) and not ledger.committed("b", 7)
+
+    write_all(events, batch_id=7)  # replay: a skipped, b retried
+    assert writes == ["a", "b"]
+    assert spark.read.parquet(tmp_dirs["out"]).count() == 10  # no duplicates
+    assert ledger.committed("b", 7)
