@@ -541,6 +541,41 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rank_family",
+    """
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey)  OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_totalprice, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS last_key
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (ntile / percent_rank /
+    cume_dist / first_value / last_value). The unbounded-following frame
+    for last_value is explicit — the default frame stops at CURRENT ROW,
+    a classic silent-wrong-answer trap in both engines."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
+
+
+@register(
     "topk_global",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
