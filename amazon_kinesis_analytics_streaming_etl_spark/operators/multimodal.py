@@ -139,6 +139,52 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    max_dim: int = 256,
+    resize: Callable[[bytes, int], tuple[bytes, int, int]] | None = None,
+) -> DataFrame:
+    """Resize each media payload so its longest side is ``max_dim``,
+    preserving aspect ratio — mapInPandas over Arrow batches, binary in /
+    binary out (the shape a thumbnailing or model-preprocessing stage
+    needs). The fake codec derives dimensions from the content digest and
+    'resizes' by passing bytes through; a PIL-backed ``resize(payload,
+    max_dim) -> (bytes, w, h)`` drops in without touching the plan."""
+
+    def fake(payload: bytes, cap: int) -> tuple[bytes, int, int]:
+        w, h, _ = DecodeBackend.deterministic_fake(payload)
+        scale = min(1.0, cap / max(w, h))
+        return payload, max(1, int(w * scale)), max(1, int(h * scale))
+
+    resize = resize or fake
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize(p if p is not None else b"", max_dim) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [o[0] for o in out],
+                    "width": [o[1] for o in out],
+                    "height": [o[2] for o in out],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling *plan*: one output row per sampled frame timestamp,
     derived from metadata duration (JVM-side sequence/explode — the decode

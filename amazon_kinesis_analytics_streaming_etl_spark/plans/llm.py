@@ -31,7 +31,12 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from ..operators.multimodal import decode_media, extract_features, synthetic_media
+from ..operators.multimodal import (
+    decode_media,
+    extract_features,
+    resize_media,
+    synthetic_media,
+)
 from ..operators.similarity import brute_force_topk, lsh_topk, topk_pairs_per_group
 from .relational import register
 
@@ -418,6 +423,21 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("content_digest").alias("n_distinct"),
         F.min("width").alias("min_w"),
         F.max("height").alias("max_h"),
+    )
+
+
+@register("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media -> resize_media (longest side capped, aspect kept,
+    fake codec) -> size distribution per kind. Binary-in/binary-out
+    mapInPandas plumbing for a thumbnailing/preprocessing stage."""
+    media = synthetic_media(spark, n=256)
+    resized = resize_media(media, max_dim=128)
+    return resized.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.max("width").alias("max_w"),
+        F.max("height").alias("max_h"),
+        F.sum(F.length("payload")).alias("total_bytes"),
     )
 
 

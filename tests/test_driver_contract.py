@@ -36,6 +36,7 @@ def test_every_query_has_callable_and_oracle_keys_align(contract):
         "sim_topk_lsh",
         "sim_topk_ivf",
         "multimodal_decode",
+        "multimodal_resize",
         "multimodal_features_topk",
     }
 

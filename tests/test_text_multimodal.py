@@ -101,3 +101,26 @@ def test_frame_sample_plan_counts(spark):
     for mid, n in counts.items():
         expected = max((max(durations[mid] - 1, 0)) // 1000 + 1, 1)
         assert n == expected
+
+
+def test_resize_media_caps_longest_side(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=24)
+    orig = {r["media_id"]: (r["width"], r["height"]) for r in decode_media(media).collect()}
+    rows = resize_media(media, max_dim=64).collect()
+    assert len(rows) == 24
+    for r in rows:
+        w, h = r["width"], r["height"]
+        assert max(w, h) <= 64 and min(w, h) >= 1
+        ow, oh = orig[r["media_id"]]
+        if max(ow, oh) <= 64:
+            assert (w, h) == (ow, oh)  # no upscaling
+        else:  # documented contract: floor-scale both sides by cap/longest
+            scale = 64 / max(ow, oh)
+            assert (w, h) == (max(1, int(ow * scale)), max(1, int(oh * scale)))
+        assert r["payload"] is not None
