@@ -173,22 +173,26 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     # Materialize signatures before the banding explode (module note).
     signatures = signatures.persist()
+    # Band hash = xxhash64 over the band's signature slots, statically
+    # unrolled with element_at — stays in numeric codegen (hashing a
+    # sliced-array-cast-to-string serializes per band; ~2x slower).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("signature", b * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
     banded = (
         signatures.where(F.col("signature").isNotNull())
-        .select(
-            "_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("string")
-                        ).alias("band_hash"),
-                    ),
-                )
-            ).alias("bh"),
-        )
+        .select("_id", F.explode(band_structs).alias("bh"))
         .select("_id", "bh.band", "bh.band_hash")
     )
     a, b = banded.alias("a"), banded.alias("b")
