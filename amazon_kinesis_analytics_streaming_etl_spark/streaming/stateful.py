@@ -54,6 +54,71 @@ def _running_totals_fn(
     )
 
 
+class _RunningTotalsProcessor:
+    """StatefulProcessor for the transformWithStateInPandas (state v2)
+    twin of running_totals_per_key: typed ValueState in the state store
+    (RocksDB-backed) instead of a single tuple row per key. v2 adds
+    composite state types (value/list/map), per-key timers, and initial-
+    state bootstrap — this processor is the engine's template for them.
+    Imported lazily: the base class only exists on Spark >= 4.0."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", _RUNNING_TOTALS_STATE)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def state_v2_available() -> bool:
+    """transformWithStateInPandas needs the RocksDB state store AND the
+    protobuf Python package (its driver-side runner speaks protobuf to
+    the JVM). Absent protobuf, the runner crashes at init."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_per_key_v2(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """State-v2 running totals via transformWithStateInPandas. Same
+    semantics as running_totals_per_key; requires the RocksDB state store
+    provider plus the protobuf package (``state_v2_available()``) — the
+    v1 applyInPandasWithState twin is the dependency-free default."""
+    if not state_v2_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(not present in this environment); use running_totals_per_key."
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "RunningTotalsProcessor", (_RunningTotalsProcessor, StatefulProcessor), {}
+    )
+    sel = stream.select(
+        stream[key_col].alias("user_id"), stream[value_col].alias("value")
+    )
+    return sel.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(),
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def running_totals_per_key(
     stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:

@@ -108,3 +108,31 @@ def test_embedding_lsh_blocking_collides_identical_vectors(spark):
     pairs = embedding_near_dup_pairs(df, block_col="_bucket", threshold=0.99).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 100000)}
     assert pairs[0].cos_sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_state_v2_gated_or_matches_v1(spark):
+    """transformWithStateInPandas (state v2): runs and matches the v1
+    operator where protobuf is available; otherwise raises the documented
+    NotImplementedError (this container lacks protobuf)."""
+    import pytest
+
+    from amazon_kinesis_analytics_streaming_etl_spark.schemas import load_events_stream
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.stateful import (
+        running_totals_per_key_v2,
+        state_v2_available,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.windows import (
+        replay_to_memory,
+    )
+    from tests.conftest import SF_SMOKE
+
+    stream = load_events_stream(spark, SF_SMOKE)
+    if not state_v2_available():
+        with pytest.raises(NotImplementedError):
+            running_totals_per_key_v2(stream)
+        return
+    out = replay_to_memory(
+        spark, running_totals_per_key_v2(stream), output_mode="append"
+    )
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert out.count() == batch.select("user_id").distinct().count()
