@@ -380,6 +380,73 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_collect_set",
+    """
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           CAST(len(list(DISTINCT l_linestatus)) AS INT) AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set aggregation into a sorted array (collect_set is
+    unordered by contract — always sort before comparing/storing)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
+    )
+
+
+@register(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(var_samp(l_discount), 8)                    AS disc_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covar_samp / var_samp) — single-pass
+    decomposable aggregates, map-side partials apply."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.var_samp("l_discount"), 8).alias("disc_var"),
+    )
+
+
+@register(
+    "scalar_intervals",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+           strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d')  AS plus_45d,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')          AS month_end
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    """,
+)
+def scalar_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar interval arithmetic: month-add (calendar-aware), day-add,
+    last-day-of-month."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3mo"),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 45), "yyyy-MM-dd").alias(
+            "plus_45d"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
 @register("agg_approx_distinct")  # no oracle: HLL estimates are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
