@@ -102,3 +102,40 @@ def test_bucketed_join_has_no_exchange(spark):
         for t in ("li_b", "o_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """session.py enables AQE skew-join handling; prove it engages: a
+    hot-key sort-merge join must show skew-split partitions in the final
+    adaptive plan (thresholds lowered to make a test-sized skew count)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 8, 7).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("data"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("dim-"), F.col("id")).alias("nm")
+        )
+        joined = fact.join(dim, "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
