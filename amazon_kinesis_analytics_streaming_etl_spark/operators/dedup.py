@@ -248,6 +248,59 @@ def minhash_near_dup_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets a
+    ``cluster_id`` = the min doc id reachable through dup edges — the
+    step that turns pairwise dedup output into keep-one-per-cluster.
+
+    Iterative min-label propagation (the Pregel/GraphX recipe in plain
+    DataFrames): each round, every node takes the min of its own label
+    and its neighbors'; converged when no label changes. Rounds needed =
+    graph diameter — dup clusters are short chains, so a handful. Each
+    round is one shuffle (groupBy id); ``localCheckpoint`` truncates the
+    growing lineage (without it, round N replans rounds 1..N-1). The
+    driver only coordinates the loop and reads a 1-row convergence
+    count — labels never leave the cluster.
+    """
+    F_ = F
+    fwd = pairs.select(F_.col(id_a).alias("u"), F_.col(id_b).alias("v"))
+    rev = pairs.select(F_.col(id_b).alias("u"), F_.col(id_a).alias("v"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (
+        edges.select(F_.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F_.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.u == labels.id).select(
+            F_.col("v").alias("id"), F_.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F_.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F_.col("n.comp") != F_.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F_.col("id").alias("doc_id"), F_.col("comp").alias("cluster_id"))
+
+
 # --- SimHash ----------------------------------------------------------------
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

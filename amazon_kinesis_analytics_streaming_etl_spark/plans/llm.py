@@ -25,6 +25,7 @@ from ..functions.text import (
     token_count,
 )
 from ..operators.dedup import (
+    dup_clusters,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_near_dup_pairs,
@@ -109,6 +110,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-shingle Jaccard >= 0.5 via inverted
     shingle index (no all-pairs compare; shuffle keyed by shingle hash)."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+
+
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
+               i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+    ),
+    inv AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        FROM inv a JOIN inv b ON md5(a.sh) = md5(b.sh) AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.id
+    )
+    SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> (doc_id, cluster_id):
+    the keep-one-per-cluster curation step. Spark side is iterative
+    min-label propagation (operators/dedup.py dup_clusters); the oracle
+    computes the same components with a recursive CTE."""
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+    return dup_clusters(pairs)
 
 
 @register("dedup_minhash_lsh")  # engine-specific hashes -> rows-only check

@@ -158,3 +158,19 @@ def test_lsh_topk_is_subset_of_bucket_and_finds_self(spark):
     exact_scores = {r.vec_id: r.cos_sim for r in exact}
     for r in got:
         assert r.cos_sim == pytest.approx(exact_scores[r.vec_id], abs=1e-6)
+
+
+def test_dup_clusters_connected_components(spark):
+    """Chain 1-2-3, triangle 10-11-12 (with redundant edge), pair 20-21:
+    every node labeled with its component's min id; diameter-3 chain
+    proves multi-round propagation."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
