@@ -58,6 +58,31 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+# --- deterministic sampling -------------------------------------------------
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Reproducible ~``fraction`` sample keyed on ``key_col``: keep rows
+    whose md5(key) 8-hex-digit prefix falls under the fraction threshold.
+
+    Unlike ``df.sample`` (seeded per-partition-layout, so results change
+    when partitioning changes) this is a pure row-level predicate —
+    stable across runs, engines, cluster sizes, and re-partitioning,
+    which is what training-data curation needs (the same doc is in or
+    out forever; ``salt`` rotates the cohort). Pushdown-friendly: it's
+    just a filter on a scalar expression.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = format(int(fraction * 0xFFFFFFFF), "08x")
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    return df.where(prefix < F.lit(threshold))
+
+
 # --- salting ----------------------------------------------------------------
 
 _DECOMPOSABLE = {"sum", "count", "min", "max"}

@@ -447,6 +447,32 @@ def scalar_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_sample",
+    """
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    GROUP BY lang
+    """,
+)
+def curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample (md5-prefix threshold — stable
+    across runs/engines/partitionings, unlike seeded df.sample) with
+    per-language stats; the curation primitive for held-out splits."""
+    from ..operators.scale import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(d, "doc_id", 0.1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 @register("agg_approx_distinct")  # no oracle: HLL estimates are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for

@@ -139,3 +139,22 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_deterministic_sample_stable_across_partitionings(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        deterministic_sample,
+    )
+
+    df = spark.range(20_000).select(F.col("id"))
+    a = set(r["id"] for r in deterministic_sample(df, "id", 0.2).collect())
+    b = set(
+        r["id"]
+        for r in deterministic_sample(df.repartition(17), "id", 0.2).collect()
+    )
+    assert a == b  # layout-independent
+    assert 0.17 < len(a) / 20_000 < 0.23  # ~fraction
+    c = set(r["id"] for r in deterministic_sample(df, "id", 0.2, salt="v2").collect())
+    assert c != a  # salt rotates the cohort
+    sub = set(r["id"] for r in deterministic_sample(df, "id", 0.1).collect())
+    assert sub <= a  # nested fractions -> nested cohorts
