@@ -113,6 +113,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_levenshtein",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup over short strings, blocked by first
+    character so the self-join is per-block, never all-pairs (the same
+    blocking discipline as the LSH families; for long strings use
+    shingle Jaccard instead — levenshtein is O(len^2) per pair)."""
+    from .relational import _t
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .where(F.col("dist") <= 3)
+    )
+
+
+@register(
     "dedup_clusters",
     """
     WITH RECURSIVE sh AS (

@@ -137,7 +137,7 @@ def bench_streaming_keepup(
     if len(batches) > 1:
         batches = batches[1:]
     if not batches:
-        return {"rows_per_sec_target": rows_per_sec, "keepup": False, "batches": 0}
+        return {"rows_per_sec_ingest": rows_per_sec, "keepup": False, "batches": 0}
     avg_batch_ms = sum(p["batchDuration"] for p in batches) / len(batches)
     processed = [
         p["processedRowsPerSecond"]
@@ -145,14 +145,18 @@ def bench_streaming_keepup(
         if p.get("processedRowsPerSecond")
     ]
     rate = round(sum(processed) / len(processed)) if processed else None
-    # keep-up = sustained processing rate >= ingest rate (BASELINE.md's
-    # millisBehindLatest≈0 analog); batch-duration alone is too noisy on
-    # a short run where catch-up batches exceed the trigger by design.
-    keepup = (rate is not None and rate >= rows_per_sec) or (
+    # keep-up = sustained processing rate >= BASELINE.md's criterion
+    # (>=16k rec/s, the reference's 16-shard ingest ceiling). The rate
+    # source deliberately ingests ABOVE that (headroom probe); batch
+    # duration alone is too noisy on a short run where catch-up batches
+    # exceed the trigger by design.
+    baseline = 16_000
+    keepup = (rate is not None and rate >= baseline) or (
         avg_batch_ms < trigger_sec * 1000
     )
     return {
-        "rows_per_sec_target": rows_per_sec,
+        "rows_per_sec_ingest": rows_per_sec,
+        "baseline_rec_per_sec": baseline,
         "trigger_ms": trigger_sec * 1000,
         "avg_batch_ms": round(avg_batch_ms),
         "processed_rows_per_sec": rate,
