@@ -920,6 +920,75 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "posexplode_tokens",
+    """
+    SELECT doc_id, pos, tok
+    FROM (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+          FROM documents)
+    WHERE pos <= 3
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: first three tokens of each document with
+    their 1-based positions (generator with ordinality)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .withColumn("pos", (F.col("pos") + 1).cast("int"))  # 1-based like SQL
+        .where(F.col("pos") <= 3)
+        .select("doc_id", "pos", "tok")
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events, round(sum(value), 2) AS session_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sess
+    GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): lag + cumulative-sum of
+    gap flags per user, 30-minute gap — the batch twin of
+    stream_session_windows, as a reusable aggregation (one window
+    shuffle on user_id, reused by both window passes and the final
+    grouping)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+    ).otherwise(0)
+    sess = e.withColumn("new_sess", gap).withColumn(
+        "session_idx", F.sum("new_sess").over(w_run).cast("long")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+@register(
     "filter_predicates",
     """
     SELECT o_orderkey, o_orderstatus, o_orderpriority
