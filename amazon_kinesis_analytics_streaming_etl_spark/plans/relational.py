@@ -1301,6 +1301,51 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TS_PATTERN = [0.5, 1.0, -0.3, 0.7, 0.1, -1.2, 0.9, 0.2]
+
+
+def _znorm_sql_literal() -> str:
+    from ..operators.timeseries import znormalize
+
+    return "[" + ", ".join(repr(v) for v in znormalize(_TS_PATTERN)) + "]"
+
+
+@register(
+    "ts_similarity_topk",
+    f"""
+    WITH series AS (
+      SELECT user_id,
+             list_reverse(list(value ORDER BY ts DESC, event_id DESC)[1:8]) AS s
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id HAVING count(*) >= 8
+    ), stats AS (
+      SELECT user_id, s,
+             list_aggregate(s, 'avg') AS mu,
+             sqrt(greatest(list_aggregate(list_transform(s, x -> x*x), 'avg')
+                           - list_aggregate(s, 'avg') ** 2, 1e-12)) AS sd
+      FROM series
+    )
+    SELECT user_id,
+           round(sqrt(list_aggregate(
+             list_transform(list_zip(s, {_znorm_sql_literal()}),
+               p -> ((p[1] - mu) / sd - p[2]) ** 2), 'sum')), 6) AS dist
+    FROM stats
+    ORDER BY dist, user_id
+    LIMIT 10
+    """,
+)
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (PAPERS.md EDBT 2019 motif): users
+    whose last-8 'view' values best match a query pattern under
+    z-normalized euclidean distance — entirely JVM array expressions
+    (operators/timeseries.py), one shuffle, TakeOrdered top-k. Both
+    engines consume literals generated from the same Python list."""
+    from ..operators.timeseries import znorm_series_topk
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    return znorm_series_topk(e, _TS_PATTERN, k=10)
+
+
 @register(
     "agg_pivot",
     """
