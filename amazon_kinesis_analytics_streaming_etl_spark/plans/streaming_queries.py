@@ -239,6 +239,44 @@ def stream_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_incremental_topk",
+    """
+    SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id,
+           round(value, 2) AS value
+    FROM (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rank
+          FROM events)
+    WHERE rank <= 10
+    """,
+)
+def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k as a custom stateful operator: per event_type
+    the state holds only the current top-10 (O(k), not the stream);
+    every micro-batch merges and re-emits the snapshot. The final
+    snapshot per key equals the batch window-rank oracle."""
+    from ..streaming.stateful import streaming_topk_per_key
+
+    from pyspark.sql import Window as W
+
+    plan = streaming_topk_per_key(_events_stream(spark, sf_dir), k=10)
+    out = replay_to_memory(spark, plan, output_mode="append")
+    # A multi-batch replay appends one snapshot per batch. The final
+    # top-k == re-ranking the DISTINCT union of all snapshots: any row a
+    # later batch displaced is outranked by the displacing rows, which
+    # the last snapshot necessarily emitted. (Deterministic, unlike
+    # picking "the last" rows from an unordered memory table.)
+    rw = W.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        out.select("event_type", "event_id", "value")
+        .distinct()
+        .withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= 10)
+        .select("event_type", "rank", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
     "stream_static_enrich",
     """
     SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -20,8 +20,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -51,6 +53,76 @@ def _running_totals_fn(
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+TOPK_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("rank", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_TOPK_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _topk_fn_factory(k: int):
+    def _topk_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ids, vals = state.get if state.exists else ([], [])
+        pool = list(zip(list(ids), list(vals)))
+        for pdf in pdfs:
+            pool.extend(zip(pdf["event_id"].tolist(), pdf["value"].tolist()))
+        # keep-k merge: (value desc, id asc) — deterministic under replay
+        pool.sort(key=lambda p: (-p[1], p[0]))
+        pool = pool[:k]
+        state.update(([p[0] for p in pool], [p[1] for p in pool]))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(pool),
+                "rank": list(range(1, len(pool) + 1)),
+                "event_id": [p[0] for p in pool],
+                "value": [p[1] for p in pool],
+            }
+        )
+
+    return _topk_fn
+
+
+def streaming_topk_per_key(
+    stream: DataFrame,
+    k: int = 10,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental top-k under appends (EDBT 2020 'incremental top-k'
+    motif, PAPERS.md): per-key state holds only the current top-k (ids +
+    values — O(k) state, not the stream); each micro-batch merges new
+    rows and re-emits the key's top-k snapshot. Deterministic tie-break
+    (value desc, id asc) makes replays idempotent. Batch twin for the
+    oracle: window row_number <= k."""
+    sel = stream.select(
+        stream[key_col].alias("event_type"),
+        stream[id_col].alias("event_id"),
+        stream[value_col].alias("value"),
+    )
+    return sel.groupBy("event_type").applyInPandasWithState(
+        _topk_fn_factory(k),
+        outputStructType=TOPK_OUTPUT,
+        stateStructType=_TOPK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from amazon_kinesis_analytics_streaming_etl_spark.schemas import TESTDATA_SCHEMAS
@@ -122,3 +123,46 @@ def test_stream_static_join_broadcasts(spark, tmp_path):
     joined = _stream(spark, p).join(F.broadcast(dim), "user_id")
     out = replay_to_memory(spark, joined, output_mode="append")
     assert {(r.user_id, r.seg) for r in out.collect()} == {(3, "SEG_A"), (4, "SEG_B")}
+
+
+def test_incremental_topk_state_across_batches(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1): the per-key top-3
+    state must merge across batches — the final snapshot holds the global
+    top-3 even though its members arrived in different batches, and
+    superseded snapshot rows re-rank below k."""
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.stateful import (
+        streaming_topk_per_key,
+    )
+
+    p = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1)
+    batches = [
+        [_ev(1, t0, value=5.0), _ev(2, t0, value=1.0)],
+        [_ev(3, t0, value=9.0), _ev(4, t0, value=0.5)],
+        [_ev(5, t0, value=7.0), _ev(6, t0, value=6.0)],
+    ]
+    os.makedirs(p)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, TESTDATA_SCHEMAS["events"])
+        df.coalesce(1).write.mode("overwrite").parquet(f"{p}/part{i}")
+
+    plan = streaming_topk_per_key(
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(p + "/part*"),
+        k=3,
+    )
+    out = replay_to_memory(spark, plan, output_mode="append")
+    assert out.count() >= 6  # snapshot per batch, cumulative
+    final = {
+        (r["rank"], r["event_id"], r["value"])
+        for r in out.select("event_id", "value").distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("value").desc(), "event_id")),
+        )
+        .where(F.col("rank") <= 3)
+        .collect()
+    }
+    assert final == {(1, 3, 9.0), (2, 5, 7.0), (3, 6, 6.0)}
