@@ -106,7 +106,12 @@ def file_sink_stream(events: DataFrame, path: str, checkpoint: str, parquet: boo
     (StreamingEtl.java:220-238 + cdk/lib/streaming-etl.ts:146-151)."""
     from ..operators.serialize import trip_event_to_json
 
-    partitioned = with_partition_columns(events)
+    # R1 (keyBy, StreamingEtl.java:110): co-locate each output partition on
+    # one task before partitionBy — otherwise every task writes a file into
+    # every partition dir each micro-batch (tasks x dirs tiny files).
+    partitioned = with_partition_columns(events).repartition(
+        *[F.col(c) for c in PARTITION_COLS]
+    )
     if parquet:
         writer = partitioned.writeStream.format("parquet")
     else:
