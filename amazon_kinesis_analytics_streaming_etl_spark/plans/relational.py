@@ -248,6 +248,48 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    """
+    SELECT c_custkey, c_name, coalesce(oc.n_orders, 0) AS n_orders
+    FROM (SELECT o_custkey, count(*) AS n_orders
+          FROM orders GROUP BY o_custkey) oc
+    RIGHT OUTER JOIN customer ON oc.o_custkey = c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer equi-join: every customer kept, order counts null-filled.
+    Catalyst rewrites to a left join with sides swapped; the pre-aggregated
+    side stays small enough to broadcast at any SF (bounded by custkey
+    cardinality after partial aggregation)."""
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    return oc.join(c, oc.o_custkey == c.c_custkey, "right_outer").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "join_cross",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two bounded dimensions. Plan:
+    BroadcastNestedLoopJoin — safe only because both sides are dimension
+    tables (|region| x |nation| rows); the engine never crosses facts."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
     "join_enrich_events",
     """
     SELECT r_name, c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
