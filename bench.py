@@ -39,6 +39,12 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "text_stats",
+    "text_langid",
+    "asof_join_events",
+    "time_bucket_rollup",
+    "sessionize_events",
+    "window_topk_per_group",
+    "curation_sample",
     "stream_tumbling_counts",
     "stream_static_enrich",
 ]

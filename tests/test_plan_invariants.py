@@ -14,9 +14,12 @@ from tests.conftest import SF_SMOKE
 
 # crossJoin against a 1-row aggregate (scalar threshold broadcast) is the
 # intended plan: a BroadcastNestedLoopJoin whose build side is one row.
+# join_cross is the explicit dimension-x-dimension cartesian (both sides
+# bounded dimension tables; |region| x |nation|).
 SCALAR_THRESHOLD_QUERIES = {
     "q11_important_stock",
     "q22_sales_opportunity",
+    "join_cross",
 }
 
 def _batch_queries():
