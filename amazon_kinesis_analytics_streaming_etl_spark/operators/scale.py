@@ -161,3 +161,32 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return left.join(right, on + ["_salt"], how).drop("_salt")
+
+
+# --- sorted layout (min/max data skipping) ----------------------------------
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: str | list[str],
+    n_files: int = 32,
+) -> None:
+    """Rewrite a dataset range-partitioned + sorted on ``sort_cols`` so
+    every output file covers a disjoint key range.
+
+    The scale play: parquet footers carry per-column min/max; a range
+    predicate on the sort key then skips whole files/row-groups at scan
+    time (Spark's vectorized reader prunes row groups from footer stats,
+    and any engine reading the same files gets the benefit). On an
+    unsorted layout every file spans the full key range and nothing can
+    be skipped. ``repartitionByRange`` samples split points — one shuffle,
+    no driver collect; ``sortWithinPartitions`` keeps row groups locally
+    ordered so intra-file skipping works too.
+    """
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

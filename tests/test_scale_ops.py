@@ -158,3 +158,59 @@ def test_deterministic_sample_stable_across_partitionings(spark):
     assert c != a  # salt rotates the cohort
     sub = set(r["id"] for r in deterministic_sample(df, "id", 0.1).collect())
     assert sub <= a  # nested fractions -> nested cohorts
+
+
+def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
+    """write_range_sorted must produce files with pairwise-disjoint
+    sort-key ranges (parquet footer min/max), so a narrow range predicate
+    overlaps only a sliver of the files; an unsorted write of the same
+    rows leaves (nearly) every file overlapping the predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        write_range_sorted,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    sorted_dir = str(tmp_path / "sorted")
+    plain_dir = str(tmp_path / "plain")
+    write_range_sorted(li, sorted_dir, "l_shipdate", n_files=8)
+    li.repartition(8).write.parquet(plain_dir)
+
+    def ranges(d):
+        out = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.read_metadata(f)
+            col_idx = md.schema.names.index("l_shipdate")
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return sorted(out)
+
+    rs = ranges(sorted_dir)
+    assert len(rs) >= 4
+    # disjoint (boundary touch allowed): each file's min >= previous max
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(rs, rs[1:]):
+        assert lo_b >= hi_a, f"overlapping file ranges: {hi_a} vs {lo_b}"
+
+    # a predicate spanning ~1/8 of the keyspace touches few sorted files
+    # but every unsorted one
+    lo_all, hi_all = rs[0][0], rs[-1][1]
+    span = hi_all - lo_all
+    q_lo, q_hi = lo_all + span * 0.4, lo_all + span * 0.5
+
+    def overlapping(d):
+        return sum(1 for lo, hi in ranges(d) if not (hi < q_lo or lo > q_hi))
+
+    assert overlapping(sorted_dir) <= 2
+    assert overlapping(plain_dir) >= 7
+
+    # and the rows themselves are intact
+    assert spark.read.parquet(sorted_dir).count() == li.count()
