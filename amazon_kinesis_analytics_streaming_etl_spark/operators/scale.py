@@ -20,7 +20,7 @@ what AQE gives automatically:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # --- bucketing --------------------------------------------------------------
@@ -189,4 +189,56 @@ def write_range_sorted(
         .sortWithinPartitions(*cols)
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+# --- distributed global rank ------------------------------------------------
+
+def global_rank(
+    df: DataFrame,
+    order_cols: str | list[str],
+    rank_col: str = "rank",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY ...)`` without the
+    single-partition window.
+
+    A bare ``Window.orderBy`` collapses the whole dataset onto ONE task —
+    the canonical 100 TB failure. Instead: range-partition on the order
+    key (sampled split points, one shuffle), rank locally per partition,
+    then add each partition's cumulative predecessor count (a tiny
+    per-partition aggregate, broadcast back). Ranks are exact and total
+    provided ``order_cols`` ends in a tie-breaking unique key (same
+    requirement a deterministic SQL row_number has).
+    """
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    part = df.repartitionByRange(n_parts, *[F.col(c) for c in cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_lrank",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+    )
+    # offsets: rows in all preceding range partitions. n_parts rows total —
+    # the single-partition window here is over a dimension-sized frame.
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_lrank") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_lrank", "_offset")
     )

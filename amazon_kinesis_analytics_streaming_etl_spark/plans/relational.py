@@ -1409,3 +1409,37 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@register(
+    "global_rank_sampled",
+    """
+    SELECT rank, l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+    FROM (SELECT l_orderkey, l_linenumber, l_shipdate,
+                 row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+                                             l_linenumber) AS rank
+          FROM lineitem)
+    WHERE rank % 1000 = 0
+    """,
+)
+def global_rank_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global row_number (operators/scale.py:global_rank):
+    range-partition on the order key, rank locally, offset by cumulative
+    partition counts — exact total rank with NO single-partition window
+    (the oracle's OVER (ORDER BY ...) collapses to one task; this doesn't).
+    Every 1000th rank is kept to bound the comparison set while forcing
+    the full ranking to be computed."""
+    from ..operators.scale import global_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    ranked = global_rank(
+        li.select("l_orderkey", "l_linenumber", "l_shipdate"),
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+    )
+    return ranked.where(F.col("rank") % 1000 == 0).select(
+        "rank",
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate"),
+    )

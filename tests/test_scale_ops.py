@@ -214,3 +214,29 @@ def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
 
     # and the rows themselves are intact
     assert spark.read.parquet(sorted_dir).count() == li.count()
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """global_rank (range-partition + local rank + offsets) must equal the
+    single-partition-window row_number for every row, including keys that
+    straddle range-partition boundaries."""
+    from pyspark.sql import Window
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        global_rank,
+    )
+
+    df = spark.range(5_000).select(
+        F.pmod(F.col("id") * 7919, F.lit(1000)).alias("k"), F.col("id")
+    )
+    got = {
+        (r.k, r.id): r.rank
+        for r in global_rank(df, ["k", "id"], n_parts=7).collect()
+    }
+    want = {
+        (r.k, r.id): r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("k", "id"))
+        ).collect()
+    }
+    assert got == want
