@@ -189,8 +189,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _enable_nanos_as_long(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ns -> us MUST be exact integer division: (ts / 1000).cast('long')
+    # promotes int64 nanos (~1.7e18 > 2^53) to double first, which loses
+    # 1us on ~1.5% of values and silently diverges from the DuckDB oracle.
     return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     ).select([f.name for f in TESTDATA_SCHEMAS["events"].fields])
 
 
@@ -205,8 +208,9 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events.*")
     )
+    # exact integer division — see load_events for why not `/ 1000`.
     return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     ).select([f.name for f in TESTDATA_SCHEMAS["events"].fields])
 
 

@@ -68,3 +68,26 @@ def test_convert_to_parquet_enables_partition_pruning(spark, tmp_path):
     n_f = pruned.count()
     total = spark.read.parquet(p).count()
     assert 0 < n_f < total
+
+
+def test_load_events_ts_exact_microseconds_vs_duckdb(spark):
+    """ns->us conversion must be exact integer division: the double-division
+    form ((ts/1000).cast('long')) silently loses 1us on ~1.5% of values
+    because int64 nanos exceed 2^53 (ADVICE r1)."""
+    import duckdb
+
+    from amazon_kinesis_analytics_streaming_etl_spark.schemas import load_events
+
+    ev = load_events(spark, SF_SMOKE)
+    got = {
+        r.event_id: r.us
+        for r in ev.select(
+            "event_id", F.unix_micros(F.col("ts")).alias("us")
+        ).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"SELECT event_id, epoch_us(ts) FROM '{SF_SMOKE}/events.parquet'"
+        ).fetchall()
+    )
+    assert got == want
