@@ -426,18 +426,20 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     """
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            CAST(len(list(DISTINCT l_linestatus)) AS INT) AS n_statuses
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-set aggregation into a sorted array (collect_set is
-    unordered by contract — always sort before comparing/storing)."""
+    """Distinct-set aggregation (collect_set is unordered by contract —
+    always sort before comparing/storing). The driver-facing projection is
+    array-free (sorted CSV string): the gate's pandas canonicalizer cannot
+    sort/hash list cells (r1 harness crash)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
         F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
     )
 
@@ -515,16 +517,28 @@ def curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # no oracle: HLL estimates are engine-specific
+@register(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
-    distinct counts (no per-key state explosion). Estimate is
-    engine-specific, so checked rows-only; the exact twin is
-    agg_count_distinct."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    distinct counts (no per-key state explosion). The raw HLL estimate is
+    engine-specific, so the driver-facing projection emits the exact
+    count plus a ``within_5pct`` quality bit; the oracle asserts TRUE, so
+    the estimate's accuracy is part of the hash-compared gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = F.count_distinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
+    return li.groupBy("l_returnflag").agg(
+        exact.alias("exact_parts"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("within_5pct"),
     )
 
 

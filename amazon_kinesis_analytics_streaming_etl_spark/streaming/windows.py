@@ -131,7 +131,10 @@ def stream_stream_interval_join(
 
 
 def replay_to_memory(
-    spark: SparkSession, plan: DataFrame, output_mode: str = "append"
+    spark: SparkSession,
+    plan: DataFrame,
+    output_mode: str = "append",
+    shuffle_partitions: int = 4,
 ) -> DataFrame:
     """Run a bounded streaming plan to completion (availableNow) into an
     in-memory table; return the result as a batch DataFrame.
@@ -139,16 +142,27 @@ def replay_to_memory(
     Deterministic: drains everything available, then stops. This is the
     bridge that lets streaming operators be checked against a batch SQL
     oracle.
+
+    ``shuffle_partitions`` is applied only while the replay runs: each
+    stateful operator materializes one state store per shuffle partition
+    per micro-batch, so a small bounded replay at the session default
+    (32+) pays ~10x state-store bookkeeping for no parallelism gain.
+    Production streams size this to the cluster, not to the replay.
     """
     name = "mem_" + uuid.uuid4().hex[:12]
-    q = (
-        plan.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            plan.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -29,7 +29,6 @@ def test_every_query_has_callable_and_oracle_keys_align(contract):
     assert set(oracles) <= set(qs)
     # the no-oracle set is exactly the engine-specific/approximate ops
     assert set(qs) - set(oracles) == {
-        "agg_approx_distinct",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_lsh",
