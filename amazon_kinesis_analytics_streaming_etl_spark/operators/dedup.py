@@ -393,24 +393,48 @@ def simhash_near_dup_pairs(
 
 # --- embedding near-dup -----------------------------------------------------
 
+def _auto_sign_block(vec, n_bits: int = 8):
+    """Axis-aligned sign-bit LSH bucket: bit i = sign of component i,
+    packed into a long. Dimension-agnostic (components beyond the vector
+    length contribute 0) and fully JVM-side — the automatic blocking
+    fallback for an unblocked near-dup self-join."""
+    sig = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bit = (
+            F.when(F.element_at(vec, i + 1) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        sig = sig + bit * F.lit(int(2**i)).cast("long")
+    return sig
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = None,
     threshold: float = 0.9,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Pairs of near-identical embeddings by cosine similarity.
 
     ``block_col`` (e.g. a cluster/label/LSH-bucket column) bounds the
-    self-join: pairs are only formed within a block. At 100 TB you never
-    run this unblocked — use ``functions.vectors.sign_bits`` to derive a
-    blocking column first.
+    self-join: pairs are only formed within a block. At 100 TB an
+    unblocked self-join is quadratic, so when ``block_col`` is omitted an
+    axis-aligned sign-bit LSH bucket is derived automatically (near-dups
+    whose components straddle zero can land in different buckets — supply
+    a multi-probe block such as ``functions.vectors.sign_bits`` when
+    recall matters). The true all-pairs form requires the explicit
+    ``allow_all_pairs=True`` opt-in.
     """
     cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("_blk"))
     base = df.select(*cols)
+    if block_col is None and not allow_all_pairs:
+        base = base.withColumn("_blk", _auto_sign_block(F.col("_v")))
+        block_col = "_blk"
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     if block_col is not None:

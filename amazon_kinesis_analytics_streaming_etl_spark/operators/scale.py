@@ -152,8 +152,19 @@ def salted_join(
 
     Left rows get a deterministic salt in [0, n_salts); the right side is
     exploded once per salt value; joining on (key, salt) spreads each hot
-    key over n_salts reducers. Semantically identical to the plain join.
+    key over n_salts reducers. Semantically identical to the plain join
+    for left-preserving joins only: because the right side is replicated,
+    ``right``/``full`` would emit n_salts null-extended copies of every
+    unmatched right row, so those hows are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins {sorted(allowed)}; "
+            f"got how={how!r} (the replicated right side would duplicate "
+            "unmatched right rows)"
+        )
     on = [on] if isinstance(on, str) else list(on)
     salt_l = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     left = skewed.withColumn("_salt", salt_l)

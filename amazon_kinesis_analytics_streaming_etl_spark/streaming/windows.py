@@ -88,10 +88,16 @@ def session_window_agg(
 def streaming_dedup(
     events: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:
-    """Stateful exactly-once-per-key dedup with bounded state: the
-    watermark expires old keys (generalizes K4's idempotent doc id,
-    StreamingEtl.java:250-258, to arbitrary keys)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols + [ts_col])
+    """Stateful once-per-key dedup with bounded state (generalizes K4's
+    idempotent doc id, StreamingEtl.java:250-258, to arbitrary keys):
+    duplicates of a key are suppressed for as long as the watermark delay
+    keeps the key in state, regardless of their event time —
+    ``dropDuplicatesWithinWatermark`` keys state on ``key_cols`` alone,
+    unlike ``dropDuplicates(key + ts)`` which would let the same key
+    through once per distinct event time."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def stream_static_join(

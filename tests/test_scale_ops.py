@@ -240,3 +240,12 @@ def test_global_rank_matches_single_partition_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_salted_join_rejects_right_preserving_hows(spark, skewed_df):
+    import pytest as _pt
+
+    dim = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("nm"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pt.raises(ValueError, match="left-preserving"):
+            salted_join(skewed_df, dim, "k", how=how)

@@ -166,3 +166,19 @@ def test_incremental_topk_state_across_batches(spark, tmp_path):
         .collect()
     }
     assert final == {(1, 3, 9.0), (2, 5, 7.0), (3, 6, 6.0)}
+
+
+def test_streaming_dedup_same_key_different_event_times(spark, tmp_path):
+    """Per-key dedup must suppress a redelivery that carries a DIFFERENT
+    event time (ADVICE r1: dropDuplicates(key+ts) let these through)."""
+    p = str(tmp_path / "ev_dedup2")
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        _ev(1, t0),
+        _ev(1, t0 + dt.timedelta(minutes=5)),  # same key, later event time
+        _ev(2, t0 + dt.timedelta(minutes=1)),
+    ]
+    _write_events(spark, p, rows)
+    plan = streaming_dedup(_stream(spark, p), key_cols=["event_id"], watermark="1 hour")
+    out = replay_to_memory(spark, plan, output_mode="append")
+    assert out.count() == 2
