@@ -18,10 +18,11 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     STOPWORDS,
     bpe_token_count,
-    detect_language,
+    detect_language_from_tokens,
     fingerprint_md5,
+    lower_tokens,
     punct_ratio,
-    quality_score,
+    quality_score_from_tokens,
     token_count,
 )
 from ..operators.dedup import (
@@ -369,11 +370,15 @@ def _langid_oracle() -> str:
 
 @register("text_langid", _langid_oracle())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-scoring language ID over the corpus (n-gram heuristic)."""
-    d = _docs(spark, sf_dir)
-    return d.groupBy(detect_language(F.col("text")).alias("detected_lang")).agg(
-        F.count("*").alias("n")
-    )
+    """Stopword-scoring language ID over the corpus (n-gram heuristic).
+
+    Tokenizes once per row (``lower_tokens`` materialized via withColumn;
+    CollapseProject keeps non-cheap multi-referenced expressions in their
+    own project) and scores all four languages off the shared array."""
+    d = _docs(spark, sf_dir).withColumn("_toks", lower_tokens(F.col("text")))
+    return d.groupBy(
+        detect_language_from_tokens(F.col("_toks")).alias("detected_lang")
+    ).agg(F.count("*").alias("n"))
 
 
 @register(
@@ -418,10 +423,13 @@ def _quality_oracle() -> str:
 
 @register("text_quality", _quality_oracle())
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score (length/stopword/punctuation mix)."""
-    d = _docs(spark, sf_dir)
+    """Heuristic quality score (length/stopword/punctuation mix);
+    tokenizes once per row via the shared ``lower_tokens`` array."""
+    d = _docs(spark, sf_dir).withColumn("_toks", lower_tokens(F.col("text")))
     return d.groupBy("lang").agg(
-        F.round(F.avg(quality_score(F.col("text"))), 4).alias("avg_quality"),
+        F.round(
+            F.avg(quality_score_from_tokens(F.col("text"), F.col("_toks"))), 4
+        ).alias("avg_quality"),
         F.count("*").alias("n"),
     )
 
