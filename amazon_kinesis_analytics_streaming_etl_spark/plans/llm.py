@@ -537,3 +537,21 @@ def multimodal_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         feats, [float(x) for x in qrow], k=5, vec_col="features", id_col="media_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Avro interop (the reference's native record format, TripEvent.avsc:1-93)
+# --------------------------------------------------------------------------
+
+@register(
+    "avro_roundtrip_events",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def avro_roundtrip_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> raw Avro binary (timestamp-micros logical, nullable-union
+    props) -> decoded events. Identity by construction; the oracle
+    hash-check proves the binary codec is lossless field-for-field."""
+    from ..operators.avro_interop import avro_roundtrip_events
+    from ..schemas import load_events
+
+    return avro_roundtrip_events(load_events(spark, sf_dir))
