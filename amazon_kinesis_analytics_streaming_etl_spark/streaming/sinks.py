@@ -134,16 +134,20 @@ def es_upsert_batch(
     endpoint: str,
     transport: Callable[[str, str, str], None] | None = None,
     bulk_max_actions: int = 1000,
+    region: str | None = None,
 ) -> None:
     """K4 — keyed upsert: index = event ``type``, doc id = ``trip_id``;
     re-delivery overwrites, so at-least-once + deterministic id =
     effectively-once (StreamingEtl.java:250-258).
 
-    ``transport(index, doc_id, json_body)`` abstracts the HTTP layer: the
-    real deployment passes an opensearch-py/SigV4 client wrapper
-    (reference signs with SigV4, AmazonElasticsearchSink.java:70-104);
-    tests pass an in-memory dict writer. Executed per-partition on
-    executors — no driver collect.
+    ``transport(index, doc_id, json_body)`` abstracts the HTTP layer;
+    tests pass an in-memory dict writer. When ``transport`` is None the
+    production path is used: a SigV4-signed ``_bulk`` transport
+    (streaming/es_transport.py, mirroring the reference's SigV4
+    interceptor + bulk processor, AmazonElasticsearchSink.java:70-104),
+    built lazily on each executor partition so credentials resolve
+    there. A transport with a ``flush`` method is flushed at partition
+    end. Executed per-partition on executors — no driver collect.
     """
     from ..operators.serialize import trip_event_to_json
 
@@ -152,23 +156,26 @@ def es_upsert_batch(
         F.col("trip_id").cast("string").alias("_id"),
         F.col("value"),
     )
-    if transport is None:
-        raise NotImplementedError(
-            "No ES/OpenSearch client in this environment; pass `transport` "
-            "(index, doc_id, body) -> None. Production: opensearch-py bulk "
-            "helper with SigV4 auth against " + endpoint
-        )
+    if transport is None and region is None:
+        raise ValueError("production SigV4 transport needs `region`")
 
-    def _send_partition(rows):
+    def _send_partition(rows, _transport=transport):
+        if _transport is None:
+            from .es_transport import make_sigv4_transport
+
+            _transport = make_sigv4_transport(
+                endpoint, region, max_actions=bulk_max_actions
+            )
         batch = []
         for row in rows:
             batch.append((row["_index"], row["_id"], row["value"]))
             if len(batch) >= bulk_max_actions:
                 for ix, id_, body in batch:
-                    transport(ix, id_, body)
+                    _transport(ix, id_, body)
                 batch.clear()
         for ix, id_, body in batch:
-            transport(ix, id_, body)
+            _transport(ix, id_, body)
+        getattr(_transport, "flush", lambda: None)()
 
     payload.foreachPartition(_send_partition)
 
