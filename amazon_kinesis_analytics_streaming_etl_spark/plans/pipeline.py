@@ -38,6 +38,21 @@ class BatchLedger:
     same effectively-once recipe as the reference's idempotent doc id
     (StreamingEtl.java:250-258), applied at batch granularity.
 
+    Delivery guarantees per sink class:
+
+    - **File**: truly exactly-once — the write itself is a staged,
+      resumable publish (``write_file_sink_batch_idempotent``), so even
+      a crash between a completed write and the ledger commit replays
+      without duplicates (the staged marker survives the crash).
+    - **ES**: effectively-once via deterministic doc ids (re-upsert
+      overwrites).
+    - **Kinesis/Kafka (append, no keys)**: at-least-once — a crash in
+      the write→commit window replays and double-sends. This matches
+      the reference, whose Kinesis/Kafka producers are also
+      at-least-once across checkpoint recovery; consumers needing
+      exactly-once must dedup on trip_id downstream (or, for Kafka, a
+      transactional producer would be the upgrade path).
+
     Markers are written atomically (tmp + rename). Driver-side only —
     one tiny file per (sink, batch), no executor coordination. On object
     stores, point the ledger at the checkpoint volume (same durability
@@ -70,8 +85,11 @@ def _sink_specs(cfg: JobConfig) -> list[tuple[str, Callable[[DataFrame], None]]]
         parquet = cfg.get_bool("ParquetConversion", default=False)  # code default, StreamingEtl.java:219
         path = sk.job_start_prefix(cfg.get_required("OutputBucket"), cfg.get("OutputPrefix", ""))
 
-        def _file(batch: DataFrame, path=path, parquet=parquet) -> None:
-            sk.write_file_sink_batch(batch, path, parquet=parquet)
+        def _file(batch: DataFrame, batch_id: int, path=path, parquet=parquet):
+            # staged publish; returns post-ledger-commit cleanup
+            return sk.write_file_sink_batch_idempotent(
+                batch, path, batch_id, parquet=parquet
+            )
 
         specs.append(("file", _file))
 
@@ -144,6 +162,14 @@ class Pipeline:
     def _foreach_batch(
         self, specs, ledger: BatchLedger | None = None
     ) -> Callable[[DataFrame, int], None]:
+        def _call(write, batch: DataFrame, batch_id: int):
+            # sink writers take (batch) or (batch, batch_id); the latter
+            # may return a post-commit cleanup callable (staged publish)
+            import inspect
+
+            n_params = len(inspect.signature(write).parameters)
+            return write(batch, batch_id) if n_params >= 2 else write(batch)
+
         def write_all(batch: DataFrame, batch_id: int) -> None:
             # One materialization shared by every sink (K8 single-read
             # semantics; the reference reads the source once and fans out,
@@ -155,9 +181,11 @@ class Pipeline:
                     if ledger is not None and ledger.committed(name, batch_id):
                         continue  # replayed batch: this sink already landed
                     try:
-                        write(batch)
+                        on_committed = _call(write, batch, batch_id)
                         if ledger is not None:
                             ledger.commit(name, batch_id)
+                        if callable(on_committed):
+                            on_committed()  # e.g. drop the staging dir
                     except Exception as e:  # per-sink isolation
                         errors.append(f"{name}: {e}")
                 if errors:

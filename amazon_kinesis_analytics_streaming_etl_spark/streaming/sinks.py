@@ -99,6 +99,73 @@ def write_file_sink_batch(events: DataFrame, path: str, parquet: bool = True) ->
         )
 
 
+def _hadoop_fs(df: DataFrame, path: str):
+    """Hadoop FileSystem handle for ``path`` via the JVM gateway — the
+    storage-agnostic rename/exists/delete primitives (local, HDFS, s3a)
+    that Spark's own committers are built on."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs
+
+
+def write_file_sink_batch_idempotent(
+    events: DataFrame, path: str, batch_id: int, parquet: bool = True
+) -> Callable[[], None]:
+    """Crash-safe file-sink batch write: staging + resumable publish (X1
+    hardening).
+
+    The plain append write has a duplicate window: a driver crash after
+    the write returns but before the batch ledger commits replays the
+    whole micro-batch and double-writes. This variant closes it:
+
+    1. **Stage** the batch under ``{path}/_staging/batch-<id>`` —
+       underscore-prefixed, so Spark/Hive readers never see it. An
+       incomplete staging (no ``_STAGED`` marker) from a crashed attempt
+       is discarded and rewritten.
+    2. **Mark** staging complete (``_STAGED``).
+    3. **Publish**: rename each staged part file into its final
+       partition dir. Renames are one-way moves, so a crash mid-publish
+       resumes on replay — already-moved files are gone from staging,
+       the rest still move exactly once. A replay that finds ``_STAGED``
+       never rewrites.
+    4. Return a cleanup callable the caller runs **after** its ledger
+       commit (staging must outlive the commit: an empty-but-marked
+       staging dir is how a replay knows publish already happened).
+
+    Every step uses the Hadoop FileSystem API, so the protocol holds on
+    HDFS and local disk; on S3A rename is copy+delete (not atomic) but
+    the resume logic only needs it to be one-way, which it is.
+    """
+    staging = f"{path.rstrip('/')}/_staging/batch-{batch_id}"
+    jvm, fs = _hadoop_fs(events, path)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    staged_marker = HPath(staging + "/_STAGED")
+
+    if not fs.exists(staged_marker):
+        fs.delete(HPath(staging), True)  # discard incomplete prior attempt
+        write_file_sink_batch(events, staging, parquet=parquet)
+        fs.createNewFile(staged_marker)
+
+    # publish: move data files (skip _SUCCESS/_STAGED/dot-files) into place
+    staging_uri = fs.makeQualified(HPath(staging)).toUri().getPath()
+    it = fs.listFiles(HPath(staging), True)
+    while it.hasNext():
+        f = it.next().getPath()
+        if f.getName().startswith(("_", ".")):
+            continue
+        rel = fs.makeQualified(f).toUri().getPath()[len(staging_uri) + 1 :]
+        dest = HPath(f"{path.rstrip('/')}/{rel}")
+        fs.mkdirs(dest.getParent())
+        fs.rename(f, dest)
+
+    def cleanup() -> None:
+        fs.delete(HPath(staging), True)
+
+    return cleanup
+
+
 def file_sink_stream(events: DataFrame, path: str, checkpoint: str, parquet: bool = True):
     """Streaming file sink with exactly-once commit (X1): offset log +
     ``_spark_metadata`` manifest per micro-batch — the Spark analog of the
