@@ -84,11 +84,15 @@ def _sink_specs(cfg: JobConfig) -> list[tuple[str, Callable[[DataFrame], None]]]
     if cfg.has("OutputBucket"):
         parquet = cfg.get_bool("ParquetConversion", default=False)  # code default, StreamingEtl.java:219
         path = sk.job_start_prefix(cfg.get_required("OutputBucket"), cfg.get("OutputPrefix", ""))
+        # rolling-policy size cap analog (DefaultRollingPolicy 128 MB,
+        # StreamingEtl.java:237); records, since Spark caps by row count
+        max_rpf = cfg.get("OutputMaxRecordsPerFile")
+        max_rpf = int(max_rpf) if max_rpf is not None else None
 
-        def _file(batch: DataFrame, batch_id: int, path=path, parquet=parquet):
+        def _file(batch: DataFrame, batch_id: int, path=path, parquet=parquet, max_rpf=max_rpf):
             # staged publish; returns post-ledger-commit cleanup
             return sk.write_file_sink_batch_idempotent(
-                batch, path, batch_id, parquet=parquet
+                batch, path, batch_id, parquet=parquet, max_records_per_file=max_rpf
             )
 
         specs.append(("file", _file))

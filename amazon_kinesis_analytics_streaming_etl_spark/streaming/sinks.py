@@ -64,7 +64,12 @@ def job_start_prefix(base: str, prefix: str = "", job_start_millis: int | None =
 
 # --- K1/K2: file sink -------------------------------------------------------
 
-def write_file_sink_batch(events: DataFrame, path: str, parquet: bool = True) -> None:
+def write_file_sink_batch(
+    events: DataFrame,
+    path: str,
+    parquet: bool = True,
+    max_records_per_file: int | None = None,
+) -> None:
     """Batch-mode file sink (used inside foreachBatch and for tests).
 
     Parquet mode writes columnar files (K1); row mode writes the P3 JSON
@@ -77,6 +82,14 @@ def write_file_sink_batch(events: DataFrame, path: str, parquet: bool = True) ->
     partition dir (tasks x dirs tiny files); with it each dir is written
     by one task — file count == partition count, and downstream scans
     stay pruned and unfragmented.
+
+    ``max_records_per_file`` is the rolling-policy analog of the
+    reference's ``DefaultRollingPolicy`` (128 MB part-size cap,
+    StreamingEtl.java:237): Spark's ``maxRecordsPerFile`` splits a
+    partition-dir's output into multiple files once a writer task passes
+    the cap. Pick it as ``target_bytes / avg_row_bytes`` (time-based
+    rolls are inherent — files close at every micro-batch boundary).
+    None = one file per dir per batch.
     """
     from ..operators.serialize import trip_event_to_json
 
@@ -84,19 +97,20 @@ def write_file_sink_batch(events: DataFrame, path: str, parquet: bool = True) ->
         *[F.col(c) for c in PARTITION_COLS]
     )
     if parquet:
-        (
-            partitioned.write.mode("append")
-            .partitionBy(*PARTITION_COLS)
-            .parquet(path)
-        )
+        writer = partitioned.write.mode("append")
     else:
-        (
+        writer = (
             trip_event_to_json(partitioned)
             .select("value", *PARTITION_COLS)
             .write.mode("append")
-            .partitionBy(*PARTITION_COLS)
-            .text(path)
         )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer = writer.partitionBy(*PARTITION_COLS)
+    if parquet:
+        writer.parquet(path)
+    else:
+        writer.text(path)
 
 
 def _hadoop_fs(df: DataFrame, path: str):
@@ -111,7 +125,11 @@ def _hadoop_fs(df: DataFrame, path: str):
 
 
 def write_file_sink_batch_idempotent(
-    events: DataFrame, path: str, batch_id: int, parquet: bool = True
+    events: DataFrame,
+    path: str,
+    batch_id: int,
+    parquet: bool = True,
+    max_records_per_file: int | None = None,
 ) -> Callable[[], None]:
     """Crash-safe file-sink batch write: staging + resumable publish (X1
     hardening).
@@ -145,7 +163,9 @@ def write_file_sink_batch_idempotent(
 
     if not fs.exists(staged_marker):
         fs.delete(HPath(staging), True)  # discard incomplete prior attempt
-        write_file_sink_batch(events, staging, parquet=parquet)
+        write_file_sink_batch(
+            events, staging, parquet=parquet, max_records_per_file=max_records_per_file
+        )
         fs.createNewFile(staged_marker)
 
     # publish: move data files (skip _SUCCESS/_STAGED/dot-files) into place
@@ -166,11 +186,19 @@ def write_file_sink_batch_idempotent(
     return cleanup
 
 
-def file_sink_stream(events: DataFrame, path: str, checkpoint: str, parquet: bool = True):
+def file_sink_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    parquet: bool = True,
+    max_records_per_file: int | None = None,
+):
     """Streaming file sink with exactly-once commit (X1): offset log +
     ``_spark_metadata`` manifest per micro-batch — the Spark analog of the
     reference's checkpoint-committed part files
-    (StreamingEtl.java:220-238 + cdk/lib/streaming-etl.ts:146-151)."""
+    (StreamingEtl.java:220-238 + cdk/lib/streaming-etl.ts:146-151).
+    ``max_records_per_file`` mirrors the DefaultRollingPolicy size cap
+    (see ``write_file_sink_batch``)."""
     from ..operators.serialize import trip_event_to_json
 
     # R1 (keyBy, StreamingEtl.java:110): co-locate each output partition on
@@ -187,6 +215,8 @@ def file_sink_stream(events: DataFrame, path: str, checkpoint: str, parquet: boo
             .select("value", *PARTITION_COLS)
             .writeStream.format("text")
         )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     return (
         writer.option("path", path)
         .option("checkpointLocation", checkpoint)

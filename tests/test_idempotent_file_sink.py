@@ -109,3 +109,45 @@ def test_spark_readers_ignore_staging(spark, tmp_path):
     sk.write_file_sink_batch_idempotent(_events(spark, n=6), out, batch_id=1)  # staged+published, not cleaned
     df = spark.read.option("basePath", out).parquet(out)
     assert df.count() == 10
+
+
+def test_rolling_policy_max_records_per_file(spark, tmp_path):
+    # DefaultRollingPolicy size-cap analog (StreamingEtl.java:237): one
+    # partition dir's batch splits into ceil(40/10) files under the cap
+    out = str(tmp_path / "out")
+    events = _events(spark, n=40, loc_mod=1)
+    sk.write_file_sink_batch(events, out, parquet=True, max_records_per_file=10)
+    files = glob.glob(f"{out}/pickup_location=001/year=2018/month=11/*.parquet")
+    assert len(files) == 4
+    uncapped = str(tmp_path / "out2")
+    sk.write_file_sink_batch(events, uncapped, parquet=True)
+    assert len(glob.glob(f"{uncapped}/pickup_location=001/year=2018/month=11/*.parquet")) == 1
+
+
+def test_pipeline_config_rolling_cap(spark, tmp_path):
+    import json as _json
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import Pipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = {
+        "vendor_id": 1, "pickup_datetime": "2018-11-23T20:30:14",
+        "dropoff_datetime": "2018-11-23T20:41:02", "passenger_count": 1,
+        "trip_distance": 2.3, "ratecode_id": 1, "store_and_fwd_flag": "N",
+        "pickup_location_id": 1, "dropoff_location_id": 2, "payment_type": 1,
+        "fare_amount": 10.5, "extra": 0.5, "mta_tax": 0.5, "tip_amount": 2.0,
+        "tolls_amount": 0.0, "improvement_surcharge": 0.3, "total_amount": 14.0,
+        "trip_id": 1, "type": "trip", "padding": "",
+    }
+    with open(src / "ev.json", "w") as f:
+        for i in range(30):
+            f.write(_json.dumps({**base, "trip_id": i}) + "\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    Pipeline.from_config(spark, args=[
+        "--InputFilePath", str(src), "--OutputBucket", out,
+        "--ParquetConversion", "true", "--CheckpointLocation", ckpt,
+        "--OutputMaxRecordsPerFile", "10",
+    ]).run_available_now()
+    files = glob.glob(f"{out}/job_start=*/pickup_location=001/year=2018/month=11/*.parquet")
+    assert len(files) == 3  # 30 rows / 10-record cap
