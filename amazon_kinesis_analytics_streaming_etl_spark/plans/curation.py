@@ -1,0 +1,313 @@
+"""Corpus-curation queries: the cleanup stages of a training-data
+pipeline that sit between raw ingestion and dedup — n-gram statistics,
+repetition (boilerplate) scoring, benchmark decontamination, rule-based
+quality filtering with reason codes, PII scrubbing, and embedding
+hygiene stats. All JVM-side expressions (split/transform/zip_with/
+regexp_replace) with DuckDB SQL oracle twins; no Python in any hot path.
+
+Scale notes: every query is a scan + narrow per-row array math followed
+by one hash aggregation; the only join (decontamination) broadcasts the
+benchmark n-gram set — benchmark suites are small by construction, so
+the corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import lower_tokens, word_shingles
+from .relational import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# Tokenization twins (Spark lower_tokens <-> DuckDB):
+_T = r"string_split_regex(trim(lower(text)), '\s+')"
+# DuckDB bigram list over the token list
+_BIGRAMS = f"list_transform(range(1, len({_T})), i -> {_T}[i] || ' ' || {_T}[i+1])"
+
+
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent-word bigram strings from a token array (JVM zip_with —
+    one pass, no explode, no re-tokenization)."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def repetition_ratio(toks: Column) -> Column:
+    """Gopher-style repetition signal: fraction of bigrams that are
+    duplicates (1 - distinct/total); 0.0 for docs under 2 tokens."""
+    bi = word_bigrams(toks)
+    total = F.size(bi)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# corpus n-gram statistics
+# --------------------------------------------------------------------------
+
+@register(
+    "text_top_ngrams",
+    f"""
+    SELECT bigram, count(*) AS n
+    FROM (SELECT unnest({_BIGRAMS}) AS bigram FROM documents)
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams. One narrow pass derives bigrams per
+    row, then a single hash aggregation; top-k via TakeOrdered (no
+    global sort shuffle). Ties broken by bigram text for determinism."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(word_bigrams(lower_tokens("text"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition / boilerplate scoring
+# --------------------------------------------------------------------------
+
+@register(
+    "text_repetition",
+    f"""
+    SELECT doc_id,
+           len({_BIGRAMS}) AS n_bigrams,
+           round(CASE WHEN len({_BIGRAMS}) > 0
+                 THEN 1.0 - len(list_distinct({_BIGRAMS}))::DOUBLE / len({_BIGRAMS})
+                 ELSE 0.0 END, 6) AS rep_ratio
+    FROM documents
+    ORDER BY rep_ratio DESC, doc_id
+    LIMIT 15
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most-repetitive documents by duplicate-bigram fraction —
+    the boilerplate/low-information signal used to drop template pages
+    from training corpora. Pure array math per row; zero shuffles
+    before the final top-k."""
+    docs = _docs(spark, sf_dir)
+    toks = lower_tokens("text")
+    bi = word_bigrams(toks)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(bi).alias("n_bigrams"),
+            F.round(repetition_ratio(toks), 6).alias("rep_ratio"),
+        )
+        .orderBy(F.col("rep_ratio").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+_GRAM4 = (
+    f"list_transform(range(1, len({_T}) - 2), i -> "
+    f"{_T}[i] || ' ' || {_T}[i+1] || ' ' || {_T}[i+2] || ' ' || {_T}[i+3])"
+)
+
+
+@register(
+    "decontam_overlap",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct({_GRAM4})) AS ng FROM documents
+    ),
+    bench AS (SELECT DISTINCT ng FROM grams WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, count(DISTINCT g.ng) AS n_shared
+    FROM grams g JOIN bench b USING (ng)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    4-gram with a held-out benchmark slice (here: doc_id % 97 == 0 —
+    the stand-in for an eval set), with the shared-gram count.
+    (Production decontamination uses 8-13-grams; the synthetic corpus's
+    tiny vocabulary makes 4 the scale-equivalent choice here.)
+
+    Scale shape: the benchmark n-gram set is broadcast (eval suites are
+    tiny next to a 100 TB corpus), so the corpus side is one scan +
+    narrow shingle derivation + broadcast semi-join-style match — no
+    corpus shuffle until the per-doc count aggregation."""
+    grams = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("ng")
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ng").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# rule-based quality filter with reason codes
+# --------------------------------------------------------------------------
+
+_REASON = f"""
+    CASE WHEN lang <> 'en' THEN 'lang'
+         WHEN len({_T}) < 30 THEN 'too_short'
+         WHEN len({_BIGRAMS}) > 0
+              AND 1.0 - len(list_distinct({_BIGRAMS}))::DOUBLE / len({_BIGRAMS}) > 0.05
+              THEN 'repetitive'
+         ELSE 'kept' END
+"""
+
+
+@register(
+    "curation_filter_reasons",
+    f"""
+    SELECT source, {_REASON} AS reason, count(*) AS n
+    FROM documents
+    GROUP BY source, reason
+    ORDER BY source, reason
+    """,
+)
+def curation_filter_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins filter chain with reason codes (the audit trail
+    a curation pipeline keeps): non-English -> 'lang', under 30 tokens
+    -> 'too_short', duplicate-bigram fraction > 5% -> 'repetitive',
+    else 'kept'; counted per source. One scan, one aggregation."""
+    docs = _docs(spark, sf_dir)
+    toks = lower_tokens("text")
+    reason = (
+        F.when(F.col("lang") != "en", F.lit("lang"))
+        .when(F.size(toks) < 30, F.lit("too_short"))
+        .when(repetition_ratio(toks) > 0.05, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select("source", reason.alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "reason")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+#: No lookarounds — identical semantics in Java regex (Spark) and RE2
+#: (DuckDB oracle).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails then phone-shaped digit runs with placeholder
+    tokens — the standard scrub pass before training-data release."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH scrubbed AS (
+      SELECT source,
+             regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]', '<PHONE>', 'g') AS s,
+             text
+      FROM documents)
+    SELECT source,
+           count(*) AS docs,
+           sum(CASE WHEN s <> text THEN 1 ELSE 0 END) AS docs_redacted,
+           sum(length(text) - length(s)) AS chars_delta
+    FROM scrubbed GROUP BY source ORDER BY source
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit per source: docs touched and net char delta.
+    (The synthetic corpus contains no PII, so this is exercised with
+    real vectors in tests/test_curation.py; the query still pins the
+    regex dialect parity between engines.)"""
+    docs = _docs(spark, sf_dir)
+    s = redact_pii("text")
+    return (
+        docs.select(
+            "source",
+            (s != F.col("text")).cast("int").alias("hit"),
+            (F.length("text") - F.length(s)).alias("delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("hit").alias("docs_redacted"),
+            F.sum("delta").alias("chars_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding hygiene
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_aggregate(
+             list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))), 4)
+             AS avg_l2,
+           round(min(sqrt(list_aggregate(
+             list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))), 4)
+             AS min_l2,
+           round(max(sqrt(list_aggregate(
+             list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))), 4)
+             AS max_l2
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column hygiene: per-label L2-norm stats (count/avg/min/
+    max) — the sanity check before cosine ops assume unit-ish norms.
+    F.aggregate over the array keeps it JVM-side and shuffle-free until
+    the per-label rollup."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(sq)
+    return (
+        emb.select("label", norm.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l2"), 4).alias("avg_l2"),
+            F.round(F.min("l2"), 4).alias("min_l2"),
+            F.round(F.max("l2"), 4).alias("max_l2"),
+        )
+        .orderBy("label")
+    )

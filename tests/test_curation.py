@@ -1,0 +1,92 @@
+"""Ground-truth tests for the curation operators (plans/curation.py).
+
+The synthetic corpus has no PII and a tiny vocabulary, so the oracle
+queries alone under-exercise some paths; these tests pin behavior on
+hand-built vectors: PII redaction on real email/phone shapes, bigram
+derivation and repetition math on known strings, decontamination on a
+constructed overlap, and the filter chain's first-match-wins ordering.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_analytics_streaming_etl_spark.functions.text import lower_tokens
+from amazon_kinesis_analytics_streaming_etl_spark.plans import curation as cu
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], "text string")
+
+
+def test_redact_pii_emails_and_phones(spark):
+    cases = {
+        "mail me at alice.smith+x@example.co.uk today":
+            "mail me at <EMAIL> today",
+        "call +1 (555) 123-4567 now": "call <PHONE> now",
+        "two: a@b.io and c.d@e-f.org": "two: <EMAIL> and <EMAIL>",
+        "digits 12345 stay; 123 45 678 90 goes": "digits 12345 stay; <PHONE> goes",
+        "clean text stays clean": "clean text stays clean",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r["text"]: r["s"] for r in df.select("text", cu.redact_pii("text").alias("s")).collect()}
+    for src, want in cases.items():
+        assert got[src] == want, f"{src!r} -> {got[src]!r}, want {want!r}"
+
+
+def test_word_bigrams_and_repetition(spark):
+    df = _one(spark, "a b a b a")
+    row = df.select(
+        cu.word_bigrams(lower_tokens("text")).alias("bi"),
+        cu.repetition_ratio(lower_tokens("text")).alias("rep"),
+    ).collect()[0]
+    assert row["bi"] == ["a b", "b a", "a b", "b a"]
+    assert row["rep"] == pytest.approx(0.5)  # 2 distinct of 4
+
+    short = _one(spark, "solo")
+    assert short.select(cu.repetition_ratio(lower_tokens("text")).alias("r")).collect()[0]["r"] == 0.0
+
+
+def test_filter_reasons_first_match_wins(spark):
+    rows = [
+        (1, "fr", "src", "the " * 40),            # lang fires before length
+        (2, "en", "src", "short text"),            # too_short
+        (3, "en", "src", "a b " * 40),             # 80 tokens, all-dup bigrams -> repetitive
+        (4, "en", "src", " ".join(f"w{i}" for i in range(40))),  # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    toks = lower_tokens("text")
+    reason = (
+        F.when(F.col("lang") != "en", F.lit("lang"))
+        .when(F.size(toks) < 30, F.lit("too_short"))
+        .when(cu.repetition_ratio(toks) > 0.05, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    got = {r["doc_id"]: r["reason"] for r in df.select("doc_id", reason.alias("reason")).collect()}
+    assert got == {1: "lang", 2: "too_short", 3: "repetitive", 4: "kept"}
+
+
+def test_decontam_flags_constructed_overlap(spark, tmp_path):
+    # doc 97*0=0 is "benchmark"; doc 5 copies one of its 4-grams, doc 6 is clean
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "s", 30),
+        (5, "x y alpha beta gamma delta z", "en", "s", 28),
+        (6, "p q r s t u v w", "en", "s", 15),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    got = cu.decontam_overlap(spark, sf).collect()
+    # doc 5 shares exactly one 4-gram: "alpha beta gamma delta"
+    assert [(r["doc_id"], r["n_shared"]) for r in got] == [(5, 1)]
+
+
+def test_top_ngrams_deterministic_ties(spark, tmp_path):
+    rows = [(0, "b b b a a a", "en", "s", 11), (1, "c c c", "en", "s", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    got = [(r["bigram"], r["n"]) for r in cu.text_top_ngrams(spark, sf).collect()]
+    # counts: "b b"x2, "a a"x2, "b a"x1, "c c"x2 -> ties broken by text
+    assert got == [("a a", 2), ("b b", 2), ("c c", 2), ("b a", 1)]
