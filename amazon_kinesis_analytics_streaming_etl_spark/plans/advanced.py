@@ -1,0 +1,166 @@
+"""Advanced relational/scale operators (round 2): bin-blocked batch
+range join, CDC snapshot merge, approximate quantiles with a tolerance
+gate. Each pairs a scale-safe DataFrame plan with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_changes
+from ..operators.rangejoin import interval_join
+from ..schemas import load_events
+from .relational import register
+
+
+# --------------------------------------------------------------------------
+# keyless batch range join (the BNLJ killer)
+# --------------------------------------------------------------------------
+
+@register(
+    "interval_join_batch",
+    """
+    SELECT p.event_id AS purchase_id,
+           count(*) AS n_clicks,
+           round(sum(c.value), 2) AS click_value
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+)
+def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join: for every purchase, the clicks by ANY user in
+    the preceding 10 minutes. A bare range predicate with no equi-key is
+    a BroadcastNestedLoopJoin in Spark — O(P·C); the bin-blocked
+    operator (operators/rangejoin.py) makes it a hash join on time bins
+    (each purchase touches ≤2 bins). Plan-asserted BNLJ-free in
+    tests/test_rangejoin_merge.py."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    joined = interval_join(
+        purchases, clicks, left_ts="p_ts", right_ts="c_ts", lower_s=-600, upper_s=0
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.round(F.sum("c_value"), 2).alias("click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC snapshot merge
+# --------------------------------------------------------------------------
+
+@register(
+    "cdc_merge_customers",
+    """
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+             'UPDATED' AS c_mktsegment, 'U' AS op
+      FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
+      FROM customer WHERE c_custkey % 17 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'new customer', 0, 0.0, 'NEWSEG', 'I'
+      FROM customer WHERE c_custkey % 23 = 0
+    ), merged AS (
+      SELECT s.* FROM customer s
+      WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = s.c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM changes WHERE op <> 'D'
+    )
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO analog on a plain parquet snapshot: a deterministic
+    changeset (updates to keys %10, deletes of keys %17 — delete wins on
+    overlap, like a later CDC event — inserts at keys %23 shifted) is
+    applied via anti-join + union (operators/merge.py), then rolled up
+    per segment so the gate compares a compact result."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    updates = (
+        cust.where((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 17 != 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = cust.where(F.col("c_custkey") % 17 == 0).withColumn("op", F.lit("D"))
+    inserts = cust.where(F.col("c_custkey") % 23 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("new customer").alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_changes(cust, changes, key_cols=["c_custkey"])
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# approximate quantiles with tolerance gate
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_approx_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25) + 0.000001, 2) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50) + 0.000001, 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75) + 0.000001, 2) AS p75,
+           true AS approx_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles, gated like agg_approx_distinct: the row
+    carries the EXACT interpolated quantiles (hash-comparable across
+    engines — Spark percentile == DuckDB quantile_cont) plus a boolean
+    asserting the KLL/GK approx answer lands within 1% of exact, so the
+    sketch's quality is part of the gate without putting its engine-
+    specific value in the hash."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    approx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        exact.alias("ex"), approx.alias("ap")
+    )
+    ok = F.aggregate(
+        F.zip_with("ex", "ap", lambda e, a: (F.abs(e - a) <= 0.01 * F.abs(e))),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    # +1e-6 before rounding on BOTH sides: interpolated quantiles of
+    # 2-decimal prices land exactly on .xx5 rounding boundaries (e.g.
+    # frac=0.5 between two cents), where last-ulp noise flips the cent;
+    # the epsilon shifts every such tie off the boundary consistently.
+    eps = F.lit(0.000001)
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("ex")[0] + eps, 2).alias("p25"),
+        F.round(F.col("ex")[1] + eps, 2).alias("p50"),
+        F.round(F.col("ex")[2] + eps, 2).alias("p75"),
+        ok.alias("approx_ok"),
+    ).orderBy("l_returnflag")

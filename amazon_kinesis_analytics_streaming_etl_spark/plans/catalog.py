@@ -11,7 +11,8 @@ registration order is preserved.
 
 from __future__ import annotations
 
-from . import curation as _curation  # noqa: F401  (registration side effects)
+from . import advanced as _advanced  # noqa: F401  (registration side effects)
+from . import curation as _curation  # noqa: F401
 from . import llm as _llm  # noqa: F401
 from . import streaming_queries as _sq  # noqa: F401
 from . import tpch as _tpch  # noqa: F401
@@ -22,6 +23,7 @@ _FAMILY_PRIORITY = {
     "tpch": 1,
     "llm": 2,
     "curation": 2,
+    "advanced": 2,
     "streaming_queries": 3,
     "relational": 4,
 }
