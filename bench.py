@@ -45,6 +45,10 @@ HEADLINE = [
     "sessionize_events",
     "window_topk_per_group",
     "curation_sample",
+    "text_repetition",
+    "decontam_overlap",
+    "interval_join_batch",
+    "cdc_merge_customers",
     "stream_tumbling_counts",
     "stream_static_enrich",
 ]
