@@ -143,16 +143,31 @@ def fingerprint_md5(text: Column | str) -> Column:
 
 
 def rolling_hashes(text: Column | str, window: int = 8) -> Column:
-    """Rolling (Rabin-Karp-style) fingerprints: xxhash64 of every
+    """Rolling (Rabin-Karp-style) fingerprints: one chained xxhash64 per
     ``window``-char slide of the normalized text. Returns array<long>;
-    winnow downstream with ``array_min``/sampling for shingle signatures."""
+    winnow downstream with ``array_min``/sampling for shingle signatures.
+
+    Built like ``shingle_hashes`` — a zip_with chain over shifted
+    per-char hash arrays, so arrays only appear as HOF arguments. The
+    earlier ``transform(sequence, i -> xxhash64(t.substr(i, w)))`` form
+    captured the normalized text inside the lambda and re-normalized it
+    per window position (O(chars²) per row — the same trap fixed in
+    ``word_shingles``)."""
     t = normalized_text(text)
-    n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
-    return F.when(
-        n >= window,
-        F.transform(idx, lambda i: F.xxhash64(t.substr(i, F.lit(window)))),
-    ).otherwise(F.array().cast("array<bigint>"))
+    chars = F.split(t, "")
+    n = F.size(chars)
+    h1 = F.transform(chars, lambda c: F.xxhash64(c))
+    h = h1
+    for step in range(1, window):
+        h = F.zip_with(
+            h,
+            F.slice(h1, step + 1, F.greatest(n - step, F.lit(0))),
+            lambda acc, nxt: F.xxhash64(acc, nxt),
+        )
+    valid_len = F.greatest(n - F.lit(window - 1), F.lit(0))
+    return F.when(n >= window, F.slice(h, 1, valid_len)).otherwise(
+        F.array().cast("array<bigint>")
+    )
 
 
 def shingle_hashes(text: Column | str, k: int = 3) -> Column:
