@@ -161,6 +161,14 @@ class Pipeline:
         return resolve_source(self.spark, self.cfg)
 
     def parsed(self) -> tuple[DataFrame, DataFrame]:
+        """P1/P2 parse + dead-letter split, format chosen by
+        ``InputEncoding``: JSON (default) or Avro — the reference's
+        native wire format (TripEvent.avsc); both paths share the same
+        validity rule and defaults."""
+        if (self.cfg.get("InputEncoding", "json") or "json").lower() == "avro":
+            from ..operators.avro_interop import parse_trip_events_avro
+
+            return parse_trip_events_avro(self.source())
         return split_corrupt(self.source())
 
     def _foreach_batch(

@@ -25,11 +25,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
 from ..config import ConfigError, JobConfig
 
 RAW_VALUE_SCHEMA = StructType([StructField("value", StringType())])
+
+
+def payload_type(cfg: JobConfig) -> str:
+    """Wire type of the ``value`` column: ``string`` for JSON payloads
+    (default), ``binary`` when ``InputEncoding=avro`` — the reference's
+    native record format (TripEvent.avsc; producers ship Avro bytes)."""
+    enc = (cfg.get("InputEncoding", "json") or "json").lower()
+    if enc not in ("json", "avro"):
+        raise ConfigError(f"InputEncoding must be json or avro, got {enc!r}")
+    return "binary" if enc == "avro" else "string"
 
 
 def _has_kinesis(cfg: JobConfig) -> bool:
@@ -92,7 +102,7 @@ def kinesis_source(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     df = reader.load()  # raises if no kinesis connector on the classpath
     # Kinesis connectors expose `data` (binary); normalize to `value`.
     data_col = "data" if "data" in df.columns else "value"
-    return df.select(F.col(data_col).cast("string").alias("value"))
+    return df.select(F.col(data_col).cast(payload_type(cfg)).alias("value"))
 
 
 def kafka_source(spark: SparkSession, cfg: JobConfig) -> DataFrame:
@@ -106,20 +116,28 @@ def kafka_source(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         .option("kafka.group.id", "kaja-streaming-etl-consumer")
         .option("startingOffsets", "latest")
         .load()
-        .select(F.col("value").cast("string").alias("value"))
+        .select(F.col("value").cast(payload_type(cfg)).alias("value"))
     )
 
 
 def file_source(spark: SparkSession, cfg: JobConfig) -> DataFrame:
-    """Engine extension — replay JSON-lines files as a stream (the test
-    stand-in for Kinesis/Kafka; deterministic micro-batch replay)."""
+    """Engine extension — replay payload files as a stream (the test
+    stand-in for Kinesis/Kafka; deterministic micro-batch replay).
+    JSON payloads ride the text format; Avro payloads (binary ``value``)
+    need a binary-capable container — use ``InputFileFormat=parquet``."""
     path = cfg.get_required("InputFilePath")
     fmt = cfg.get("InputFileFormat", "text")
+    vtype = payload_type(cfg)
     if fmt == "text":
+        if vtype == "binary":
+            raise ConfigError(
+                "InputEncoding=avro needs a binary-capable InputFileFormat "
+                "(e.g. parquet); text files cannot carry Avro payloads"
+            )
         return spark.readStream.format("text").load(path)
-    return (
-        spark.readStream.schema(RAW_VALUE_SCHEMA).format(fmt).load(path)
-    )
+    schema = StructType([StructField("value", StringType())]) if vtype == "string" \
+        else StructType([StructField("value", BinaryType())])
+    return spark.readStream.schema(schema).format(fmt).load(path)
 
 
 def rate_source(spark: SparkSession, cfg: JobConfig) -> DataFrame:

@@ -116,3 +116,51 @@ def test_trip_event_avsc_mirrors_reference_field_order():
 
     assert names == [f.name for f in TRIP_EVENT_SCHEMA.fields]
     assert EVENT_AVSC["fields"][1]["type"]["logicalType"] == "timestamp-micros"
+
+
+def test_pipeline_avro_input_end_to_end(spark, tmp_path):
+    """InputEncoding=avro: Avro payload bytes (parquet-carried) stream
+    through the full pipeline -- decode, dead-letter split, partitioned
+    parquet sink -- matching the reference's native wire format."""
+    import glob
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import Pipeline
+    from amazon_kinesis_analytics_streaming_etl_spark.schemas import TRIP_EVENT_SCHEMA
+
+    t0 = dt.datetime(2018, 11, 23, 20, 30, 14)
+    rows = [
+        (1, t0, t0 + dt.timedelta(minutes=11), 1, 2.3, 1, "N", 5, 2, 1,
+         10.5, 0.5, 0.5, 2.0, 0.0, 0.3, 14.0, 1000 + i, "trip", "")
+        for i in range(6)
+    ]
+    events = spark.createDataFrame(rows, TRIP_EVENT_SCHEMA)
+    src = str(tmp_path / "src")
+    encoded = to_avro_trip_events(events)
+    garbage = spark.createDataFrame([(bytearray(b"\x00garbage"),)], "value binary")
+    encoded.unionByName(garbage).write.parquet(src)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    Pipeline.from_config(spark, args=[
+        "--InputFilePath", src, "--InputFileFormat", "parquet",
+        "--InputEncoding", "avro",
+        "--OutputBucket", out, "--ParquetConversion", "true",
+        "--CheckpointLocation", ckpt,
+    ]).run_available_now()
+
+    dirs = glob.glob(f"{out}/job_start=*/pickup_location=005/year=2018/month=11")
+    assert len(dirs) == 1
+    df = spark.read.parquet(glob.glob(f"{out}/job_start=*")[0])
+    assert df.count() == 6  # garbage record dead-lettered, not written
+    assert sorted(r.trip_id for r in df.select("trip_id").collect()) == list(range(1000, 1006))
+
+
+def test_avro_text_source_rejected(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.config import (
+        ConfigError,
+        from_args_and_properties,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.streaming import file_source
+
+    cfg = from_args_and_properties(["--InputFilePath", "/tmp/x", "--InputEncoding", "avro"])
+    with pytest.raises(ConfigError, match="binary-capable"):
+        file_source(spark, cfg)
