@@ -164,3 +164,51 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ex")[2] + eps, 2).alias("p75"),
         ok.alias("approx_ok"),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# grouped-map pandas UDF (applyInPandas)
+# --------------------------------------------------------------------------
+
+@register(
+    "udf_grouped_map_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sd, 4) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    ORDER BY abs((e.value - s.mu) / s.sd) DESC, e.event_id
+    LIMIT 50
+    """,
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (``applyInPandas``): per-event_type
+    z-scores computed with pandas inside each group, top-50 outliers —
+    the API surface for group-local Python transforms Spark builtins
+    can't express (here they can, which is exactly what makes it
+    oracle-checkable against the window/join twin). One shuffle on the
+    group key; each group is a single Arrow batch."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        mu = pdf["value"].mean()
+        out = pdf[["event_id", "event_type"]].copy()
+        out["zscore"] = ((pdf["value"] - mu) / sd).round(4)
+        out["absz"] = ((pdf["value"] - mu) / sd).abs()
+        return out
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            zscore, "event_id long, event_type string, zscore double, absz double"
+        )
+        .orderBy(F.col("absz").desc(), "event_id")
+        .limit(50)
+        .drop("absz")
+    )
