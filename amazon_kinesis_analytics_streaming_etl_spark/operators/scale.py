@@ -253,3 +253,76 @@ def global_rank(
         .withColumn(rank_col, (F.col("_lrank") + F.col("_offset")).cast("long"))
         .drop("_pid", "_lrank", "_offset")
     )
+
+
+# --- z-order layout ---------------------------------------------------------
+
+def _quantile_bucket(col_name: str, boundaries: list[float], bits: int):
+    """Bucket id in [0, 2^bits) for a value against sorted quantile
+    boundaries — count of boundaries <= value, as a JVM array fold over
+    a literal array (O(2^bits) comparisons per row, no Python)."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    cnt = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col(col_name).cast("double") >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.least(cnt, F.lit((1 << bits) - 1))
+
+
+def zorder_value(bucket_cols, bits: int):
+    """Interleave the bits of per-column bucket ids into one Morton
+    (Z-order) key — pure integer expressions, whole-stage-codegen."""
+    ncols = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(bucket_cols):
+            bit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 8,
+    quantile_error: float = 0.001,
+) -> None:
+    """Rewrite a dataset clustered on the Z-order (Morton) interleave of
+    ``cols`` — multi-dimensional file skipping.
+
+    ``write_range_sorted`` gives perfect footer-stat skipping on ONE
+    column and none on the others; Z-order trades a little of that for
+    locality on EVERY listed column: each output file covers a compact
+    hyper-rectangle-ish region, so a narrow predicate on ANY of the
+    columns overlaps only ~N^((d-1)/d) of N files instead of all of
+    them. This is the standard lakehouse OPTIMIZE ZORDER BY pattern,
+    done with plain Spark:
+
+    1. Per column, quantile-bucket values into 2^bits ranks
+       (``approxQuantile`` — one pass, a 2^bits-sized array to the
+       driver; rank-based, so skew cannot collapse buckets).
+    2. Interleave bucket bits into a Morton key (integer expressions).
+    3. ``repartitionByRange`` + sort on the key; parquet footers then
+       carry tight per-file min/max on every clustered column.
+
+    Columns must be numeric (cast-able to double for bucketing).
+    """
+    nb = 1 << bits
+    probs = [i / nb for i in range(1, nb)]
+    buckets = []
+    for c in cols:
+        bounds = df.approxQuantile(c, probs, quantile_error)
+        buckets.append(_quantile_bucket(c, bounds, bits))
+    z = zorder_value(buckets, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -249,3 +249,60 @@ def test_salted_join_rejects_right_preserving_hows(spark, skewed_df):
     for how in ("right", "full", "full_outer", "right_outer"):
         with _pt.raises(ValueError, match="left-preserving"):
             salted_join(skewed_df, dim, "k", how=how)
+
+
+def test_zorder_layout_skips_files_on_both_columns(spark, tmp_path):
+    """write_zordered files must carry usefully-tight footer min/max on
+    BOTH clustered columns: a 10% slice on either column overlaps only
+    a fraction of the files (Morton-curve profile: ~N^(1/2) of N tiles
+    per one-dim slice, plus boundary straddlers), while a plain
+    (random) layout overlaps essentially all of them on both."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        write_zordered,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zdir, plain = str(tmp_path / "z"), str(tmp_path / "plain")
+    write_zordered(li, zdir, ["l_orderkey", "l_partkey"], n_files=64, bits=8)
+    li.repartition(64).write.parquet(plain)
+
+    def ranges(d, col):
+        out = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.read_metadata(f)
+            ci = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    for col in ("l_orderkey", "l_partkey"):
+        rz = ranges(zdir, col)
+        rp = ranges(plain, col)
+        lo_all = min(lo for lo, _ in rz)
+        hi_all = max(hi for _, hi in rz)
+        span = hi_all - lo_all
+
+        def avg_overlap(rs):
+            fracs = []
+            for start in (0.2, 0.45, 0.7):  # three 10% slices
+                q_lo, q_hi = lo_all + span * start, lo_all + span * (start + 0.1)
+                n = sum(1 for lo, hi in rs if not (hi < q_lo or lo > q_hi))
+                fracs.append(n / len(rs))
+            return sum(fracs) / len(fracs)
+
+        f_z, f_p = avg_overlap(rz), avg_overlap(rp)
+        assert f_p >= 0.95, (col, f_p)  # plain: every file spans everything
+        assert f_z <= 0.60, (col, f_z)  # z-order: well under half on average
+
+    # row preservation
+    assert spark.read.parquet(zdir).count() == li.count()
