@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import ConfigError, JobConfig, from_args_and_properties
 from ..operators.parse import split_corrupt
@@ -211,11 +212,29 @@ class Pipeline:
 
     # -- execution -----------------------------------------------------------
 
+    def attach_metrics(self):
+        """Register and return a PipelineMetricsListener — the dashboard
+        analog (reference: cdk/lib/streaming-etl.ts:245-388). Per-batch
+        throughput and the observed ``valid_rows`` arrive in progress
+        events; ``snapshot()`` rolls them up. Call before ``start``."""
+        from ..streaming.metrics import PipelineMetricsListener
+
+        listener = PipelineMetricsListener()
+        self.spark.streams.addListener(listener)
+        return listener
+
     def start(self, available_now: bool = False):
         """Assemble and start the streaming query (the ``env.execute()``
         analog, StreamingEtl.java:151). Returns the StreamingQuery."""
+        from ..streaming.metrics import OBSERVATION_NAME
+
         specs = _sink_specs(self.cfg) + self.extra_sinks
         valid, _corrupt = self.parsed()
+        # P2 health metric: per-batch valid-row count computed inside the
+        # running plan (no second pass); corrupt = numInputRows - valid.
+        valid = valid.observe(
+            OBSERVATION_NAME, F.count(F.lit(1)).alias("valid_rows")
+        )
         checkpoint = self.cfg.get("CheckpointLocation")
         if checkpoint is None:
             raise ConfigError("CheckpointLocation is required (exactly-once commit log)")
