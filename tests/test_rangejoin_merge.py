@@ -153,3 +153,56 @@ def test_merge_broadcasts_changed_keys(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# --------------------------------------------------------------------------
+# property: interval_join == naive O(n*m) reference on random inputs
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_interval_join_property(spark, data):
+    lower = data.draw(st.integers(-120, 60))
+    upper = data.draw(st.integers(lower, lower + 180))
+
+    def ts_list(n):
+        return [
+            _EPOCH
+            + dt.timedelta(
+                seconds=data.draw(st.integers(0, 900)),
+                microseconds=data.draw(st.sampled_from([0, 1, 499999, 999999])),
+            )
+            for _ in range(n)
+        ]
+
+    lts = ts_list(data.draw(st.integers(1, 10)))
+    rts = ts_list(data.draw(st.integers(0, 10)))
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lts)], "lid long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(rts)], "rid long, rts timestamp"
+    ) if rts else spark.createDataFrame([], "rid long, rts timestamp")
+
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_join(left, right, "lts", "rts", lower, upper).collect()
+    )
+    lo_us, hi_us = lower * 1_000_000, upper * 1_000_000
+    want = sorted(
+        (i, j)
+        for i, lt in enumerate(lts)
+        for j, rt in enumerate(rts)
+        if lo_us <= (rt - lt) / dt.timedelta(microseconds=1) <= hi_us
+    )
+    assert got == want
