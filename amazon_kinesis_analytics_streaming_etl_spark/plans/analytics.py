@@ -1,0 +1,447 @@
+"""Product-analytics query family (round 2): funnel conversion, cohort
+retention, time-series gap-fill with forward fill, equi-width histogram,
+key-skew profiling, and column profiling.
+
+These are the event-analytics shapes the reference's dashboard story
+(CloudWatch throughput/lag panels, cdk/lib/streaming-etl.ts:245-388)
+generalizes to once the events land in partitioned Parquet (K1/K3):
+every query here runs over the persisted output of the ETL path, each
+with a DuckDB oracle twin.
+
+Scale posture (common): each query is one shuffle on its natural key
+(user_id / group key); window functions share the shuffle partitioning
+with the aggregation that follows; the only cross joins are against
+1-row scalar aggregates or bounded spines (whitelisted in
+tests/test_plan_invariants.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import load_events
+from .relational import register
+
+
+# --------------------------------------------------------------------------
+# funnel conversion (ordered view -> click -> purchase)
+# --------------------------------------------------------------------------
+
+@register(
+    "funnel_stages",
+    """
+    WITH e1 AS (
+      SELECT user_id, event_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w AS seen_view
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), e2 AS (
+      SELECT *,
+             max(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END)
+               OVER w AS seen_cav
+      FROM e1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), a AS (
+      SELECT count(DISTINCT user_id) AS u_all,
+             count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS u_view,
+             count(DISTINCT CASE WHEN event_type = 'click' AND seen_view = 1
+                                 THEN user_id END) AS u_click,
+             count(DISTINCT CASE WHEN event_type = 'purchase' AND seen_cav = 1
+                                 THEN user_id END) AS u_purchase
+      FROM e2
+    )
+    SELECT stage, n_users, round(CAST(n_users AS DOUBLE) / u_all, 6) AS pct
+    FROM (
+      SELECT u_all, 1 AS step, 'all_users' AS stage, u_all AS n_users FROM a
+      UNION ALL SELECT u_all, 2, 'view', u_view FROM a
+      UNION ALL SELECT u_all, 3, 'click_after_view', u_click FROM a
+      UNION ALL SELECT u_all, 4, 'purchase_after_click', u_purchase FROM a
+    ) ORDER BY step
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked AFTER a
+    view, then purchased AFTER such a click (strict event-time order,
+    (ts, event_id) total order for determinism).
+
+    Plan: cumulative-max window flags share ONE shuffle on user_id (both
+    windows use the same partitioning+ordering, Spark reuses the sort);
+    the final count-distinct aggregate is a second small shuffle. No
+    self-joins — the classic funnel-as-N-joins shape would be N scans
+    and N shuffles; the flag form scales linearly at 100 TB."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load_events(spark, sf_dir)
+    e1 = ev.withColumn(
+        "seen_view",
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w),
+    )
+    e2 = e1.withColumn(
+        "seen_cav",
+        F.max(
+            F.when((F.col("event_type") == "click") & (F.col("seen_view") == 1), 1)
+            .otherwise(0)
+        ).over(w),
+    )
+    a = e2.agg(
+        F.countDistinct("user_id").alias("u_all"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("u_view"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("seen_view") == 1),
+                F.col("user_id"),
+            )
+        ).alias("u_click"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("seen_cav") == 1),
+                F.col("user_id"),
+            )
+        ).alias("u_purchase"),
+    )
+    stages = a.select(
+        "u_all",
+        F.expr(
+            "stack(4, 1, 'all_users', u_all, 2, 'view', u_view, "
+            "3, 'click_after_view', u_click, 4, 'purchase_after_click', u_purchase) "
+            "AS (step, stage, n_users)"
+        ),
+    )
+    return stages.select(
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("u_all"), 6).alias("pct"),
+    ).orderBy("step").drop("step")
+
+
+# --------------------------------------------------------------------------
+# cohort retention (first-seen week x activity-week offset)
+# --------------------------------------------------------------------------
+
+@register(
+    "cohort_retention",
+    """
+    WITH x AS (
+      SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    ), g AS (
+      SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+             CAST(date_diff('day', date_trunc('week', first_ts),
+                            date_trunc('week', ts)) // 7 AS INT) AS week_offset,
+             count(DISTINCT user_id) AS n_users
+      FROM x GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / first_value(n_users) OVER (PARTITION BY cohort_week
+                                              ORDER BY week_offset), 6) AS retention
+    FROM g ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = ISO week of a user's first
+    event; for each later week, the fraction of that cohort still
+    active (distinct users), normalized to the cohort's week-0 size.
+
+    Plan: min-over-user window = one shuffle on user_id; the rollup
+    groups on (cohort, offset) — a second shuffle whose input is already
+    one row per event (no blow-up); the week-0 normalization window runs
+    over the AGGREGATED result (rows = cohorts x offsets, tiny at any
+    scale)."""
+    ev = load_events(spark, sf_dir)
+    x = ev.withColumn("first_ts", F.min("ts").over(Window.partitionBy("user_id")))
+    cohort = F.date_trunc("week", F.col("first_ts"))
+    aweek = F.date_trunc("week", F.col("ts"))
+    g = (
+        x.select(
+            F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(aweek, cohort) / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    w0 = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return g.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.first("n_users").over(w0), 6
+        ).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+# --------------------------------------------------------------------------
+# hourly gap-fill + forward fill (time-series spine)
+# --------------------------------------------------------------------------
+
+@register(
+    "gapfill_hourly",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), j AS (
+      SELECT t.event_type, hh.h, b.v
+      FROM types t CROSS JOIN hours hh
+      LEFT JOIN b ON b.event_type = t.event_type AND b.h = hh.h
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+           round(last_value(v IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS value_ff,
+           (v IS NULL) AS gap
+    FROM j ORDER BY event_type, h
+    """,
+)
+def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: a complete hourly spine per event_type
+    over the observed range, left-joined to the hourly averages, gaps
+    forward-filled with the last observed value (leading gaps stay
+    null, faithfully in both engines).
+
+    Plan: the heavy side is ONE hash aggregate over raw events (shuffle
+    on (type, hour)); the spine is types x hours — bounded, built from a
+    1-row min/max aggregate via `sequence`+`explode` (the crossJoin is
+    the whitelisted 1-row-broadcast pattern); the spine-to-agg join and
+    forward-fill window both run on aggregated (not raw) cardinality."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(hours)
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    wff = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.round(F.last("v", ignorenulls=True).over(wff), 4).alias("value_ff"),
+        F.col("v").isNull().alias("gap"),
+    ).orderBy("event_type", "hour")
+
+
+# --------------------------------------------------------------------------
+# equi-width histogram
+# --------------------------------------------------------------------------
+
+@register(
+    "histogram_extendedprice",
+    """
+    WITH m AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+    )
+    SELECT CAST(least(19, floor((l_extendedprice - lo) * 20.0 / (hi - lo))) AS INT)
+             AS bucket,
+           round(lo + CAST(least(19, floor((l_extendedprice - lo) * 20.0 / (hi - lo)))
+                           AS INT) * (hi - lo) / 20.0, 2) AS lo_edge,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem, m
+    GROUP BY 1, 2 ORDER BY bucket
+    """,
+)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of l_extendedprice between the
+    observed min and max. The bucket arithmetic is written as the SAME
+    IEEE-double expression tree in both engines ((x-lo)*20.0/(hi-lo)),
+    so boundary values bucket identically — no engine-specific
+    width_bucket builtin.
+
+    Plan: 1-row min/max aggregate broadcast onto the scan (whitelisted
+    1-row BNLJ), then a hash aggregate on 20 keys with map-side partial
+    aggregation — two passes over the column, zero wide shuffles."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    m = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    x = F.col("l_extendedprice")
+    bucket = F.least(
+        F.lit(19).cast("long"),
+        F.floor((x - F.col("lo")) * F.lit(20.0) / (F.col("hi") - F.col("lo"))),
+    ).cast("int")
+    return (
+        li.crossJoin(m)
+        .select(
+            bucket.alias("bucket"),
+            F.round(
+                F.col("lo")
+                + bucket.cast("int") * (F.col("hi") - F.col("lo")) / F.lit(20.0),
+                2,
+            ).alias("lo_edge"),
+            x.alias("p"),
+        )
+        .groupBy("bucket", "lo_edge")
+        .agg(F.count("*").alias("n"), F.round(F.sum("p"), 2).alias("total"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# key-skew profile (hot-key diagnostics)
+# --------------------------------------------------------------------------
+
+@register(
+    "skew_key_profile",
+    """
+    WITH k AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(avg(n) AS DOUBLE) AS mean_n
+      FROM k
+    )
+    SELECT user_id, n, round(n / total, 6) AS share, round(n / mean_n, 4) AS x_mean
+    FROM k, t ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostics: the 20 heaviest user_ids with their share of
+    all events and their multiple of the mean key weight — the profile
+    you run BEFORE choosing a salting factor for a skewed join/agg
+    (operators/scale.py salted_agg/salted_join consume exactly this).
+
+    Plan: one hash aggregate on the key (map-side partials absorb the
+    skew — hot keys combine locally before the shuffle), a 1-row
+    total/mean aggregate broadcast back (whitelisted), and a TakeOrdered
+    top-20 — no global sort."""
+    ev = load_events(spark, sf_dir)
+    k = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    t = k.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.avg("n").cast("double").alias("mean_n"),
+    )
+    return (
+        k.crossJoin(t)
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("x_mean"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# column profiling (data-quality summary)
+# --------------------------------------------------------------------------
+
+@register(
+    "profile_columns",
+    """
+    SELECT 'o_custkey' AS col_name,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           round(CAST(min(o_custkey) AS DOUBLE), 2) AS min_num,
+           round(CAST(max(o_custkey) AS DOUBLE), 2) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(CAST(min(o_totalprice) AS DOUBLE), 2),
+           round(CAST(max(o_totalprice) AS DOUBLE), 2),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over orders: null count, distinct count, min/max
+    (typed lanes: *_num for numerics, *_str for strings) — the
+    data-quality summary a curation pipeline runs on every new drop.
+
+    Plan: ONE scan + one aggregate row computes every stat (Spark
+    expands the multi-distinct internally), then a 1-row stack() fans it
+    out to one row per column — vs the oracle's 4 scans. At 100 TB the
+    exact multi-distinct is the knob to watch: swap count_distinct for
+    approx_count_distinct when profiling, the shape is unchanged."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = o.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count("o_custkey").alias("c1"),
+        F.countDistinct("o_custkey").alias("d1"),
+        F.round(F.min("o_custkey").cast("double"), 2).alias("mn1"),
+        F.round(F.max("o_custkey").cast("double"), 2).alias("mx1"),
+        F.count("o_totalprice").alias("c2"),
+        F.countDistinct("o_totalprice").alias("d2"),
+        F.round(F.min("o_totalprice").cast("double"), 2).alias("mn2"),
+        F.round(F.max("o_totalprice").cast("double"), 2).alias("mx2"),
+        F.count("o_orderstatus").alias("c3"),
+        F.countDistinct("o_orderstatus").alias("d3"),
+        F.min("o_orderstatus").alias("mn3"),
+        F.max("o_orderstatus").alias("mx3"),
+        F.count("o_orderpriority").alias("c4"),
+        F.countDistinct("o_orderpriority").alias("d4"),
+        F.min("o_orderpriority").alias("mn4"),
+        F.max("o_orderpriority").alias("mx4"),
+    )
+    null_str = F.lit(None).cast("string")
+    null_num = F.lit(None).cast("double")
+    rows = [
+        ("o_custkey", "c1", "d1", F.col("mn1"), F.col("mx1"), null_str, null_str),
+        ("o_totalprice", "c2", "d2", F.col("mn2"), F.col("mx2"), null_str, null_str),
+        ("o_orderstatus", "c3", "d3", null_num, null_num, F.col("mn3"), F.col("mx3")),
+        ("o_orderpriority", "c4", "d4", null_num, null_num, F.col("mn4"), F.col("mx4")),
+    ]
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                (F.col("rows") - F.col(c)).alias("n_null"),
+                F.col(d).alias("n_distinct"),
+                mn_n.alias("min_num"),
+                mx_n.alias("max_num"),
+                mn_s.alias("min_str"),
+                mx_s.alias("max_str"),
+            )
+            for name, c, d, mn_n, mx_n, mn_s, mx_s in rows
+        ]
+    )
+    return (
+        a.select(F.explode(structs).alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )

@@ -12,6 +12,7 @@ registration order is preserved.
 from __future__ import annotations
 
 from . import advanced as _advanced  # noqa: F401  (registration side effects)
+from . import analytics as _analytics  # noqa: F401
 from . import curation as _curation  # noqa: F401
 from . import llm as _llm  # noqa: F401
 from . import streaming_queries as _sq  # noqa: F401
@@ -24,6 +25,7 @@ _FAMILY_PRIORITY = {
     "llm": 2,
     "curation": 2,
     "advanced": 2,
+    "analytics": 2,
     "streaming_queries": 3,
     "relational": 4,
 }

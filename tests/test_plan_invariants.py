@@ -20,6 +20,11 @@ SCALAR_THRESHOLD_QUERIES = {
     "q11_important_stock",
     "q22_sales_opportunity",
     "join_cross",
+    # analytics family: crossJoin against 1-row scalar aggregates
+    # (min/max bounds, totals) or a bounded types x hours spine.
+    "gapfill_hourly",
+    "histogram_extendedprice",
+    "skew_key_profile",
 }
 
 def _batch_queries():
