@@ -14,6 +14,7 @@ from __future__ import annotations
 from . import advanced as _advanced  # noqa: F401  (registration side effects)
 from . import analytics as _analytics  # noqa: F401
 from . import curation as _curation  # noqa: F401
+from . import lexical as _lexical  # noqa: F401
 from . import llm as _llm  # noqa: F401
 from . import streaming_queries as _sq  # noqa: F401
 from . import tpch as _tpch  # noqa: F401
@@ -26,6 +27,7 @@ _FAMILY_PRIORITY = {
     "curation": 2,
     "advanced": 2,
     "analytics": 2,
+    "lexical": 2,
     "streaming_queries": 3,
     "relational": 4,
 }

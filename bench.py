@@ -49,6 +49,8 @@ HEADLINE = [
     "decontam_overlap",
     "interval_join_batch",
     "cdc_merge_customers",
+    "funnel_stages",
+    "gapfill_hourly",
     "stream_tumbling_counts",
     "stream_static_enrich",
 ]
