@@ -18,6 +18,7 @@ from . import lexical as _lexical  # noqa: F401
 from . import llm as _llm  # noqa: F401
 from . import streaming_queries as _sq  # noqa: F401
 from . import tpch as _tpch  # noqa: F401
+from . import vectors as _vectors  # noqa: F401
 from .relational import ORACLES, QUERIES
 
 # Family priority by defining module (lower = earlier in queries()).
@@ -28,6 +29,7 @@ _FAMILY_PRIORITY = {
     "advanced": 2,
     "analytics": 2,
     "lexical": 2,
+    "vectors": 2,
     "streaming_queries": 3,
     "relational": 4,
 }

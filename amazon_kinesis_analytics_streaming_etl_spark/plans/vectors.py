@@ -1,0 +1,157 @@
+"""Vector-storage ops over the embeddings table (round 2): int8
+quantization (the compression step an ANN index applies before shipping
+100 TB of float32 vectors) and label-centroid cohesion (cluster-quality
+diagnostics). Both DuckDB-oracle-checked with engine-portable
+arithmetic.
+
+Portability notes baked into both sides:
+- rounding is ``floor(x + 0.5)`` — exact on identical IEEE doubles, no
+  half-up vs half-even ambiguity between engines;
+- cross-row float aggregation (centroid means, cosine averages) is
+  rounded 5-6 dp AFTER all arithmetic, absorbing summation-order drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import register
+
+
+# --------------------------------------------------------------------------
+# int8 symmetric quantization with reconstruction-error gate
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12) / 127.0
+               AS scale,
+             embedding
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+               x -> abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+                            * scale)) AS errs
+      FROM q
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           round(list_aggregate(errs, 'sum') / len(errs), 6) AS mean_abs_err,
+           round(list_max(errs), 6) AS max_abs_err
+    FROM e ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127,
+    q = clamp(floor(x/scale + 0.5), ±127)) with the reconstruction
+    error surfaced per vector — the quality gate you watch when
+    compressing an embedding store 4x before ANN indexing.
+
+    Plan: entirely narrow — array HOFs inside the scan's codegen stage,
+    zero shuffles, output one row per vector. The floor(x+0.5) form is
+    deliberately used instead of round(): identical IEEE inputs give
+    identical results in every engine, so the oracle hash is stable."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scale = (
+        F.greatest(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / F.lit(127.0)
+    )
+    q = emb.select("vec_id", scale.alias("scale"), "embedding")
+    errs = F.transform(
+        "embedding",
+        lambda x: F.abs(
+            x
+            - F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / F.col("scale") + 0.5)),
+            )
+            * F.col("scale")
+        ),
+    )
+    e = q.select("vec_id", "scale", errs.alias("errs"))
+    return e.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(
+            F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / F.size("errs"), 6
+        ).alias("mean_abs_err"),
+        F.round(F.array_max("errs"), 6).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# label-centroid cohesion (cluster quality)
+# --------------------------------------------------------------------------
+
+@register(
+    "centroid_cohesion",
+    """
+    WITH x AS (
+      SELECT vec_id, label,
+             unnest(embedding) AS v,
+             CAST(generate_subscripts(embedding, 1) AS INT) AS pos
+      FROM embeddings
+    ), c AS (
+      SELECT label, pos, avg(v) AS cv FROM x GROUP BY label, pos
+    ), d AS (
+      SELECT x.vec_id, x.label,
+             sum(x.v * c.cv) AS dot,
+             sum(x.v * x.v) AS n2v,
+             sum(c.cv * c.cv) AS n2c
+      FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+      GROUP BY x.vec_id, x.label
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(avg(dot / (sqrt(n2v) * sqrt(n2c))), 5) AS avg_cosine,
+           round(min(dot / (sqrt(n2v) * sqrt(n2c))), 5) AS min_cosine
+    FROM d GROUP BY label ORDER BY label
+    """,
+)
+def centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster cohesion: element-wise mean centroid, then the
+    average and worst cosine of members to their centroid — the
+    diagnostic that tells you whether a label partition is tight enough
+    to serve as an IVF/ANN blocking key (operators/similarity.py ivf).
+
+    Plan: posexplode to (label, pos, v) — a 64x row blow-up of 3 narrow
+    columns that map-side partial aggregation compresses to labels x 64
+    before the shuffle; the member-to-centroid join keys on
+    (label, pos); per-vector dot products re-aggregate on vec_id. Three
+    keyed shuffles, no collect, no all-pairs. (For very wide vectors,
+    the applyInPandas/numpy per-label variant trades the explode for
+    one grouped Arrow batch — same result, different constant.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).cast("int").alias("pos"), "v"
+    )
+    c = x.groupBy("label", "pos").agg(F.avg("v").alias("cv"))
+    d = (
+        x.join(c, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("n2v"),
+            F.sum(F.col("cv") * F.col("cv")).alias("n2c"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("n2v") * F.sqrt("n2c"))
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(cos), 5).alias("avg_cosine"),
+            F.round(F.min(cos), 5).alias("min_cosine"),
+        )
+        .orderBy("label")
+    )
