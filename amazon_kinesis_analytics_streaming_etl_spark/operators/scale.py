@@ -255,6 +255,65 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: str | list[str],
+    value_col: str,
+    cumsum_col: str = "cumsum",
+    n_parts: int = 32,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Global ``SUM(value) OVER (ORDER BY ...)`` without the
+    single-partition window — the running-offset primitive behind
+    sequence packing and byte-offset assignment.
+
+    Same two-phase shape as :func:`global_rank`: range-partition on the
+    order key (one shuffle), running sum locally per partition, then add
+    each partition's cumulative predecessor total (an ``n_parts``-row
+    aggregate, broadcast back). Exact and total provided ``order_cols``
+    ends in a unique tie-breaking key. ``exclusive=True`` gives the
+    sum-of-strict-predecessors form (ROWS UNBOUNDED PRECEDING .. 1
+    PRECEDING, coalesced to 0 for the first row).
+    """
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    part = df.repartitionByRange(n_parts, *[F.col(c) for c in cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    frame_end = -1 if exclusive else 0
+    local = part.withColumn(
+        "_lsum",
+        F.coalesce(
+            F.sum(value_col).over(
+                Window.partitionBy("_pid")
+                .orderBy(*cols)
+                .rowsBetween(Window.unboundedPreceding, frame_end)
+            ),
+            F.lit(0),
+        ),
+    )
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(cumsum_col, F.col("_lsum") + F.col("_offset"))
+        .drop("_pid", "_lsum", "_offset")
+    )
+
+
 # --- z-order layout ---------------------------------------------------------
 
 def _quantile_bucket(col_name: str, boundaries: list[float], bits: int):

@@ -16,6 +16,7 @@ from . import analytics as _analytics  # noqa: F401
 from . import curation as _curation  # noqa: F401
 from . import lexical as _lexical  # noqa: F401
 from . import llm as _llm  # noqa: F401
+from . import prep as _prep  # noqa: F401
 from . import streaming_queries as _sq  # noqa: F401
 from . import tpch as _tpch  # noqa: F401
 from . import vectors as _vectors  # noqa: F401
@@ -29,6 +30,7 @@ _FAMILY_PRIORITY = {
     "advanced": 2,
     "analytics": 2,
     "lexical": 2,
+    "prep": 2,
     "vectors": 2,
     "streaming_queries": 3,
     "relational": 4,

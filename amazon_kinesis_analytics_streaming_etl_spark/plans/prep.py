@@ -1,0 +1,218 @@
+"""Training-data preparation queries (round 2): fixed-capacity sequence
+packing over a distributed global cumsum, a declarative data-quality
+expectation audit, and incremental corpus dedup (new shard vs existing
+corpus). Each pairs a scale-safe DataFrame plan with a DuckDB oracle
+twin.
+
+Scale notes:
+- ``pack_sequences`` is the LLM-training packing layout (concatenate the
+  corpus in a deterministic order, cut every ``capacity`` tokens). The
+  global running offset uses :func:`operators.scale.global_cumsum` —
+  range-partition + per-partition prefix totals — NOT a bare
+  ``Window.orderBy`` that would collapse 100 TB onto one task.
+- ``quality_expectations`` is one scan + one tiny aggregate: every rule
+  is a ``sum(CASE)`` in the same partial-aggregable pass, then a 5-row
+  ``stack``. Adding a rule adds a column to the agg, never a scan.
+- ``dedup_incremental`` shuffles both sides on the md5 fingerprint
+  (hash-agg within the new shard, then shuffle anti-join against the
+  corpus) — co-partitioned by the join key, no broadcast assumption on
+  the corpus side, which at 100 TB is the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, lower_tokens
+from ..operators.scale import global_cumsum
+from .relational import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# fixed-capacity sequence packing
+# --------------------------------------------------------------------------
+
+_CAP = 512  # tokens per training sequence
+
+# DuckDB twin of functions.text.lower_tokens
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {_CAP} AS pack_id,
+           greatest((start_offset + n_tokens - 1) // {_CAP}
+                    - start_offset // {_CAP} + 1, 1) AS spans_packs
+    FROM c ORDER BY doc_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its position in the packed training layout:
+    concatenate all docs in doc_id order and cut a sequence every
+    ``_CAP`` tokens (the standard LLM pre-training packing, where a doc
+    may span a pack boundary).
+
+    Per doc: token count, global start offset (exclusive running sum),
+    the pack its first token lands in, and how many packs it spans.
+
+    The only wide op is the ``global_cumsum`` range shuffle; everything
+    after is narrow arithmetic. A naive ``sum() over (order by doc_id)``
+    would be a one-task window — the canonical scale failure this
+    operator exists to avoid.
+    """
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.size(lower_tokens("text")).alias("n_tokens")
+    )
+    c = global_cumsum(
+        t, "doc_id", "n_tokens", cumsum_col="start_offset", exclusive=True
+    ).withColumn("start_offset", F.col("start_offset").cast("long"))
+    start_pack = F.expr(f"start_offset div {_CAP}")
+    end_pack = F.expr(f"(start_offset + n_tokens - 1) div {_CAP}")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        start_pack.alias("pack_id"),
+        F.greatest(end_pack - start_pack + F.lit(1), F.lit(1))
+        .cast("long")
+        .alias("spans_packs"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# declarative data-quality expectation audit
+# --------------------------------------------------------------------------
+
+# rule name -> SQL predicate that every row is EXPECTED to satisfy
+# (identical text runs on both engines; violations = NOT(pred))
+_RULES = [
+    ("discount_le_5pct", "l_discount <= 0.05"),
+    ("qty_le_30", "l_quantity <= 30"),
+    (
+        "shipdate_in_range",
+        "l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'",
+    ),
+    ("positive_price", "l_extendedprice > 0"),
+    ("tax_le_6pct", "l_tax <= 0.06"),
+]
+
+_RULES_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS rule,
+           CAST(sum(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           round(sum(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS violation_rate
+    FROM lineitem
+    """
+    for name, pred in _RULES
+)
+
+
+@register("quality_expectations", _RULES_ORACLE + "\nORDER BY rule")
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation audit: every rule is a predicate all rows
+    should satisfy; output is one row per rule with the violation count
+    and rate.
+
+    Plan: ONE scan of lineitem, one partial-aggregable ``sum(CASE)`` per
+    rule in a single aggregate, then a constant-size ``stack`` over the
+    1-row result. The oracle's UNION-ALL-of-scans form is the semantics;
+    the engine pays one scan regardless of rule count.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.when(~F.expr(pred), 1).otherwise(0))
+        .cast("long")
+        .alias(f"_v{i}")
+        for i, (_, pred) in enumerate(_RULES)
+    ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _v{i}" for i, (name, _) in enumerate(_RULES)
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(_RULES)}, {stack_args}) AS (rule, n_violations)"
+            ),
+            "_n",
+        )
+        .select(
+            "rule",
+            "n_violations",
+            F.round(F.col("n_violations") / F.col("_n"), 6).alias(
+                "violation_rate"
+            ),
+        )
+        .orderBy("rule")
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental corpus dedup (new shard vs existing corpus)
+# --------------------------------------------------------------------------
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH corpus AS (
+      SELECT DISTINCT md5({_NORM_SQL}) AS fingerprint
+      FROM documents WHERE doc_id % 2 = 0
+    ), incoming AS (
+      SELECT md5({_NORM_SQL}) AS fingerprint, min(doc_id) AS doc_id
+      FROM documents WHERE doc_id % 2 = 1
+      GROUP BY 1
+    )
+    SELECT i.doc_id, i.fingerprint
+    FROM incoming i
+    WHERE i.fingerprint NOT IN (SELECT fingerprint FROM corpus)
+    ORDER BY i.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new shard (odd doc_ids) is deduped
+    within itself (keep lowest doc_id per fingerprint), then
+    anti-joined against the already-ingested corpus (even doc_ids) by
+    exact md5 fingerprint. Output = the genuinely new documents.
+
+    Scale: both shuffles key on the fingerprint (uniform — no skew); the
+    corpus side is NOT broadcast because at 100 TB the corpus is the big
+    side — a shuffled left-anti hash join co-partitions both sides once.
+    In production the corpus fingerprints are a bucketed table, making
+    re-ingest a zero-shuffle join on the bucket key.
+    """
+    docs = _docs(spark, sf_dir)
+    fp = fingerprint_md5(F.col("text")).alias("fingerprint")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).select(fp).distinct()
+    incoming = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select(fp, "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        incoming.join(corpus, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )

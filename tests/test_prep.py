@@ -1,0 +1,100 @@
+"""Tests for the training-data preparation family: the distributed
+global cumsum primitive (vs the naive single-partition window), packing
+layout invariants, and the expectation audit's bookkeeping.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+    global_cumsum,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("exclusive", [False, True])
+def test_global_cumsum_matches_single_partition_window(spark, exclusive):
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            (F.xxhash64("id") % 97).cast("long").alias("v"),
+        )
+        .repartition(16)  # scramble physical order first
+    )
+    frame_end = -1 if exclusive else 0
+    expected = df.withColumn(
+        "cumsum",
+        F.coalesce(
+            F.sum("v").over(
+                Window.orderBy("id").rowsBetween(
+                    Window.unboundedPreceding, frame_end
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    got = global_cumsum(df, "id", "v", n_parts=8, exclusive=exclusive)
+    exp = {r.id: r.cumsum for r in expected.collect()}
+    act = {r.id: r.cumsum for r in got.collect()}
+    assert act == exp
+
+
+def test_pack_sequences_layout_invariants(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.prep import (
+        _CAP,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, SF_SMOKE).collect()
+    assert rows, "documents table is non-empty"
+    # offsets are contiguous: each doc starts where the previous ended
+    offset = 0
+    for r in rows:
+        assert r.start_offset == offset
+        assert r.n_tokens >= 1
+        assert r.pack_id == r.start_offset // _CAP
+        end_pack = (r.start_offset + r.n_tokens - 1) // _CAP
+        assert r.spans_packs == end_pack - r.pack_id + 1
+        offset += r.n_tokens
+    # the layout is dense: total packs cover exactly the token count
+    assert rows[-1].start_offset + rows[-1].n_tokens == offset
+
+
+def test_quality_expectations_bookkeeping(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.prep import (
+        _RULES,
+        quality_expectations,
+    )
+
+    out = quality_expectations(spark, SF_SMOKE).collect()
+    assert [r.rule for r in out] == sorted(name for name, _ in _RULES)
+    n = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    for r in out:
+        assert 0 <= r.n_violations <= n
+        assert r.violation_rate == pytest.approx(r.n_violations / n, abs=5e-7)
+
+
+def test_dedup_incremental_excludes_corpus_fingerprints(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.text import (
+        fingerprint_md5,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.prep import (
+        dedup_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fp")
+    )
+    corpus_fps = {
+        r.fp for r in docs.where(F.col("doc_id") % 2 == 0).collect()
+    }
+    out = dedup_incremental(spark, SF_SMOKE).collect()
+    fresh_fps = [r.fingerprint for r in out]
+    assert len(fresh_fps) == len(set(fresh_fps)), "one row per fingerprint"
+    assert not (set(fresh_fps) & corpus_fps), "nothing already in the corpus"
+    # every surviving doc_id is odd (from the incoming shard)
+    assert all(r.doc_id % 2 == 1 for r in out)
