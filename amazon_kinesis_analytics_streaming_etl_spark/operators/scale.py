@@ -215,44 +215,21 @@ def global_rank(
     single-partition window.
 
     A bare ``Window.orderBy`` collapses the whole dataset onto ONE task —
-    the canonical 100 TB failure. Instead: range-partition on the order
-    key (sampled split points, one shuffle), rank locally per partition,
-    then add each partition's cumulative predecessor count (a tiny
-    per-partition aggregate, broadcast back). Ranks are exact and total
-    provided ``order_cols`` ends in a tie-breaking unique key (same
-    requirement a deterministic SQL row_number has).
+    the canonical 100 TB failure. Rank = inclusive running count, so this
+    delegates to :func:`global_cumsum` over a constant-1 column: ONE
+    range shuffle (reused by the offsets side), narrow local prefix
+    counts, broadcast offsets. Ranks are exact and total provided
+    ``order_cols`` ends in a tie-breaking unique key (same requirement a
+    deterministic SQL row_number has).
     """
-    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
-    part = df.repartitionByRange(n_parts, *[F.col(c) for c in cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    out = global_cumsum(
+        df.withColumn("_one", F.lit(1)),
+        order_cols,
+        "_one",
+        cumsum_col=rank_col,
+        n_parts=n_parts,
     )
-    local = part.withColumn(
-        "_lrank",
-        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
-    )
-    # offsets: rows in all preceding range partitions. n_parts rows total —
-    # the single-partition window here is over a dimension-sized frame.
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.count("*").alias("_n"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_n").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_offset")
-    )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(rank_col, (F.col("_lrank") + F.col("_offset")).cast("long"))
-        .drop("_pid", "_lrank", "_offset")
-    )
+    return out.drop("_one")
 
 
 def global_cumsum(
@@ -265,35 +242,102 @@ def global_cumsum(
 ) -> DataFrame:
     """Global ``SUM(value) OVER (ORDER BY ...)`` without the
     single-partition window — the running-offset primitive behind
-    sequence packing and byte-offset assignment.
+    global row_number, sequence packing, and byte-offset assignment.
 
-    Same two-phase shape as :func:`global_rank`: range-partition on the
-    order key (one shuffle), running sum locally per partition, then add
-    each partition's cumulative predecessor total (an ``n_parts``-row
-    aggregate, broadcast back). Exact and total provided ``order_cols``
-    ends in a unique tie-breaking key. ``exclusive=True`` gives the
-    sum-of-strict-predecessors form (ROWS UNBOUNDED PRECEDING .. 1
-    PRECEDING, coalesced to 0 for the first row).
+    Plan shape (exactly ONE full-data shuffle):
+
+    1. ``repartitionByRange`` on the order key (sampled split points) +
+       ``sortWithinPartitions``, materialized ONCE via a lazy
+       ``localCheckpoint`` — the only wide op. The checkpoint is load-
+       bearing for correctness, not just speed: the prefix side and the
+       totals side must see the SAME partition boundaries, and two
+       physical instances of a range exchange each re-sample their own
+       split points (exchange reuse is not guaranteed to deduplicate
+       them — observed not to here). Storage cost ≈ dataset size in
+       executor memory/disk, the same order as the shuffle itself.
+    2. Local prefix sums via ``mapInPandas`` (vectorized ``np.cumsum``
+       per Arrow batch, running carry across batches). A
+       ``Window.partitionBy(spark_partition_id())`` would instead force
+       a SECOND full-data hash exchange — Catalyst can't know the pid
+       column is aligned with the range partitioning — and, being
+       nondeterministic, ``spark_partition_id()`` also disables exchange
+       reuse (measured: 4 full-data exchanges for the window form vs 1
+       here). The pid comes from ``TaskContext`` inside the UDF, which
+       is stable for the checkpointed partitioning.
+    3. Per-partition totals (a second ``mapInPandas`` over the same
+       checkpointed partitions, one output row per partition) →
+       cumulative predecessor offsets via an ``n_parts``-row single-
+       partition window → broadcast-joined back on pid.
+
+    Exact and total provided ``order_cols`` ends in a unique
+    tie-breaking key. ``exclusive=True`` gives the sum-of-strict-
+    predecessors form (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING,
+    coalesced to 0 for the first row). Nulls in ``value_col`` contribute
+    0, matching ``coalesce(sum(v) OVER ..., 0)``. Integral value columns
+    produce a ``long`` cumsum; everything else ``double``.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
-    part = df.repartitionByRange(n_parts, *[F.col(c) for c in cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    integral = isinstance(
+        df.schema[value_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     )
-    frame_end = -1 if exclusive else 0
-    local = part.withColumn(
-        "_lsum",
-        F.coalesce(
-            F.sum(value_col).over(
-                Window.partitionBy("_pid")
-                .orderBy(*cols)
-                .rowsBetween(Window.unboundedPreceding, frame_end)
-            ),
-            F.lit(0),
-        ),
+    np_dtype = np.int64 if integral else np.float64
+    sum_type = T.LongType() if integral else T.DoubleType()
+
+    part = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=False)
     )
+
+    local_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("_pid", T.IntegerType()), T.StructField("_lsum", sum_type)]
+    )
+
+    def _values(pdf):
+        # null contributes 0; integral stays in int64 end-to-end (a
+        # float64 detour would silently round sums past 2^53)
+        return pdf[value_col].fillna(0).to_numpy(dtype=np_dtype)
+
+    def _prefix(batches):
+        pid = TaskContext.get().partitionId()
+        carry = np_dtype(0)
+        for pdf in batches:
+            v = _values(pdf)
+            csum = np.cumsum(v)
+            lsum = (csum - v) if exclusive else csum
+            out = pdf.copy()
+            out["_pid"] = np.int32(pid)
+            out["_lsum"] = carry + lsum
+            if len(v):
+                carry = carry + np_dtype(csum[-1])
+            yield out
+
+    local = part.mapInPandas(_prefix, schema=local_schema)
+
+    def _totals(batches):
+        pid = TaskContext.get().partitionId()
+        total = np_dtype(0)
+        for pdf in batches:
+            total = total + _values(pdf).sum()
+        yield pd.DataFrame(
+            {"_pid": pd.array([pid], dtype="int32"), "_n": [total]}
+        )
+
+    totals_schema = T.StructType(
+        [T.StructField("_pid", T.IntegerType()), T.StructField("_n", sum_type)]
+    )
+    # n_parts rows total — the single-partition window here is over a
+    # dimension-sized frame, not the data. Both mapInPandas passes read
+    # the same checkpointed partitions; no second shuffle or sort.
     offsets = (
-        part.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_n"))
+        part.mapInPandas(_totals, schema=totals_schema)
         .withColumn(
             "_offset",
             F.coalesce(
@@ -303,13 +347,13 @@ def global_cumsum(
                     )
                 ),
                 F.lit(0),
-            ),
+            ).cast(sum_type),
         )
         .select("_pid", "_offset")
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(cumsum_col, F.col("_lsum") + F.col("_offset"))
+        .withColumn(cumsum_col, (F.col("_lsum") + F.col("_offset")).cast(sum_type))
         .drop("_pid", "_lsum", "_offset")
     )
 
