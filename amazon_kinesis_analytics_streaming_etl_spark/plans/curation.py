@@ -239,8 +239,8 @@ def redact_pii(text: Column | str) -> Column:
       FROM documents)
     SELECT source,
            count(*) AS docs,
-           sum(CASE WHEN s <> text THEN 1 ELSE 0 END) AS docs_redacted,
-           sum(length(text) - length(s)) AS chars_delta
+           CAST(sum(CASE WHEN s <> text THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+           CAST(sum(length(text) - length(s)) AS BIGINT) AS chars_delta
     FROM scrubbed GROUP BY source ORDER BY source
     """,
 )

@@ -166,11 +166,14 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
 }
 
 
-#: events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS) which Spark's
-#: vectorized reader rejects; we read it as long (legacy conf) and convert
-#: to TimestampType at load. DuckDB reads the same file natively, so the
-#: oracle sees identical instants (ns truncated to us on both paths — the
-#: testdata generator wrote us-precision values).
+#: events.parquet has shipped in two layouts: historically parquet
+#: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — we read it
+#: as long via the legacy conf and convert), currently TIMESTAMP(MICROS)
+#: which reads natively (as TIMESTAMP_NTZ when isAdjustedToUTC=false).
+#: ``load_events`` dispatches on the dtype the footer resolves to, so both
+#: layouts load as TimestampType with identical instants; DuckDB reads the
+#: same file natively, so the oracle sees the same values (session TZ is
+#: UTC, making the NTZ->LTZ cast a wall-clock identity).
 EVENTS_RAW_SCHEMA = StructType(
     [
         f if f.name != "ts" else StructField("ts", LongType())
@@ -180,38 +183,64 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def _enable_nanos_as_long(spark: SparkSession) -> None:
+    # Only set on the legacy-nanos path — globally mutating the session for
+    # files that don't need it is what the modern layout avoids.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table with ``ts`` as a proper TimestampType."""
+def _events_ts_to_timestamp(raw: DataFrame) -> DataFrame:
+    """Normalize whatever dtype ``ts`` resolved to into TimestampType."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType as _TsT
 
-    _enable_nanos_as_long(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # ns -> us MUST be exact integer division: (ts / 1000).cast('long')
-    # promotes int64 nanos (~1.7e18 > 2^53) to double first, which loses
-    # 1us on ~1.5% of values and silently diverges from the DuckDB oracle.
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).select([f.name for f in TESTDATA_SCHEMAS["events"].fields])
+    dt = raw.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # Legacy TIMESTAMP(NANOS)-as-long path. ns -> us MUST be exact
+        # integer division: (ts / 1000).cast('long') promotes int64 nanos
+        # (~1.7e18 > 2^53) to double first, which loses 1us on ~1.5% of
+        # values and silently diverges from the DuckDB oracle.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        # Modern TIMESTAMP(MICROS, isAdjustedToUTC=false) layout. Session
+        # TZ is UTC so this cast preserves the wall-clock instant exactly.
+        raw = raw.withColumn("ts", F.col("ts").cast(TimestampType()))
+    elif not isinstance(dt, _TsT):  # pragma: no cover - future layouts
+        raise TypeError(f"events.ts resolved to unsupported dtype {dt}")
+    return raw.select([f.name for f in TESTDATA_SCHEMAS["events"].fields])
+
+
+def _read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-read events.parquet, enabling the legacy nanos conf only if
+    the footer actually needs it (TIMESTAMP(NANOS) fails schema inference
+    otherwise)."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        _enable_nanos_as_long(spark)
+        return spark.read.parquet(path)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with ``ts`` as a proper TimestampType,
+    whichever parquet timestamp layout the file uses."""
+    return _events_ts_to_timestamp(_read_events_raw(spark, sf_dir))
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of load_events: bounded file-source replay of the
-    events table (glob path — FileStreamSource requires a dir or glob)."""
-    from pyspark.sql import functions as F
+    events table (glob path — FileStreamSource requires a dir or glob).
 
-    _enable_nanos_as_long(spark)
+    FileStreamSource needs an explicit schema, so we take it from a batch
+    footer read — that way the stream sees the same raw dtype the batch
+    dispatch saw, and the same normalization applies."""
+    raw_schema = _read_events_raw(spark, sf_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .load(f"{sf_dir}/events.*")
     )
-    # exact integer division — see load_events for why not `/ 1000`.
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).select([f.name for f in TESTDATA_SCHEMAS["events"].fields])
+    return _events_ts_to_timestamp(raw)
 
 
 def load_tables(
