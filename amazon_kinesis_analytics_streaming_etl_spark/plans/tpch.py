@@ -606,13 +606,26 @@ def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (p_container proxied by p_size): the correlated avg
     subquery decorrelates to a per-part aggregate joined back — one
-    extra shuffle on l_partkey instead of a per-row subquery."""
+    extra shuffle on l_partkey instead of a per-row subquery.
+
+    Scale note: the per-partkey average is computed only for partkeys
+    surviving the brand/size filter (broadcast semi-join pushed into the
+    scan), NOT over all of lineitem — a per-partkey aggregate of the full
+    table is |part|-sized (~2B rows at 100 TB) and would OOM as a
+    broadcast build side. After the semi-join both broadcasts are bounded
+    by the filtered part count (~1/1250 of part)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_brand") == "Brand#3") & (F.col("p_size") == 10)
     )
-    avg_qty = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    avg_qty = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)

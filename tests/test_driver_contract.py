@@ -27,17 +27,10 @@ def test_every_query_has_callable_and_oracle_keys_align(contract):
     qs, oracles = contract.queries(), contract.oracle_sql()
     assert len(qs) >= 40
     assert set(oracles) <= set(qs)
-    # the no-oracle set is exactly the engine-specific/approximate ops
-    assert set(qs) - set(oracles) == {
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_embedding_lsh",
-        "sim_topk_lsh",
-        "sim_topk_ivf",
-        "multimodal_decode",
-        "multimodal_resize",
-        "multimodal_features_topk",
-    }
+    # every registered query is oracle-checkable: the approximate ops
+    # (minhash/simhash/lsh/ivf) gate themselves against exact twins and
+    # the multimodal fake codec is reproduced in SQL (md5 arithmetic)
+    assert set(qs) - set(oracles) == set()
 
 
 def test_all_oracle_queries_match_duckdb_at_smoke_scale(spark, contract):

@@ -28,6 +28,13 @@ SCALAR_THRESHOLD_QUERIES = {
     # lexical family: 1-row corpus-stats broadcasts (N, avgdl, df).
     "tfidf_top_keywords",
     "bm25_retrieval",
+    # approx-vs-exact gate queries: crossJoins of 1-row summary aggregates
+    # (exact-pair count x recall/subset booleans).
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "dedup_embedding_lsh",
 }
 
 def _batch_queries():
@@ -56,6 +63,17 @@ def test_filters_reach_the_parquet_scan(spark):
         c.split(":")[0]
         for c in read_schema.split("<", 1)[1].rsplit(">", 1)[0].split(",")
     ) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q17_avg_subquery_broadcast_is_bounded_by_part_filter(spark):
+    """The per-partkey avg must be semi-joined to the brand/size-filtered
+    part set BEFORE being broadcast: a broadcast of an avg over ALL of
+    lineitem's partkeys is |part|-sized and OOMs at 100x scale. The
+    executed plan must show the LeftSemi pushdown feeding the aggregate."""
+    qs = _batch_queries()
+    df = qs["q17_small_qty_revenue"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, f"avg subquery not bounded by part filter\n{plan}"
 
 
 @pytest.mark.parametrize("name", sorted(_batch_queries()))
