@@ -445,3 +445,54 @@ def embedding_near_dup_pairs(
         F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= threshold)
+
+
+def embedding_near_dup_pairs_multitable(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table sign-bit LSH banding —
+    the MinHash-LSH banding discipline applied to vectors.
+
+    Each row explodes to L (table_idx, signature) bucket keys; pairs form
+    only within a bucket (shuffle keyed by bucket, never all-pairs),
+    dedupe across tables, then exact-cosine verify. Recall amplifies as
+    1-(1-p^b)^L while the per-bucket join stays bounded — the knob a
+    single exact-signature block lacks. Returned pairs are exact-verified,
+    so precision is 1.0 regardless of L."""
+    from ..functions.vectors import sign_bits_tables
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # Materialize signatures once before the explode (same discipline as
+    # minhash_lsh_candidates: don't recompute L x b plane dots per pair).
+    sigs = base.withColumn("_sigs", sign_bits_tables(F.col("_v"), tables)).persist()
+    bucketed = sigs.select(
+        "_id", F.posexplode("_sigs").alias("_tbl", "_sig")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._tbl") == F.col("b._tbl"))
+            & (F.col("a._sig") == F.col("b._sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = sigs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = sigs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    return verified

@@ -92,6 +92,55 @@ def lsh_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def lsh_topk_multitable(
+    df: DataFrame,
+    query_vec: list[float],
+    tables: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Multi-table sign-bit LSH top-k: a vector is a candidate if ANY of
+    its L per-table signatures falls in that table's probe set.
+
+    Recall = 1-(1-p_probe)^L vs a single table's p_probe — the standard
+    L-tables amplification (p = per-table probe-collision probability).
+    The plan stays a narrow scan -> filter(OR over per-table isin) ->
+    exact re-rank: no join, no shuffle beyond TakeOrdered, so scan cost
+    grows with L x n_bits plane dots (JVM codegen) while the candidate
+    set stays ~L x N x probes/2^bits."""
+    import itertools
+
+    def probes_for(planes: list[list[float]]) -> list[int]:
+        qsig = 0
+        for i, plane in enumerate(planes):
+            d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+            if d >= 0:
+                qsig |= 1 << i
+        nbits = len(planes)
+        out = {qsig}
+        for r in range(1, probe_hamming + 1):
+            for bits in itertools.combinations(range(nbits), r):
+                s = qsig
+                for b in bits:
+                    s ^= 1 << b
+                out.add(s)
+        return [int(p) for p in out]
+
+    from ..functions.vectors import sign_bits
+
+    cond = None
+    for planes in tables:
+        hit = sign_bits(F.col(vec_col), planes).isin(probes_for(planes))
+        cond = hit if cond is None else (cond | hit)
+    scored = df.where(cond).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

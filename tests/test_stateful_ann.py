@@ -161,3 +161,88 @@ def test_embedding_near_dup_unblocked_call_auto_blocks(spark):
     allp = {(r.id_a, r.id_b) for r in
             embedding_near_dup_pairs(df, threshold=0.99, allow_all_pairs=True).collect()}
     assert auto <= allp
+
+
+def _planted_near_dup_corpus(spark, n_base=120, n_dups=40, dim=64, noise=0.25):
+    """Deterministic corpus: random unit-ish vectors plus noisy copies of
+    the first n_dups (cos(base, copy) ~ 0.97 at noise=0.25) — the regime
+    embedding dedup actually targets."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    base_vecs = []
+    for i in range(n_base):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        base_vecs.append(v)
+        rows.append((i, [float(x) for x in v]))
+    for j in range(n_dups):
+        v = [x + rng.gauss(0.0, noise) for x in base_vecs[j]]
+        rows.append((10000 + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_multitable_lsh_pairs_amplify_recall_over_single_table(spark):
+    """L-tables banding must recover nearly all planted near-dup pairs
+    where a single 8-bit exact-signature block structurally cannot
+    (per-table collision p^8 ~ 0.3 at cos 0.97's angle ~ 14deg... measured
+    here, not assumed): the assertion pins multi >= 0.9 recall AND
+    multi > single, the amplification actually doing work."""
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.vectors import (
+        lsh_tables,
+        sign_bits,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_multitable,
+    )
+
+    df = _planted_near_dup_corpus(spark)
+    truth = {(j, 10000 + j) for j in range(40)}
+
+    tables = lsh_tables(dim=64, n_tables=8, n_bits=8, seed=11)
+    multi = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_multitable(
+            df, tables, threshold=0.9
+        ).collect()
+    }
+    single_block = sign_bits(F.col("embedding"), tables[0])
+    single = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df.withColumn("_b", single_block), block_col="_b", threshold=0.9
+        ).collect()
+    }
+    # precision 1.0 by construction (exact verify) — no false pairs
+    assert multi <= truth | {(a, b) for a in range(120) for b in range(120)}
+    multi_recall = len(multi & truth) / len(truth)
+    single_recall = len(single & truth) / len(truth)
+    assert multi_recall >= 0.9, (multi_recall, single_recall)
+    assert multi_recall > single_recall, (multi_recall, single_recall)
+
+
+def test_multitable_lsh_topk_beats_single_table(spark):
+    """Top-k through L tables must recover the planted near-dup of the
+    query vector and strictly more of the exact top-10 than one table."""
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.vectors import lsh_tables
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        lsh_topk_multitable,
+    )
+
+    df = _planted_near_dup_corpus(spark)
+    q = [float(x) for x in df.where(F.col("vec_id") == 0).head().embedding]
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
+    tables = lsh_tables(dim=64, n_tables=8, n_bits=8, seed=11)
+    multi = [
+        r.vec_id
+        for r in lsh_topk_multitable(df, q, tables, k=10, probe_hamming=1).collect()
+    ]
+    single = [
+        r.vec_id for r in lsh_topk(df, q, tables[0], k=10, probe_hamming=1).collect()
+    ]
+    assert 0 in multi and 10000 in multi  # self + its planted near-dup
+    assert len(set(multi) & set(exact)) >= len(set(single) & set(exact))
+    assert len(set(multi) & set(exact)) >= 2
