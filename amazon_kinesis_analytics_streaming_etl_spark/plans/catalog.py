@@ -76,6 +76,9 @@ _STALE_R4 = [
     "ts_similarity_topk",
     "agg_pivot",
     "global_rank_sampled",
+    # new in round 4 — never checked yet
+    "mixture_sample_sources",
+    "dedup_keep_best",
 ]
 
 # Family priority by defining module for the already-green tail.

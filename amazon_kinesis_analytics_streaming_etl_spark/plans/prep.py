@@ -216,3 +216,132 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic weighted mixture sampling
+# --------------------------------------------------------------------------
+
+@register(
+    "mixture_sample_sources",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u,
+             (1 + CAST(substr(source, 4) AS INT)) / 20.0 AS rate
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE u < rate ORDER BY doc_id
+    """,
+)
+def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling — the data-mixture step
+    of a pre-training pipeline (upsample/downsample each source toward
+    target weights).
+
+    Acceptance is a pure function of the row key (md5(doc_id) mapped to
+    [0,1) against the source's target rate), NOT ``rand()``: resampling
+    the corpus after appends keeps prior decisions stable (reproducible
+    mixtures, incremental materialization), and the oracle can replay the
+    exact sample. Plan: one scan, one narrow filter — no shuffle at all;
+    at 100 TB this is embarrassingly parallel. Here the target rate ramps
+    (1+i)/20 across sources src0..src19 to exercise non-uniform weights.
+    """
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    rate = (1 + F.substring("source", 4, 10).cast("int")) / F.lit(20.0)
+    return (
+        docs.where(u < rate).select("doc_id", "source").orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup cluster representative selection (keep-best)
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_keep_best",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
+               i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+    ),
+    inv AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        FROM inv a JOIN inv b ON md5(a.sh) = md5(b.sh) AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, comp) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    members AS (
+      SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id
+    ),
+    ranked AS (
+      SELECT m.cluster_id, m.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY m.cluster_id
+               ORDER BY d.n_chars DESC, m.doc_id ASC
+             ) AS rn
+      FROM members m JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+           count(*) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final step of the near-dup pipeline: pairs -> connected
+    components -> ONE representative per cluster, chosen by quality
+    (longest document wins, doc_id breaks ties), everything else dropped.
+
+    Plan: the pair/cluster stages reuse the inverted-index +
+    min-label-propagation operators; representative selection is a
+    per-cluster window (shuffle keyed by cluster_id — bounded by cluster
+    sizes, which near-dup clusters keep small) plus a count aggregate on
+    the same key, so the added cost is one keyed shuffle reused by both.
+    """
+    from ..operators.dedup import dup_clusters, ngram_jaccard_pairs
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    members = dup_clusters(pairs)
+    with_q = members.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = with_q.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.count("*").alias("n_members"),
+            (F.count("*") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
