@@ -73,12 +73,21 @@ def bench_etl_throughput(spark, n_records: int = 200_000) -> dict:
     )
 
     out = tempfile.mkdtemp(prefix="bench_etl_")
+    warm = tempfile.mkdtemp(prefix="bench_etl_warm_")
     try:
         raw = spark.range(n_records).select(
             synthetic_trip_event_json(
                 F.col("id"),
                 F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 86400),
             ).alias("value")
+        )
+        # Warm the write path (committer + parquet writer init dominate the
+        # first partitioned write: ~3s once-off vs ~1.5s steady-state for
+        # 200k rows). The keep-up criterion is SUSTAINED throughput, and the
+        # streaming measure below already drops its first batch for the same
+        # reason — measure the ETL the same way.
+        write_file_sink_batch(
+            parse_trip_events(raw.limit(1_000)), warm, parquet=True
         )
         t0 = time.time()
         events = parse_trip_events(raw)
@@ -87,6 +96,7 @@ def bench_etl_throughput(spark, n_records: int = 200_000) -> dict:
         return {"records": n_records, "sec": round(dt, 3), "recs_per_sec": round(n_records / dt)}
     finally:
         shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(warm, ignore_errors=True)
 
 
 def bench_streaming_keepup(

@@ -99,3 +99,33 @@ def test_roundtrip_parse_serialize_parse(spark, valid_event):
         if k in ("pickup_datetime", "dropoff_datetime", "trip_id", "type"):
             continue
         assert obj[k] == valid_event[k], k
+
+
+def test_timestamp_grammar_matches_joda_iso(spark, valid_event):
+    """The pinned timestampFormat must accept what Joda `new DateTime(text)`
+    accepts (fraction, offset, Z) and reject what it rejects
+    (space-separated local datetime) — TripEventSchema.java:58-59 drops
+    records whose timestamps Joda can't parse."""
+    import json
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.parse import split_corrupt
+
+    def row(ts):
+        e = dict(valid_event)
+        e["pickup_datetime"] = ts
+        return json.dumps(e)
+
+    accepted = [
+        "2018-11-23T20:30:14",
+        "2018-11-23T20:30:14.123",
+        "2018-11-23T20:30:14+02:00",
+        "2018-11-23T20:30:14.123+02:00",
+        "2018-11-23T20:30:14Z",
+    ]
+    rejected = ["2018-11-23 20:30:14", "23/11/2018 20:30"]
+    df = spark.createDataFrame(
+        [(row(ts),) for ts in accepted + rejected], "value string"
+    )
+    valid, corrupt = split_corrupt(df)
+    assert valid.count() == len(accepted)
+    assert corrupt.count() == len(rejected)
