@@ -198,6 +198,56 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for IVF list centroids.
+
+    Init = embeddings of the first ``nlist`` ids (deterministic; no RNG so
+    replays/resumes converge identically). Each iteration: broadcast the
+    centroids as a literal array, assign every vector to its argmax-cosine
+    centroid (one narrow pass, same expression ``ivf_topk`` uses), then
+    recompute elementwise means via posexplode + (cluster, dim) aggregate
+    — a shuffle of N x dim scalar rows with full partial aggregation
+    map-side. Only ``nlist x dim`` floats ever reach the driver per
+    iteration. At 100 TB you train on a sample (``df.sample(...)``) — the
+    assignment pass is the only full-corpus stage, and it is narrow.
+
+    Empty clusters keep their previous centroid (standard Lloyd's
+    degeneracy guard)."""
+    from ..functions.vectors import cosine
+
+    rows = (
+        df.orderBy(F.col(id_col).asc()).limit(nlist).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in rows]
+
+    for _ in range(iters):
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        sims = F.transform(cent_arr, lambda c: cosine(F.col(vec_col), c))
+        assigned = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+        means = (
+            df.select(assigned.alias("_list"), F.posexplode(vec_col).alias("_i", "_x"))
+            .groupBy("_list", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r._list, {})[r._i] = r._m
+        for li, dims in by_list.items():
+            new_c[li] = [dims[i] for i in sorted(dims)]
+        centroids = new_c
+    return centroids
+
+
 def topk_pairs_per_group(
     df: DataFrame,
     group_col: str = "label",
