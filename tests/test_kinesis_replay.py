@@ -1,0 +1,176 @@
+"""Kinesis-model replay source (Python Data Source API): shard
+parallelism, per-shard sequence offsets, TRIM_HORIZON/LATEST, shard
+discovery, exactly-once resume, and the S1->P1->K1 slice end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write_shard(d: str, shard_idx: int, lines: list[str], append: bool = False):
+    path = os.path.join(d, f"shardId-{shard_idx:012d}.jsonl")
+    with open(path, "a" if append else "w") as f:
+        for line in lines:
+            f.write(line + "\n")
+
+
+def _drain(spark, stream_dir: str, ckpt: str, out: str, position: str = "TRIM_HORIZON"):
+    """availableNow drain to a parquet sink (memory sink cannot recover
+    from a checkpoint; the file sink's exactly-once resume is exactly what
+    these tests pin). Returns the cumulative sink contents."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        kinesis_replay_stream,
+    )
+
+    df = kinesis_replay_stream(spark, stream_dir, position).select(
+        "shardId", "sequenceNumber", F.col("data").cast("string").alias("payload")
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out)
+    except Exception:  # zero-row first drain: sink dir not yet created
+        return spark.createDataFrame(
+            [], "shardId string, sequenceNumber string, payload string"
+        )
+
+
+def test_batch_read_all_shards(spark, tmp_path):
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        register_kinesis_replay,
+    )
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    _write_shard(d, 0, ["a0", "a1"])
+    _write_shard(d, 1, ["b0"])
+    register_kinesis_replay(spark)
+    df = spark.read.format("kinesis-replay").option("path", d).load()
+    rows = sorted(
+        (r.shardId, r.sequenceNumber, bytes(r.data).decode()) for r in df.collect()
+    )
+    assert rows == [
+        ("shardId-000000000000", f"{0:020d}", "a0"),
+        ("shardId-000000000000", f"{1:020d}", "a1"),
+        ("shardId-000000000001", f"{0:020d}", "b0"),
+    ]
+    assert df.rdd.getNumPartitions() == 2  # one partition per shard
+
+
+def test_stream_trim_horizon_resume_and_shard_discovery(spark, tmp_path):
+    d = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    os.makedirs(d)
+    _write_shard(d, 0, ["r0", "r1"])
+
+    assert _drain(spark, d, ckpt, out).count() == 2
+
+    # replay with same checkpoint: nothing new (exactly-once offsets)
+    assert _drain(spark, d, ckpt, out).count() == 2
+
+    # append to shard 0 + reshard (new shard file): only the delta arrives
+    _write_shard(d, 0, ["r2"], append=True)
+    _write_shard(d, 1, ["s0", "s1"])
+    out3 = _drain(spark, d, ckpt, out)
+    got = sorted((r.shardId, r.sequenceNumber, r.payload) for r in out3.collect())
+    assert out3.count() == 5
+    assert ("shardId-000000000000", f"{2:020d}", "r2") in got
+    assert ("shardId-000000000001", f"{0:020d}", "s0") in got
+
+
+def test_stream_latest_skips_preexisting(spark, tmp_path):
+    d = str(tmp_path / "stream2")
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "sink2")
+    os.makedirs(d)
+    _write_shard(d, 0, ["old0", "old1"])
+
+    n1 = _drain(spark, d, ckpt, out, position="LATEST").count()
+
+    _write_shard(d, 0, ["new0"], append=True)
+    out2 = _drain(spark, d, ckpt, out, position="LATEST")
+    datas = {r.payload for r in out2.collect()}
+    assert n1 == 0
+    assert datas == {"new0"}
+
+
+def test_s1_to_parse_to_sink_slice(spark, tmp_path, valid_event):
+    """The reference's record path (Kinesis bytes -> deserializer ->
+    partitioned parquet, StreamingEtl.java:92-100,215-240) over the
+    replay source: data column feeds parse_trip_events unchanged."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.parse import (
+        parse_trip_events,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        kinesis_replay_stream,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.sinks import (
+        file_sink_stream,
+    )
+
+    d = str(tmp_path / "stream3")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt3")
+    os.makedirs(d)
+    bad = "{not json"
+    _write_shard(d, 0, [json.dumps(valid_event), bad])
+    _write_shard(d, 1, [json.dumps({**valid_event, "trip_id": 7})])
+
+    raw = kinesis_replay_stream(spark, d)
+    events = parse_trip_events(raw, value_col="data")
+    q = (
+        file_sink_stream(events, out, ckpt, parquet=True)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # file_sink_stream writes the K3 layout directly under ``out`` (the
+    # job_start= prefix is added by the Pipeline layer, not the sink)
+    df = spark.read.parquet(f"{out}/pickup_location=*/year=*/month=*")
+    assert df.count() == 2  # malformed line dropped
+    assert sorted(r.trip_id for r in df.select("trip_id").collect()) == [7, 9000001]
+
+
+def test_pipeline_from_config_with_replay_source(spark, tmp_path, valid_event):
+    """The FULL reference pipeline (C1 config -> S1 source -> P1/P2 parse
+    -> K3 partitioning -> K1 parquet sink, exactly-once) driven by
+    InputKinesisReplayDir through the same config surface a live
+    InputKinesisStream would use."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import Pipeline
+
+    d = str(tmp_path / "stream")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    _write_shard(d, 0, [json.dumps(valid_event), "garbage{{{"])
+    _write_shard(d, 1, [json.dumps({**valid_event, "trip_id": 11})])
+
+    args = [
+        "--InputKinesisReplayDir", d,
+        "--InputStreamInitalPosition", "TRIM_HORIZON",
+        "--OutputBucket", out,
+        "--ParquetConversion", "true",
+        "--CheckpointLocation", ckpt,
+    ]
+    Pipeline.from_config(spark, args=args).run_available_now()
+    df = spark.read.parquet(f"{out}/job_start=*/pickup_location=*/year=*/month=*")
+    assert df.count() == 2
+    assert sorted(r.trip_id for r in df.select("trip_id").collect()) == [11, 9000001]
+
+    # rerun with the same checkpoint: exactly-once, nothing new
+    Pipeline.from_config(spark, args=args).run_available_now()
+    assert (
+        spark.read.parquet(f"{out}/job_start=*/pickup_location=*/year=*/month=*").count()
+        == 2
+    )
