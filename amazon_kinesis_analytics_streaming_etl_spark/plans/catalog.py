@@ -98,6 +98,9 @@ _FAMILY_PRIORITY = {
 
 def _reorder() -> None:
     names = list(QUERIES)
+    unknown = (set(_CANARY) | set(_STALE_R4)) - set(names)
+    if unknown:  # a typo here silently strands a query past the window
+        raise ValueError(f"catalog priority lists name unknown queries: {unknown}")
     original_pos = {n: i for i, n in enumerate(names)}
     canary_pos = {n: i for i, n in enumerate(_CANARY)}
     stale_pos = {n: i for i, n in enumerate(_STALE_R4)}
