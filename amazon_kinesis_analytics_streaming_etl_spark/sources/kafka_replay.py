@@ -1,0 +1,186 @@
+"""S2 twin: a Kafka-model replay source via the Python Data Source API.
+
+Same construction as :mod:`.kinesis_replay` (which see for the design
+rationale), mapped to Kafka's execution model and the spark-sql-kafka
+connector's output schema: topic-partitions are the unit of parallelism,
+offsets are per-partition longs, ``startingOffsets`` is earliest|latest.
+The replay directory is a topic:
+
+    <topic_dir>/partition-00000.jsonl
+    <topic_dir>/partition-00001.jsonl
+
+one record value per line; appending lines == producing records; new
+partition files are discovered at the next micro-batch (partition
+expansion). Offsets here are line numbers — monotonic per partition,
+exactly Kafka's contract.
+
+The output columns (``key/value/topic/partition/offset/timestamp/
+timestampType``) mirror spark-sql-kafka, so ``parse_trip_events`` on
+``value`` and every downstream stage run unchanged against either the
+live connector or the replay (StreamingEtl.java:178-188 is the reference's
+Kafka leg of the same pipeline).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .kinesis_replay import _count_lines, _read_lines
+
+KAFKA_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+_PART_PREFIX = "partition-"
+
+
+def _partition_files(path: str) -> dict[int, str]:
+    out: dict[int, str] = {}
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.startswith(_PART_PREFIX):
+                idx = int(name[len(_PART_PREFIX):].split(".", 1)[0])
+                out[idx] = os.path.join(path, name)
+    return out
+
+
+@dataclass
+class _TopicSlice(InputPartition):
+    partition: int
+    path: str
+    start: int
+    end: int
+    topic: str
+
+
+def _rows(slice_: _TopicSlice, payloads: list[bytes]):
+    for i, value in enumerate(payloads):
+        yield (
+            None,
+            value,
+            slice_.topic,
+            slice_.partition,
+            slice_.start + i,
+            None,
+            0,  # TimestampType.CREATE_TIME sentinel, as the connector emits
+        )
+
+
+def _read_slice(slice_: _TopicSlice):
+    if slice_.end <= slice_.start or not slice_.path:
+        return iter(())
+    return _rows(slice_, _read_lines(slice_.path, slice_.start, slice_.end))
+
+
+class _KafkaReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kafka-replay requires a 'path' option")
+        self.topic = os.path.basename(self.path.rstrip("/"))
+        start = (options.get("startingoffsets") or "earliest").lower()
+        if start not in ("earliest", "latest"):
+            raise ValueError(f"startingOffsets must be earliest|latest, got {start}")
+        self.starting = start
+
+    def initialOffset(self) -> dict:
+        files = _partition_files(self.path)
+        if self.starting == "earliest":
+            return {str(p): 0 for p in files}
+        return {str(p): _count_lines(fp) for p, fp in files.items()}
+
+    def latestOffset(self) -> dict:
+        return {str(p): _count_lines(fp) for p, fp in _partition_files(self.path).items()}
+
+    def partitions(self, start: dict, end: dict):
+        files = _partition_files(self.path)
+        out = []
+        for p, hi in end.items():
+            lo = start.get(p, 0)  # new partition discovered: from earliest
+            pi = int(p)
+            if hi > lo and pi in files:
+                out.append(_TopicSlice(pi, files[pi], lo, hi, self.topic))
+        return out or [_TopicSlice(-1, "", 0, 0, self.topic)]
+
+    def read(self, partition: _TopicSlice):
+        return _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class _KafkaReplayBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kafka-replay requires a 'path' option")
+        self.topic = os.path.basename(self.path.rstrip("/"))
+
+    def partitions(self):
+        return [
+            _TopicSlice(p, fp, 0, _count_lines(fp), self.topic)
+            for p, fp in _partition_files(self.path).items()
+        ] or [_TopicSlice(-1, "", 0, 0, self.topic)]
+
+    def read(self, partition: _TopicSlice):
+        return _read_slice(partition)
+
+
+class KafkaReplayDataSource(DataSource):
+    """``spark.read/readStream.format("kafka-replay").option("path", dir)``
+    with optional ``startingOffsets`` (earliest default, latest)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka-replay"
+
+    def schema(self) -> StructType:
+        return KAFKA_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _KafkaReplayBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _KafkaReplayStreamReader(self.options)
+
+
+def register_kafka_replay(spark) -> None:
+    spark.dataSource.register(KafkaReplayDataSource)
+
+
+def kafka_replay_stream(spark, topic_dir: str, starting_offsets: str = "earliest"):
+    """S2-shaped stream: Kafka-model records from a replay directory;
+    ``df["value"]`` feeds ``parse_trip_events`` exactly as the live
+    connector's value column does."""
+    register_kafka_replay(spark)
+    return (
+        spark.readStream.format("kafka-replay")
+        .option("path", topic_dir)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )

@@ -49,7 +49,11 @@ def _has_kinesis(cfg: JobConfig) -> bool:
 
 
 def _has_kafka(cfg: JobConfig) -> bool:
-    return cfg.has("InputKafkaBootstrapServers") and cfg.has("InputKafkaTopic")
+    # live bootstrap+topic OR a local replay dir both select the kafka
+    # source kind (kafka_source dispatches between them)
+    return (
+        cfg.has("InputKafkaBootstrapServers") and cfg.has("InputKafkaTopic")
+    ) or cfg.has("InputKafkaReplayDir")
 
 
 def _has_file(cfg: JobConfig) -> bool:
@@ -123,7 +127,21 @@ def kinesis_source(spark: SparkSession, cfg: JobConfig) -> DataFrame:
 
 def kafka_source(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     """S2 — Kafka streaming source with read_committed isolation
-    (StreamingEtl.java:178-188)."""
+    (StreamingEtl.java:178-188).
+
+    The Kafka *execution model* (topic-partitions as the parallelism
+    unit, per-partition long offsets, earliest/latest start, partition
+    discovery) runs in-process via sources/kafka_replay.py; set
+    ``InputKafkaReplayDir`` to use it through this same config surface.
+    The live path below needs the spark-sql-kafka jar + a broker.
+    """
+    replay_dir = cfg.get("InputKafkaReplayDir", None)
+    if replay_dir:
+        from .kafka_replay import kafka_replay_stream
+
+        start = str(cfg.get("InputKafkaStartingOffsets", "earliest")).lower()
+        df = kafka_replay_stream(spark, str(replay_dir), start)
+        return df.select(F.col("value").cast(payload_type(cfg)).alias("value"))
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", cfg.get_required("InputKafkaBootstrapServers"))

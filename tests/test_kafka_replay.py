@@ -1,0 +1,144 @@
+"""Kafka-model replay source: partition parallelism, long offsets,
+earliest/latest, partition discovery, exactly-once resume, and the full
+pipeline through the S2 config surface."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def _produce(d: str, partition: int, lines: list[str], append: bool = False):
+    path = os.path.join(d, f"partition-{partition:05d}.jsonl")
+    with open(path, "a" if append else "w") as f:
+        for line in lines:
+            f.write(line + "\n")
+
+
+def _drain(spark, topic_dir: str, ckpt: str, out: str, starting: str = "earliest"):
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        kafka_replay_stream,
+    )
+
+    df = kafka_replay_stream(spark, topic_dir, starting).select(
+        "topic", "partition", "offset", F.col("value").cast("string").alias("payload")
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out)
+    except Exception:  # zero-row first drain
+        return spark.createDataFrame(
+            [], "topic string, partition int, offset long, payload string"
+        )
+
+
+def test_batch_read_partitions_and_schema(spark, tmp_path):
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        register_kafka_replay,
+    )
+
+    d = str(tmp_path / "trips")
+    os.makedirs(d)
+    _produce(d, 0, ["a0", "a1"])
+    _produce(d, 1, ["b0"])
+    register_kafka_replay(spark)
+    df = spark.read.format("kafka-replay").option("path", d).load()
+    assert df.rdd.getNumPartitions() == 2
+    rows = sorted(
+        (r.topic, r.partition, r.offset, bytes(r.value).decode()) for r in df.collect()
+    )
+    assert rows == [
+        ("trips", 0, 0, "a0"),
+        ("trips", 0, 1, "a1"),
+        ("trips", 1, 0, "b0"),
+    ]
+
+
+def test_stream_resume_latest_and_partition_discovery(spark, tmp_path):
+    d = str(tmp_path / "topic")
+    os.makedirs(d)
+    _produce(d, 0, ["r0", "r1"])
+
+    ck_e, out_e = str(tmp_path / "ck_e"), str(tmp_path / "out_e")
+    assert _drain(spark, d, ck_e, out_e).count() == 2
+    assert _drain(spark, d, ck_e, out_e).count() == 2  # exactly-once rerun
+
+    ck_l, out_l = str(tmp_path / "ck_l"), str(tmp_path / "out_l")
+    assert _drain(spark, d, ck_l, out_l, starting="latest").count() == 0
+
+    _produce(d, 0, ["r2"], append=True)
+    _produce(d, 1, ["s0"])  # partition expansion
+    later = _drain(spark, d, ck_l, out_l, starting="latest")
+    got = {(r.partition, r.offset, r.payload) for r in later.collect()}
+    assert got == {(0, 2, "r2"), (1, 0, "s0")}
+
+
+def test_pipeline_from_config_with_kafka_replay(spark, tmp_path, valid_event):
+    """C1 config -> S2 kafka-model source -> P1/P2 -> K3/K1, exactly-once,
+    through InputKafkaReplayDir."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import Pipeline
+
+    d = str(tmp_path / "topic")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    _produce(d, 0, [json.dumps(valid_event), "{{{bad"])
+    _produce(d, 1, [json.dumps({**valid_event, "trip_id": 21})])
+
+    args = [
+        "--InputKafkaReplayDir", d,
+        "--OutputBucket", out,
+        "--ParquetConversion", "true",
+        "--CheckpointLocation", ckpt,
+    ]
+    Pipeline.from_config(spark, args=args).run_available_now()
+    df = spark.read.parquet(f"{out}/job_start=*/pickup_location=*/year=*/month=*")
+    assert df.count() == 2
+    assert sorted(r.trip_id for r in df.select("trip_id").collect()) == [21, 9000001]
+
+    Pipeline.from_config(spark, args=args).run_available_now()
+    assert (
+        spark.read.parquet(f"{out}/job_start=*/pickup_location=*/year=*/month=*").count()
+        == 2
+    )
+
+
+def test_source_mutual_exclusion_counts_replay_dirs(spark, tmp_path):
+    import pytest
+
+    from amazon_kinesis_analytics_streaming_etl_spark.config import (
+        from_args_and_properties,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.streaming import (
+        ConfigError,
+        validate_source_config,
+    )
+
+    assert (
+        validate_source_config(
+            from_args_and_properties(["--InputKafkaReplayDir", "/x"])
+        )
+        == "kafka"
+    )
+    assert (
+        validate_source_config(
+            from_args_and_properties(["--InputKinesisReplayDir", "/x"])
+        )
+        == "kinesis"
+    )
+    with pytest.raises(ConfigError):
+        validate_source_config(
+            from_args_and_properties(
+                ["--InputKafkaReplayDir", "/x", "--InputKinesisReplayDir", "/y"]
+            )
+        )
