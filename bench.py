@@ -226,6 +226,74 @@ def _raw_operator_overrides():
     return {"dedup_minhash_lsh": raw_minhash, "sim_topk_lsh": raw_sim_lsh}
 
 
+def bench_kinesis_replay_keepup(
+    spark, n_shards: int = 16, per_shard: int = 25_000
+) -> dict:
+    """Keep-up through the engine's own Kinesis-model Python Data Source
+    (sources/kinesis_replay.py): 16 shards — the reference's provisioned
+    stream width (cdk/lib/streaming-etl.ts:69-71) — replayed through
+    parse -> partitioned Parquet. Shows the S1 replay path itself clears
+    the 16k rec/s shard-ceiling criterion, not just the JVM file source."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.parse import (
+        parse_trip_events,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        kinesis_replay_stream,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.streaming import (
+        synthetic_trip_event_json,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.sinks import (
+        file_sink_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="bench_krsrc_")
+    out = tempfile.mkdtemp(prefix="bench_krout_")
+    ckpt = tempfile.mkdtemp(prefix="bench_krckpt_")
+    try:
+        total = n_shards * per_shard
+        rows = spark.range(total).select(
+            (F.col("id") % n_shards).alias("shard"),
+            synthetic_trip_event_json(
+                F.col("id"),
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 86400),
+            ).alias("value"),
+        )
+        files = [
+            open(os.path.join(d, f"shardId-{i:012d}.jsonl"), "w")
+            for i in range(n_shards)
+        ]
+        for r in rows.toLocalIterator():
+            files[r.shard].write(r.value + "\n")
+        for f in files:
+            f.close()
+        raw = kinesis_replay_stream(spark, d)
+        events = parse_trip_events(raw, value_col="data")
+        t0 = time.time()
+        q = (
+            file_sink_stream(events, out, ckpt, parquet=True)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        rate = round(total / dt)
+        return {
+            "shards": n_shards,
+            "records": total,
+            "sec": round(dt, 3),
+            "recs_per_sec": rate,
+            "keepup": rate >= 16_000,
+        }
+    finally:
+        for dd in (d, out, ckpt):
+            shutil.rmtree(dd, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from amazon_kinesis_analytics_streaming_etl_spark.session import get_spark
@@ -249,6 +317,7 @@ def main() -> None:
 
     etl = bench_etl_throughput(spark)
     streaming = bench_streaming_keepup(spark)
+    kinesis_replay = bench_kinesis_replay_keepup(spark)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -272,6 +341,7 @@ def main() -> None:
                 "sf": sf_val,
                 "etl": etl,
                 "streaming": streaming,
+                "kinesis_replay": kinesis_replay,
             }
         )
     )
