@@ -174,3 +174,24 @@ def test_pipeline_from_config_with_replay_source(spark, tmp_path, valid_event):
         spark.read.parquet(f"{out}/job_start=*/pickup_location=*/year=*/month=*").count()
         == 2
     )
+
+
+def test_replay_line_helpers_edge_cases(tmp_path):
+    """No-Spark unit coverage: empty shard file, missing trailing newline,
+    and slice bounds — the offset arithmetic the stream reader relies on."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        _count_lines,
+        _read_lines,
+    )
+
+    empty = tmp_path / "empty.jsonl"
+    empty.write_text("")
+    assert _count_lines(str(empty)) == 0
+    assert _read_lines(str(empty), 0, 10) == []
+
+    no_nl = tmp_path / "no_nl.jsonl"
+    no_nl.write_bytes(b"a\nb\nc")  # last line unterminated
+    assert _count_lines(str(no_nl)) == 3
+    assert _read_lines(str(no_nl), 0, 3) == [b"a", b"b", b"c"]
+    assert _read_lines(str(no_nl), 1, 2) == [b"b"]
+    assert _read_lines(str(no_nl), 2, 99) == [b"c"]
