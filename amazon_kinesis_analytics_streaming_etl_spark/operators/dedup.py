@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint_md5, shingle_hashes
 from ..functions.vectors import cosine
 
+
+def _checkpoint_released(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Materialize ``result`` eagerly (localCheckpoint), then unpersist the
+    cached intermediates — the storage contract for every pair operator
+    here: after the call returns, the only executor storage held is the
+    (threshold-filtered, small) result itself, whose checkpoint blocks are
+    ContextCleaner-freed when the caller drops the DataFrame. Lineage is
+    truncated too, so downstream iterative consumers (``dup_clusters``)
+    never replan the LSH joins."""
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
 # --- exact dedup ------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -70,12 +86,17 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     Shingles are 8-byte xxhash64 values, not strings — cheaper to store,
     shuffle and intersect; collision probability is ~n^2/2^64 (negligible
     at any realistic corpus size per partition-block).
-    MATERIALIZED (persist) — see module note. Callers should unpersist.
+    MATERIALIZED (persist) — see module note. Callers must unpersist the
+    returned DataFrame once their result is materialized (the public pair
+    operators do this via ``_checkpoint_released``).
     """
-    base = df.select(
-        F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), k).alias("_h")
-    ).persist()
-    return base.withColumn("_n", F.size("_h"))
+    return (
+        df.select(
+            F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), k).alias("_h")
+        )
+        .withColumn("_n", F.size("_h"))
+        .persist()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -84,6 +105,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    eager: bool = True,
 ) -> DataFrame:
     """All document pairs with word-k-shingle Jaccard >= threshold.
 
@@ -94,6 +116,10 @@ def ngram_jaccard_pairs(
     shingle hash (high cardinality, low skew) and by (id_a, id_b).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    ``eager`` (default) materializes the result and releases the cached
+    shingle table before returning — no storage outlives the call. Pass
+    ``eager=False`` to keep the plan lazy; the shingle cache then lives
+    until session end (only for composing with a shared shingle table).
     """
     sh = _shingled(df, text_col, id_col, k)
     # Inverted index over the materialized hash arrays: explode is O(1)
@@ -130,9 +156,10 @@ def ngram_jaccard_pairs(
             6,
         ),
     )
-    return jac.where(F.col("jaccard") >= threshold).select(
+    out = jac.where(F.col("jaccard") >= threshold).select(
         F.col("id_a"), F.col("id_b"), F.col("jaccard")
     )
+    return _checkpoint_released(out, [sh]) if eager else out
 
 
 # --- MinHash + LSH ----------------------------------------------------------
@@ -163,16 +190,25 @@ def minhash_signature(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, num_hashes: int = 64
+    signatures: DataFrame,
+    bands: int = 16,
+    num_hashes: int = 64,
+    assume_materialized: bool = False,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` rows, hash each
     band, group by (band_idx, band_hash) -> candidate pairs. The shuffle
     key is the band hash: docs only meet if they collide in >=1 band —
     never an all-pairs comparison.
+
+    ``assume_materialized=True`` skips the internal persist — for callers
+    (``minhash_near_dup_pairs``) that persisted ``signatures`` themselves
+    and own its release. Default callers must unpersist ``signatures``
+    after materializing (the candidate plan caches it).
     """
     rows_per_band = num_hashes // bands
     # Materialize signatures before the banding explode (module note).
-    signatures = signatures.persist()
+    if not assume_materialized:
+        signatures = signatures.persist()
     # Band hash = xxhash64 over the band's signature slots, statically
     # unrolled with element_at — stays in numeric codegen (hashing a
     # sliced-array-cast-to-string serializes per band; ~2x slower).
@@ -216,21 +252,21 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     k: int = 3,
     threshold: float = 0.5,
+    eager: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
     Candidates come from band collisions (cheap, recall-tuned by
     bands/num_hashes); the verify step recomputes true Jaccard only for
     candidates. Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    ``eager`` (default) materializes the verified pairs and releases both
+    cached intermediates (shingles, signatures) before returning.
     """
     # One materialized shingle table shared by signature generation and
     # the verify join (module materialization note).
     sh = _shingled(df, text_col, id_col, k)
-    cands = minhash_lsh_candidates(
-        minhash_signature(df, text_col, id_col, num_hashes, k, shingled=sh),
-        bands,
-        num_hashes,
-    )
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, k, shingled=sh).persist()
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes, assume_materialized=True)
     pa = sh.select(
         F.col("_id").alias("id_a"), F.col("_h").alias("sh_a"), F.col("_n").alias("na")
     )
@@ -242,10 +278,10 @@ def minhash_near_dup_pairs(
     jac = F.round(
         inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double"), 6
     )
-    return (
-        joined.select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    out = joined.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
+    return _checkpoint_released(out, [sh, sigs]) if eager else out
 
 
 def dup_clusters(
@@ -345,11 +381,17 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: split the 64-bit signature into
     ``max_hamming + 1`` bands; by pigeonhole, any pair within the Hamming
     radius collides on >=1 band. Verify with exact popcount on candidates.
+    ``eager`` (default) materializes the verified pairs and releases the
+    cached signature table before returning.
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -386,9 +428,10 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+    out = cand.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+    return _checkpoint_released(out, [sigs]) if eager else out
 
 
 # --- embedding near-dup -----------------------------------------------------
@@ -453,6 +496,7 @@ def embedding_near_dup_pairs_multitable(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    eager: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via multi-table sign-bit LSH banding —
     the MinHash-LSH banding discipline applied to vectors.
@@ -462,7 +506,8 @@ def embedding_near_dup_pairs_multitable(
     dedupe across tables, then exact-cosine verify. Recall amplifies as
     1-(1-p^b)^L while the per-bucket join stays bounded — the knob a
     single exact-signature block lacks. Returned pairs are exact-verified,
-    so precision is 1.0 regardless of L."""
+    so precision is 1.0 regardless of L. ``eager`` (default) materializes
+    the verified pairs and releases the cached signature table."""
     from ..functions.vectors import sign_bits_tables
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -495,4 +540,4 @@ def embedding_near_dup_pairs_multitable(
         )
         .where(F.col("cos_sim") >= threshold)
     )
-    return verified
+    return _checkpoint_released(verified, [sigs]) if eager else verified

@@ -174,3 +174,48 @@ def test_dup_clusters_connected_components(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+# --- storage hygiene --------------------------------------------------------
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.mark.parametrize(
+    "op",
+    ["ngram", "minhash", "simhash", "embedding_multitable"],
+)
+def test_pair_operators_release_cached_intermediates(spark, op):
+    """The pair operators persist signature/shingle tables internally; the
+    storage contract (_checkpoint_released) is that after the call returns
+    only the materialized result itself may remain cached — intermediates
+    are unpersisted deterministically, not left to session teardown."""
+    docs = spark.createDataFrame(_mk_docs(30), ["doc_id", "text"])
+    before = _n_persistent(spark)
+    if op == "ngram":
+        res = ngram_jaccard_pairs(docs, threshold=0.5)
+    elif op == "minhash":
+        res = minhash_near_dup_pairs(docs, threshold=0.5)
+    elif op == "simhash":
+        res = simhash_near_dup_pairs(docs, max_hamming=10)
+    else:
+        from amazon_kinesis_analytics_streaming_etl_spark.functions.vectors import (
+            lsh_tables,
+        )
+        from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+            embedding_near_dup_pairs_multitable,
+        )
+
+        rng = random.Random(3)
+        rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(16)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        res = embedding_near_dup_pairs_multitable(
+            emb, lsh_tables(16, 4, 8), threshold=0.9
+        )
+    res.collect()
+    after = _n_persistent(spark)
+    # <=1 new entry: the localCheckpoint of the result itself (freed by
+    # ContextCleaner when `res` is dropped); intermediates are gone.
+    assert after - before <= 1
