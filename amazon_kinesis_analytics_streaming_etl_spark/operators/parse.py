@@ -30,14 +30,19 @@ from ..schemas import TRIP_EVENT_REQUIRED_FIELDS, TRIP_EVENT_SCHEMA
 #: Name of the struct column holding the parsed event.
 PARSED_COL = "event"
 
-#: Pinned ISO-8601 timestamp grammar: seconds, optional fraction, optional
-#: zone offset (incl. 'Z') — what Joda's ``new DateTime(text)`` accepts
-#: (TripEventSchema.java:58-59). Pinning it does two things: (1) parity —
-#: Spark's fallback parser also accepts space-separated timestamps, which
-#: Joda rejects (reference drops such records; so must we); (2) speed —
-#: one DateTimeFormatter instead of the multi-format fallback chain is
-#: ~25% faster on the JSON hot path.
-TIMESTAMP_FORMAT = "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]"
+#: Pinned ISO-8601 timestamp grammar, mirroring what Joda's
+#: ``new DateTime(text)`` accepts (TripEventSchema.java:58-59): calendar
+#: date, optional 'T' time at minute/second precision, optional fraction
+#: (1-9 digits; micros kept, the rest truncated), optional zone offset
+#: incl. 'Z'. Pinning it does two things: (1) parity — Spark's fallback
+#: parser also accepts space-separated timestamps, which Joda rejects
+#: (reference drops such records; so must we); (2) speed — one
+#: DateTimeFormatter instead of the multi-format fallback chain is ~25%
+#: faster on the JSON hot path. Residual gap vs Joda (still
+#: dead-lettered here, accepted there): hour-only times ('T20'),
+#: fractional minutes/hours, and week/ordinal dates — none of which the
+#: reference's producers emit.
+TIMESTAMP_FORMAT = "yyyy-MM-dd['T'HH:mm[:ss[.SSSSSSSSS]]][XXX]"
 
 PARSE_OPTIONS = {"mode": "PERMISSIVE", "timestampFormat": TIMESTAMP_FORMAT}
 

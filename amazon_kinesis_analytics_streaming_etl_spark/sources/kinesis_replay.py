@@ -74,10 +74,16 @@ def _shard_files(path: str) -> dict[str, str]:
 
 
 def _count_lines(fp: str) -> int:
+    """Count COMPLETE (newline-terminated) records only. A producer caught
+    mid-append leaves an unterminated tail; counting it would emit the
+    partial payload and commit its offset — the completed record's tail
+    would then never be re-read. Skipping it means the whole record is
+    picked up by the next micro-batch instead."""
     n = 0
     with open(fp, "rb") as f:
-        for _ in f:
-            n += 1
+        for line in f:
+            if line.endswith(b"\n"):
+                n += 1
     return n
 
 
@@ -87,8 +93,10 @@ def _read_lines(fp: str, start: int, end: int) -> list[bytes]:
         for i, line in enumerate(f):
             if i >= end:
                 break
+            if not line.endswith(b"\n"):
+                break  # unterminated tail: not yet a record (see _count_lines)
             if i >= start:
-                out.append(line.rstrip(b"\n"))
+                out.append(line[:-1])
     return out
 
 

@@ -105,12 +105,18 @@ def kinesis_source(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     config surface.
     """
     replay_dir = cfg.get("InputKinesisReplayDir", None)
-    initial = cfg.get("InputStreamInitalPosition", "LATEST")
     if replay_dir:
+        # Replay over a directory of pre-existing shard files implies
+        # reading them: default TRIM_HORIZON (the connector-default LATEST
+        # would drain zero records under availableNow), consistent with
+        # the Kafka replay path's 'earliest' default. A live stream below
+        # keeps LATEST, matching the reference's Flink connector default.
+        initial = cfg.get("InputStreamInitalPosition", "TRIM_HORIZON")
         from .kinesis_replay import kinesis_replay_stream
 
         df = kinesis_replay_stream(spark, str(replay_dir), str(initial).upper())
         return df.select(F.col("data").cast(payload_type(cfg)).alias("value"))
+    initial = cfg.get("InputStreamInitalPosition", "LATEST")
     stream = cfg.get_required("InputKinesisStream")
     region = cfg.get("InputStreamRegion", "us-east-1")
     reader = (

@@ -156,9 +156,11 @@ def test_pipeline_from_config_with_replay_source(spark, tmp_path, valid_event):
     _write_shard(d, 0, [json.dumps(valid_event), "garbage{{{"])
     _write_shard(d, 1, [json.dumps({**valid_event, "trip_id": 11})])
 
+    # No --InputStreamInitalPosition: a replay dir defaults to
+    # TRIM_HORIZON (replay implies reading the pre-existing records; the
+    # connector-default LATEST would drain zero rows under availableNow).
     args = [
         "--InputKinesisReplayDir", d,
-        "--InputStreamInitalPosition", "TRIM_HORIZON",
         "--OutputBucket", out,
         "--ParquetConversion", "true",
         "--CheckpointLocation", ckpt,
@@ -178,7 +180,11 @@ def test_pipeline_from_config_with_replay_source(spark, tmp_path, valid_event):
 
 def test_replay_line_helpers_edge_cases(tmp_path):
     """No-Spark unit coverage: empty shard file, missing trailing newline,
-    and slice bounds — the offset arithmetic the stream reader relies on."""
+    and slice bounds — the offset arithmetic the stream reader relies on.
+
+    An unterminated tail is a producer caught mid-append: it must be
+    INVISIBLE (not counted, not read) so its offset is never committed and
+    the completed record is picked up whole by a later micro-batch."""
     from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
         _count_lines,
         _read_lines,
@@ -190,8 +196,13 @@ def test_replay_line_helpers_edge_cases(tmp_path):
     assert _read_lines(str(empty), 0, 10) == []
 
     no_nl = tmp_path / "no_nl.jsonl"
-    no_nl.write_bytes(b"a\nb\nc")  # last line unterminated
-    assert _count_lines(str(no_nl)) == 3
-    assert _read_lines(str(no_nl), 0, 3) == [b"a", b"b", b"c"]
+    no_nl.write_bytes(b"a\nb\nc")  # last line unterminated -> not yet a record
+    assert _count_lines(str(no_nl)) == 2
+    assert _read_lines(str(no_nl), 0, 3) == [b"a", b"b"]
     assert _read_lines(str(no_nl), 1, 2) == [b"b"]
-    assert _read_lines(str(no_nl), 2, 99) == [b"c"]
+    assert _read_lines(str(no_nl), 2, 99) == []
+
+    # append completes the record (+ a new one): both become visible
+    no_nl.write_bytes(b"a\nb\ncc\nd\n")
+    assert _count_lines(str(no_nl)) == 4
+    assert _read_lines(str(no_nl), 2, 4) == [b"cc", b"d"]

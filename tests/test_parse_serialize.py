@@ -121,6 +121,12 @@ def test_timestamp_grammar_matches_joda_iso(spark, valid_event):
         "2018-11-23T20:30:14+02:00",
         "2018-11-23T20:30:14.123+02:00",
         "2018-11-23T20:30:14Z",
+        # Joda accepts 1-9 fraction digits and coarser ISO precision:
+        "2018-11-23T20:30:14.1",
+        "2018-11-23T20:30:14.1234",
+        "2018-11-23T20:30:14.123456789",
+        "2018-11-23T20:30",
+        "2018-11-23",
     ]
     rejected = ["2018-11-23 20:30:14", "23/11/2018 20:30"]
     df = spark.createDataFrame(
