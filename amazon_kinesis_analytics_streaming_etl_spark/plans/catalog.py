@@ -16,6 +16,7 @@ from __future__ import annotations
 from . import advanced as _advanced  # noqa: F401  (registration side effects)
 from . import analytics as _analytics  # noqa: F401
 from . import curation as _curation  # noqa: F401
+from . import layout as _layout  # noqa: F401
 from . import lexical as _lexical  # noqa: F401
 from . import llm as _llm  # noqa: F401
 from . import prep as _prep  # noqa: F401
@@ -27,58 +28,64 @@ from .relational import ORACLES, QUERIES
 # Tier 0: always-on canary — cheap, high-signal TPC-H shapes.
 _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 
-# Tier 1: stale on the latest driver signal as of round 3 —
-# never window-checked in r1-r3, or FAIL/no_oracle on last check
-# (VERDICT.md round 3, "Next round: do this" #3). Keep this list in sync
-# with the newest CORRECTNESS_r*.json when rotating between rounds.
-_STALE_R4 = [
-    # latest-FAIL r3 (events dtype regression, fixed this round)
-    "interval_join_batch",
-    "udf_grouped_map_zscore",
-    "funnel_stages",
-    "cohort_retention",
-    "gapfill_hourly",
-    "skew_key_profile",
-    "text_pii_scrub",
-    # no_oracle / stale-FAIL since r1-r2
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_topk_lsh",
-    "agg_collect_set",
-    "agg_approx_distinct",
-    # never checked by any round's 50-query window
-    "sim_topk_ivf",
-    "dedup_embedding_lsh",
-    "sim_topk_pairs_per_label",
-    "text_stats",
-    "text_langid",
-    "text_fingerprint",
-    "text_quality",
-    "udf_pandas_normalize",
-    "udf_pandas_grouped_agg",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_features_topk",
-    "avro_roundtrip_events",
-    "pack_sequences",
-    "quality_expectations",
-    "dedup_incremental",
-    "embedding_quantize_int8",
-    "centroid_cohesion",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_users",
-    "stream_stateful_running_totals",
-    "stream_stream_join_conversions",
-    "stream_incremental_topk",
-    "stream_static_enrich",
-    "ts_similarity_topk",
-    "agg_pivot",
-    "global_rank_sampled",
-    # new in round 4 — never checked yet
-    "mixture_sample_sources",
-    "dedup_keep_best",
+# Tier 1, round 5: every prior FAIL/no_oracle is discharged (r4 went
+# 50/50; 128/128 latest-green), so the window now rotates by signal AGE —
+# new queries first, then the 45 queries whose only green is round 1
+# (relational/window/set-op/scalar families, code unchanged but 4 rounds
+# old). Regenerate with tools/rotate_catalog.py when rotating rounds.
+_STALE_R5 = [
+    # new in round 5 — never checked yet
+    "dedup_embedding_multitable",
+    "sim_topk_lsh_multitable",
+    "sim_topk_ivf_trained",
+    "layout_zorder_stats",
+    "layout_compact_stats",
+    # oldest green signal (round 1), staleness rotation
+    "filter_predicates",
+    "join_enrich_events",
+    "join_left_semi",
+    "join_left_anti",
+    "join_right_outer",
+    "join_full_outer",
+    "join_cross",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_percentiles",
+    "agg_stats",
+    "agg_corr_covar",
+    "window_rank_family",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_topk_per_group",
+    "topk_global",
+    "set_union",
+    "set_union_by_name",
+    "set_intersect",
+    "set_intersect_all",
+    "set_except",
+    "set_except_all",
+    "scalar_math",
+    "scalar_string",
+    "scalar_datetime",
+    "scalar_conditional",
+    "scalar_intervals",
+    "json_extract_props",
+    "semi_structured_arrays",
+    "explode_tokens",
+    "posexplode_tokens",
+    "hof_array_ops",
+    "map_roundtrip",
+    "unpivot_metrics",
+    "sql_subqueries",
+    "asof_join_events",
+    "time_bucket_rollup",
+    "sessionize_events",
+    "salted_agg_events",
+    "curation_sample",
 ]
 
 # Family priority by defining module for the already-green tail.
@@ -98,12 +105,12 @@ _FAMILY_PRIORITY = {
 
 def _reorder() -> None:
     names = list(QUERIES)
-    unknown = (set(_CANARY) | set(_STALE_R4)) - set(names)
+    unknown = (set(_CANARY) | set(_STALE_R5)) - set(names)
     if unknown:  # a typo here silently strands a query past the window
         raise ValueError(f"catalog priority lists name unknown queries: {unknown}")
     original_pos = {n: i for i, n in enumerate(names)}
     canary_pos = {n: i for i, n in enumerate(_CANARY)}
-    stale_pos = {n: i for i, n in enumerate(_STALE_R4)}
+    stale_pos = {n: i for i, n in enumerate(_STALE_R5)}
 
     def key(name: str) -> tuple[int, int]:
         if name in canary_pos:

@@ -49,6 +49,47 @@ from .relational import register
 _rng = random.Random(42)
 LSH_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(8)]
 
+# Multi-table LSH: 4 independent 8-plane tables, seeded so table 0 is
+# exactly LSH_PLANES (same Random(42) draw order). That identity makes the
+# single-table results a structural SUBSET of the multi-table results —
+# the amplification gates below assert it in-plan.
+from ..functions.vectors import lsh_tables as _lsh_tables
+
+LSH_TABLES = _lsh_tables(dim=64, n_tables=4, n_bits=8, seed=42)
+assert LSH_TABLES[0] == LSH_PLANES  # seed contract the gates rely on
+
+
+def _gate_sample_mod() -> int:
+    """Verification-slice knob for the approx-vs-exact gates: with
+    SPARK_GRAFT_GATE_SAMPLE_MOD=m > 1, the exact twin runs only on the
+    deterministic ~1/m md5-slice of documents/vectors (and the approx
+    side is restricted to sampled endpoints for the subset/recall
+    comparison), so gate cost scales to 100 TB as a knob instead of a
+    built-in 2x tax. Default 1 = full verification — the driver's oracle
+    comparison always runs at 1 (the registered oracle SQL mirrors the
+    full twin). The sampled gate is a recall ESTIMATOR: pick m so the
+    slice still holds many exact pairs (pair survival is ~1/m^2); at toy
+    scale a 1-pair slice makes sub-1.0-recall gates (simhash) a coin
+    flip, which is the estimator being honest, not a defect."""
+    import os
+
+    return max(1, int(os.environ.get("SPARK_GRAFT_GATE_SAMPLE_MOD", "1")))
+
+
+def _md5_sampled(col, mod: int):
+    """Deterministic 1/mod sample predicate, portable to any engine with
+    md5 (the same slice is reproducible in DuckDB/Trino for audits)."""
+    bucket = F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+    return bucket % F.lit(mod) == 0
+
+
+def _restrict_pairs(pairs: DataFrame, ids: DataFrame, id_name: str) -> DataFrame:
+    """Keep only pairs whose BOTH endpoints are in ``ids`` (one column,
+    ``id_name``) — aligns the approx side with a sampled exact twin."""
+    a = ids.select(F.col(id_name).alias("id_a"))
+    b = ids.select(F.col(id_name).alias("id_b"))
+    return pairs.join(a, "id_a", "left_semi").join(b, "id_b", "left_semi")
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -270,10 +311,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-checkable result is |exact pairs| plus recall>=0.9 and
     subset-of-exact booleans (verification makes candidates a subset by
     construction; measured recall at sf0.01 is 1.0). Pair-level ground
-    truth stays in tests/test_dedup_similarity.py."""
+    truth stays in tests/test_dedup_similarity.py. With
+    SPARK_GRAFT_GATE_SAMPLE_MOD=m > 1 the exact twin runs on the md5
+    doc-slice only (gate cost knob; see _gate_sample_mod)."""
     docs = _docs(spark, sf_dir)
     found = minhash_near_dup_pairs(docs, num_hashes=64, bands=16, k=3, threshold=0.5)
-    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    mod = _gate_sample_mod()
+    if mod > 1:
+        docs_gate = docs.where(_md5_sampled(F.col("doc_id"), mod))
+        found = _restrict_pairs(found, docs_gate.select("doc_id"), "doc_id")
+    else:
+        docs_gate = docs
+    exact = ngram_jaccard_pairs(docs_gate, k=3, threshold=0.5)
     return _pair_recall_summary(found, exact, 0.9, "lsh_subset_of_exact")
 
 
@@ -292,11 +341,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding, popcount verify), gated against the exact Jaccard>=0.5 twin.
     Hamming<=3 on a 64-bit simhash is a tighter near-dup notion than
     Jaccard 0.5, so the gate asserts recall>=0.5 (measured 0.6 at sf0.01)
-    rather than subset/equality; pair-level checks live in pytest."""
+    rather than subset/equality; pair-level checks live in pytest. The
+    SPARK_GRAFT_GATE_SAMPLE_MOD knob slices the exact twin as in
+    dedup_minhash_lsh."""
     docs = _docs(spark, sf_dir)
     found = simhash_near_dup_pairs(docs, max_hamming=3)
-    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
-    summary = _pair_recall_summary(found, exact, 0.5, None)
+    mod = _gate_sample_mod()
+    if mod > 1:
+        docs_gate = docs.where(_md5_sampled(F.col("doc_id"), mod))
+        found_vs_exact = _restrict_pairs(found, docs_gate.select("doc_id"), "doc_id")
+    else:
+        docs_gate = docs
+        found_vs_exact = found
+    exact = ngram_jaccard_pairs(docs_gate, k=3, threshold=0.5)
+    summary = _pair_recall_summary(found_vs_exact, exact, 0.5, None)
     found_any = found.agg((F.count("*") > F.lit(0)).alias("found_any"))
     return summary.crossJoin(found_any)
 
@@ -444,24 +502,174 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_bucket", sign_bits(F.col("embedding"), LSH_PLANES)
     )
     found = embedding_near_dup_pairs(emb, block_col="_bucket", threshold=0.3)
+    exact = _exact_cos_pairs(spark, sf_dir, threshold=0.3)
+    mod = _gate_sample_mod()
+    found_vs_exact = found
+    if mod > 1:  # the twin is quadratic — the knob that matters most here
+        sampled = _emb(spark, sf_dir).where(
+            _md5_sampled(F.col("vec_id"), mod)
+        ).select("vec_id")
+        found_vs_exact = _restrict_pairs(found, sampled, "vec_id")
+    summary = _pair_recall_summary(found_vs_exact, exact, 0.0, "found_subset_of_exact")
+    found_any = found.agg((F.count("*") > F.lit(0)).alias("found_any"))
+    return summary.select("exact_pairs", "found_subset_of_exact").crossJoin(found_any)
+
+
+def _exact_cos_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Gate-scale exact twin: all cos>=threshold pairs, sampled down to
+    the md5 slice when SPARK_GRAFT_GATE_SAMPLE_MOD > 1 (an all-pairs join
+    is verification-side only — sampling shrinks it by mod^2)."""
+    from ..functions.vectors import cosine
+
     base = _emb(spark, sf_dir).select(
         F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
     )
+    mod = _gate_sample_mod()
+    if mod > 1:
+        base = base.where(_md5_sampled(F.col("_id"), mod))
     a, b = base.alias("a"), base.alias("b")
-    from ..functions.vectors import cosine
-
-    exact = (
+    return (
         a.join(b, F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= 0.3)
+        .where(F.col("cos_sim") >= threshold)
     )
-    summary = _pair_recall_summary(found, exact, 0.0, "found_subset_of_exact")
-    found_any = found.agg((F.count("*") > F.lit(0)).alias("found_any"))
-    return summary.select("exact_pairs", "found_subset_of_exact").crossJoin(found_any)
+
+
+@register(
+    "dedup_embedding_multitable",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    exact_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+           TRUE AS multi_subset_of_exact,
+           TRUE AS multi_covers_single,
+           TRUE AS found_any
+    FROM exact_pairs
+    """,
+)
+def dedup_embedding_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (L=4) sign-bit LSH embedding near-dup — the recall
+    knob over the single-table block (operators/dedup.py
+    embedding_near_dup_pairs_multitable). Gate: |exact cos>=0.3 pairs|
+    plus three in-plan booleans — multi-table pairs are subset-of-exact
+    (cosine re-verified), they COVER the single-table pairs (table 0 ==
+    LSH_PLANES, so single-table candidates are structurally a subset;
+    this asserts the 1-(1-p^b)^L amplification never loses pairs), and
+    non-emptiness. SPARK_GRAFT_GATE_SAMPLE_MOD slices the quadratic
+    exact twin as in dedup_embedding_lsh."""
+    from ..functions.vectors import sign_bits
+    from ..operators.dedup import embedding_near_dup_pairs_multitable
+
+    emb = _emb(spark, sf_dir)
+    found_multi = embedding_near_dup_pairs_multitable(
+        emb, LSH_TABLES, threshold=0.3
+    )
+    single = embedding_near_dup_pairs(
+        emb.withColumn("_bucket", sign_bits(F.col("embedding"), LSH_PLANES)),
+        block_col="_bucket",
+        threshold=0.3,
+    )
+    exact = _exact_cos_pairs(spark, sf_dir, threshold=0.3)
+    mod = _gate_sample_mod()
+    found_vs_exact = found_multi
+    if mod > 1:
+        sampled = emb.where(_md5_sampled(F.col("vec_id"), mod)).select("vec_id")
+        found_vs_exact = _restrict_pairs(found_multi, sampled, "vec_id")
+    summary = _pair_recall_summary(
+        found_vs_exact, exact, 0.0, "multi_subset_of_exact"
+    )
+    covers = (
+        single.select("id_a", "id_b")
+        .join(
+            found_multi.select("id_a", "id_b").withColumn("_m", F.lit(1)),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .where(F.col("_m").isNull())
+        .agg((F.count("*") == F.lit(0)).alias("multi_covers_single"))
+    )
+    found_any = found_multi.agg((F.count("*") > F.lit(0)).alias("found_any"))
+    return (
+        summary.select("exact_pairs", "multi_subset_of_exact")
+        .crossJoin(covers)
+        .crossJoin(found_any)
+    )
+
+
+@register(
+    "sim_topk_lsh_multitable",
+    """
+    SELECT CAST(10 AS BIGINT) AS k_returned,
+           TRUE AS self_found,
+           TRUE AS recall_ok,
+           TRUE AS amplified_ge_single
+    """,
+)
+def sim_topk_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (L=4) sign-bit LSH ANN (operators/similarity.py
+    lsh_topk_multitable): candidates = OR over per-table probe sets, plan
+    stays scan -> filter -> exact re-rank (no join). Gate: the _ann_gate
+    booleans plus amplified_ge_single — multi-table overlap with the
+    exact top-10 >= single-table overlap, which holds structurally
+    because table 0 == LSH_PLANES (a superset candidate pool can only
+    push true neighbors IN: anything displacing an exact-top-10 member
+    from the approximate top-10 is itself an exact-top-10 member)."""
+    from ..operators.similarity import lsh_topk_multitable
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    approx = lsh_topk_multitable(emb, qvec, LSH_TABLES, k=10, probe_hamming=1)
+    single = lsh_topk(emb, qvec, LSH_PLANES, k=10, probe_hamming=1)
+    exact = brute_force_topk(emb, qvec, k=10)
+    exact_ids = exact.select("vec_id")
+    base_gate = _ann_gate(approx, exact, k=10, min_hits=1)
+    multi_hits = approx.join(exact_ids, "vec_id", "left_semi").agg(
+        F.count("*").alias("_mh")
+    )
+    single_hits = single.join(exact_ids, "vec_id", "left_semi").agg(
+        F.count("*").alias("_sh")
+    )
+    amplified = (
+        multi_hits.crossJoin(single_hits)
+        .select((F.col("_mh") >= F.col("_sh")).alias("amplified_ge_single"))
+    )
+    return base_gate.crossJoin(amplified)
+
+
+@register(
+    "sim_topk_ivf_trained",
+    """
+    SELECT CAST(10 AS BIGINT) AS k_returned,
+           TRUE AS self_found,
+           TRUE AS recall_ok
+    """,
+)
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing k-means-trained centroids
+    (operators/similarity.py ivf_train_centroids: deterministic init,
+    3 Lloyd iterations, only nlist x dim floats ever reach the driver)
+    instead of sim_topk_ivf's first-nlist-ids init. Gate: same _ann_gate
+    as sim_topk_ivf with the same overlap>=7 floor (measured 10/10 at
+    sf0.01; trained centroids tighten assignment, never loosen the
+    probed-list quality)."""
+    from ..operators.similarity import ivf_topk, ivf_train_centroids
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = ivf_train_centroids(emb, nlist=16, iters=3)
+    approx = ivf_topk(emb, qvec, k=10, nlist=16, nprobe=4, centroids=cents)
+    exact = brute_force_topk(emb, qvec, k=10)
+    return _ann_gate(approx, exact, k=10, min_hits=7)
 
 
 @register(

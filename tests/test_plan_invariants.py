@@ -34,7 +34,10 @@ SCALAR_THRESHOLD_QUERIES = {
     "dedup_simhash",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "sim_topk_ivf_trained",
     "dedup_embedding_lsh",
+    "dedup_embedding_multitable",
+    "sim_topk_lsh_multitable",
 }
 
 def _batch_queries():

@@ -290,3 +290,25 @@ def test_ivf_trained_centroids_deterministic_and_reduce_distortion(spark):
     }
     assert 0 in trained  # self-retrieval survives training
     assert len(trained & exact) >= 4  # recall floor at nprobe=1/4 of lists
+
+
+def test_gate_sample_mod_slices_exact_twin(spark, monkeypatch):
+    """SPARK_GRAFT_GATE_SAMPLE_MOD=m runs the approx-gates' exact twin on
+    the deterministic md5 doc-slice: the gate stays green (minhash recall
+    is 1.0, so any slice of exact pairs is still fully covered), the
+    schema is identical to full-verification mode, and the sampled
+    exact-pair count is a subset of the full count."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    fn = QUERIES["dedup_minhash_lsh"]
+
+    monkeypatch.delenv("SPARK_GRAFT_GATE_SAMPLE_MOD", raising=False)
+    full = fn(spark, sf).collect()[0].asDict()
+    monkeypatch.setenv("SPARK_GRAFT_GATE_SAMPLE_MOD", "4")
+    sampled = fn(spark, sf).collect()[0].asDict()
+
+    assert set(full) == set(sampled)
+    assert full["recall_ok"] and full["lsh_subset_of_exact"]
+    assert sampled["recall_ok"] and sampled["lsh_subset_of_exact"]
+    assert 0 <= sampled["exact_pairs"] <= full["exact_pairs"]
