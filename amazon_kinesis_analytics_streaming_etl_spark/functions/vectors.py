@@ -46,7 +46,8 @@ def sign_bits(a: Column | str, planes: list[list[float]]) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
+        # one array-literal node per plane (not dim lit nodes — plan size)
+        arr = F.lit([float(x) for x in plane])
         d = dot(a, arr)
         bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig + (bit * F.lit(int(2**i)).cast("long"))

@@ -364,7 +364,7 @@ def _quantile_bucket(col_name: str, boundaries: list[float], bits: int):
     """Bucket id in [0, 2^bits) for a value against sorted quantile
     boundaries — count of boundaries <= value, as a JVM array fold over
     a literal array (O(2^bits) comparisons per row, no Python)."""
-    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    arr = F.lit([float(b) for b in boundaries])  # one literal node
     cnt = F.aggregate(
         arr,
         F.lit(0),
