@@ -343,15 +343,29 @@ def main() -> None:
     # JVM/codegen warmup (not counted).
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    # Each query runs SPARK_GRAFT_BENCH_REPEATS times (default 3) and the
+    # MEDIAN is reported: a single-shot number on a shared machine mixes
+    # real plan cost with GC pauses and whatever else the host is doing
+    # (the r4 artifact showed +50-60% on three queries whose code had not
+    # changed — contamination, not regression). Medians make the series
+    # comparable round-over-round; per-run spreads go out under "runs" so
+    # a noisy host is visible rather than silently absorbed.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     overrides = _raw_operator_overrides()
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = overrides.get(name) or QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count() if not df.isStreaming else -1
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count() if not df.isStreaming else -1
+            runs.append(time.time() - t0)
+            _ = n
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = [round(x, 3) for x in runs]
 
     gates = bench_gate_costs(spark, sf_dir)
     etl = bench_etl_throughput(spark)
@@ -384,6 +398,8 @@ def main() -> None:
                 "kinesis_replay": kinesis_replay,
                 "kafka_replay": kafka_replay,
                 "gates": gates,
+                "bench_repeats": repeats,
+                "runs": spreads,
             }
         )
     )
