@@ -35,6 +35,19 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(denom != 0.0, dot(a, b) / denom)
 
 
+def l2sq(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance between two equal-length numeric arrays.
+
+    Product-quantization codebook training/assignment runs on squared
+    distances (argmin is monotone in the square, so the sqrt is never
+    needed) — keeps the expression one zip_with + one aggregate."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def sign_bits(a: Column | str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed as a
     long. ``planes`` is a small deterministic list (seeded off-line), so the

@@ -541,3 +541,85 @@ def embedding_near_dup_pairs_multitable(
         .where(F.col("cos_sim") >= threshold)
     )
     return _checkpoint_released(verified, [sigs]) if eager else verified
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    2023 — PAPERS.md): cluster embeddings by nearest centroid, then
+    within each cluster greedily drop every vector whose cosine to an
+    already-kept lower-id vector exceeds ``threshold``.
+
+    Returns (id, cluster, kept, dup_of, max_cos): ``kept=false`` rows name
+    the kept twin they duplicated in ``dup_of``. Deterministic — greedy
+    order is ascending id and centroid assignment is argmax over a fixed
+    centroid list (train with ``similarity.ivf_train_centroids``, itself
+    deterministic).
+
+    Scale shape: assignment is one broadcast-literal argmax projection
+    (narrow); the only shuffle is groupBy(cluster). The intra-cluster
+    pass is a vectorized Arrow batch per cluster (numpy matmul against
+    the kept prefix — never a pairwise join). Cluster population must fit
+    an executor's Arrow batch, which is the SemDeDup deployment contract
+    itself: nlist scales with corpus size so E[cluster] = N/nlist stays
+    fixed (the paper runs 50k clusters for LAION-440M); a skewed cluster
+    is re-split by training more centroids, not by widening this pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
+    sims = F.transform(cent_arr, lambda c: cosine(F.col(vec_col), c))
+    assigned = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    clustered = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("_v"),
+        assigned.alias("cluster"),
+    )
+
+    out_schema = (
+        "id long, cluster int, kept boolean, dup_of long, max_cos double"
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        n = len(pdf)
+        kept_rows: list[int] = []
+        kept = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        max_cos = np.full(n, np.nan)
+        for i in range(n):
+            if kept_rows:
+                cos = unit[kept_rows] @ unit[i]
+                j = int(np.argmax(cos))
+                max_cos[i] = round(float(cos[j]), 6)
+                if cos[j] >= threshold:
+                    dup_of[i] = pdf["id"].iloc[kept_rows[j]]
+                    continue
+            kept[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster": pdf["cluster"],
+                "kept": kept,
+                "dup_of": [None if d < 0 else d for d in dup_of],
+                "max_cos": [None if np.isnan(c) else c for c in max_cos],
+            }
+        )
+
+    return (
+        clustered.groupBy("cluster")
+        .applyInPandas(_greedy, out_schema)
+        .withColumnRenamed("id", id_col)
+    )

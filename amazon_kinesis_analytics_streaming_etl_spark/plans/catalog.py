@@ -35,6 +35,8 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # old). Regenerate with tools/rotate_catalog.py when rotating rounds.
 _STALE_R5 = [
     # new in round 5 — never checked yet
+    "sim_topk_pq",
+    "dedup_semantic",
     "dedup_embedding_multitable",
     "sim_topk_lsh_multitable",
     "sim_topk_ivf_trained",

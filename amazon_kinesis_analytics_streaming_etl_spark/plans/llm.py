@@ -673,6 +673,79 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_topk_pq",
+    """
+    SELECT CAST(10 AS BIGINT) AS k_returned,
+           TRUE AS self_found,
+           TRUE AS recall_ok
+    """,
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (m=8 subspaces x 16 codewords, Jegou et
+    al. 2011): codebooks train per-subspace in one groupBy per Lloyd
+    iteration (operators/similarity.py pq_train_codebooks), the corpus
+    encodes to m codes in a narrow JVM pass, and search is m table
+    lookups per row (ADC) -> top k x 8 shortlist -> exact re-rank. The
+    memory-compression ANN tier: at 100 TB the scan reads m bytes/vector
+    instead of D floats. Gate: overlap>=6 of the exact top-10 (measured
+    9/10 at sf0.01 with refine=8; 6 leaves regeneration headroom)."""
+    from ..operators.similarity import pq_topk, pq_train_codebooks
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    codebooks = pq_train_codebooks(emb, m=8, ksub=16, iters=2)
+    approx = pq_topk(emb, qvec, codebooks, k=10, refine=8)
+    exact = brute_force_topk(emb, qvec, k=10)
+    return _ann_gate(approx, exact, k=10, min_hits=6)
+
+
+@register(
+    "dedup_semantic",
+    """
+    SELECT TRUE AS planted_dropped,
+           TRUE AS dup_of_exact,
+           TRUE AS sources_kept,
+           CAST((SELECT count(*) FROM embeddings) + 10 AS BIGINT) AS n_rows
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/dedup.py semantic_dedup):
+    k-means clusters (deterministic ivf_train_centroids), then a greedy
+    ascending-id sweep inside each cluster drops vectors whose cosine to
+    a kept lower-id vector >= 0.99.
+
+    Driver gate by PLANTED duplicates: ids 0..9 are copied to id+1e6 and
+    unioned in — bit-identical embeddings land in their source's cluster
+    by construction, so the gate is deterministic regardless of where
+    k-means puts the cluster boundaries. Checks: every copy dropped,
+    every copy's dup_of names exactly its source, every source still
+    kept, total row count. Nothing is asserted about non-planted rows
+    (isotropic synthetic vectors never reach cos 0.99, but the gate does
+    not depend on that)."""
+    from ..operators.dedup import semantic_dedup
+    from ..operators.similarity import ivf_train_centroids
+
+    emb = _emb(spark, sf_dir)
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    cents = ivf_train_centroids(corpus, nlist=8, iters=2)
+    res = semantic_dedup(corpus, cents, threshold=0.99)
+    copies = res.where(F.col("vec_id") >= 1_000_000).agg(
+        F.bool_and(~F.col("kept")).alias("planted_dropped"),
+        F.bool_and(F.col("dup_of") == F.col("vec_id") - 1_000_000).alias(
+            "dup_of_exact"
+        ),
+    )
+    sources = res.where(F.col("vec_id") < 10).agg(
+        F.bool_and(F.col("kept")).alias("sources_kept")
+    )
+    total = res.agg(F.count("*").cast("long").alias("n_rows"))
+    return copies.crossJoin(sources).crossJoin(total)
+
+
+@register(
     "sim_topk_pairs_per_label",
     """
     SELECT label, id_a, id_b, cos_sim, rnk FROM (

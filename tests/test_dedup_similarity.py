@@ -219,3 +219,94 @@ def test_pair_operators_release_cached_intermediates(spark, op):
     # <=1 new entry: the localCheckpoint of the result itself (freed by
     # ContextCleaner when `res` is dropped); intermediates are gone.
     assert after - before <= 1
+
+
+def test_pq_codebooks_deterministic_and_distortion_reducing(spark):
+    import numpy as np
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb1 = pq_train_codebooks(emb, m=4, ksub=8, iters=2)
+    cb2 = pq_train_codebooks(emb, m=4, ksub=8, iters=2)
+    assert cb1 == cb2, "deterministic init + Lloyd's must reproduce exactly"
+
+    # more iterations never increase total quantization distortion
+    def distortion(cbs):
+        rows = emb.collect()
+        m, d = len(cbs), len(cbs[0][0])
+        tot = 0.0
+        for r in rows:
+            v = np.array([float(x) for x in r.embedding])
+            for s in range(m):
+                sub = v[s * d : (s + 1) * d]
+                tot += min(
+                    float(((sub - np.array(cw)) ** 2).sum()) for cw in cbs[s]
+                )
+        return tot
+
+    cb0 = pq_train_codebooks(emb, m=4, ksub=8, iters=0)
+    assert distortion(cb1) <= distortion(cb0) + 1e-6
+
+
+def test_pq_topk_recovers_planted_near_dup(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.similarity import (
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant a near-identical neighbor of vec_id 0 (tiny perturbation)
+    q_row = emb.where(F.col("vec_id") == 0).head()
+    near = [float(x) * 1.0 + 0.01 for x in q_row.embedding]
+    planted = spark.createDataFrame(
+        [(999_000, near, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    corpus = emb.select(
+        F.col("vec_id").cast("long"), "embedding", "label"
+    ).unionByName(planted)
+    q = [float(x) for x in q_row.embedding]
+    cbs = pq_train_codebooks(corpus, m=4, ksub=8, iters=2)
+    got = pq_topk(corpus, q, cbs, k=5, refine=8).collect()
+    ids = [r.vec_id for r in got]
+    assert ids[0] == 0 and got[0].cos_sim == pytest.approx(1.0, abs=1e-6)
+    assert 999_000 in ids, "planted near-dup must reach the exact re-rank"
+    # exact re-rank means returned scores equal the true cosines
+    exact = {r.vec_id: r.cos_sim for r in brute_force_topk(corpus, q, k=500).collect()}
+    for r in got:
+        assert r.cos_sim == pytest.approx(exact[r.vec_id], abs=1e-6)
+
+
+def test_semantic_dedup_drops_perturbed_copies_and_is_deterministic(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # perturbed copies (scale by 1.01: same direction, cos == 1 up to fp)
+    copies = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(copies)
+    cents = ivf_train_centroids(corpus, nlist=4, iters=2)
+    res1 = semantic_dedup(corpus, cents, threshold=0.999).collect()
+    res2 = semantic_dedup(corpus, cents, threshold=0.999).collect()
+    assert sorted(map(tuple, res1)) == sorted(map(tuple, res2))
+
+    by_id = {r.vec_id: r for r in res1}
+    for i in range(8):
+        assert by_id[i].kept, "source must win the greedy sweep (lower id)"
+        assert not by_id[500_000 + i].kept
+        assert by_id[500_000 + i].dup_of == i
+    # every dropped row names a kept twin at/above threshold
+    for r in res1:
+        if not r.kept:
+            assert by_id[r.dup_of].kept
+            assert r.max_cos >= 0.999

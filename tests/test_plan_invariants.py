@@ -37,6 +37,8 @@ SCALAR_THRESHOLD_QUERIES = {
     "sim_topk_ivf_trained",
     "dedup_embedding_lsh",
     "dedup_embedding_multitable",
+    "sim_topk_pq",
+    "dedup_semantic",
     "sim_topk_lsh_multitable",
 }
 
