@@ -37,6 +37,7 @@ _STALE_R5 = [
     # new in round 5 — never checked yet
     "sim_topk_pq",
     "dedup_semantic",
+    "io_format_roundtrip",
     "dedup_embedding_multitable",
     "sim_topk_lsh_multitable",
     "sim_topk_ivf_trained",

@@ -177,3 +177,45 @@ def layout_compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(frag, ignore_errors=True)
         shutil.rmtree(dest, ignore_errors=True)
     return spark.createDataFrame([row], _COMPACT_SCHEMA)
+
+
+@register(
+    "io_format_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def io_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch source-format coverage (SURVEY §2B scans row): nation writes
+    to CSV (quoted header), JSON lines, and ORC, reads back through each
+    format's scan with an explicit schema, and returns only the rows ALL
+    THREE roundtrips agree on (3-way unionByName, group on every column,
+    keep count==3). Any format that drops, duplicates, or corrupts a
+    value changes the returned row set, so the oracle's plain
+    ``SELECT * FROM nation`` hash-checks every cell through every codec.
+    The result is localCheckpointed before the scratch dirs are removed
+    (bounded: |nation| = 25 rows at every SF)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cols = nation.columns
+    root = tempfile.mkdtemp(prefix="io_roundtrip_")
+    try:
+        nation.write.mode("overwrite").option("header", "true").csv(f"{root}/csv")
+        nation.write.mode("overwrite").json(f"{root}/json")
+        nation.write.mode("overwrite").orc(f"{root}/orc")
+        schema = nation.schema
+        csv_df = (
+            spark.read.schema(schema).option("header", "true").csv(f"{root}/csv")
+        )
+        json_df = spark.read.schema(schema).json(f"{root}/json")
+        orc_df = spark.read.orc(f"{root}/orc")
+        agreed = (
+            csv_df.unionByName(json_df)
+            .unionByName(orc_df)
+            .groupBy(*cols)
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") == 3)
+            .select(*cols)
+        )
+        return agreed.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
