@@ -212,3 +212,48 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("absz")
     )
+
+
+@register(
+    "hll_sketch_rollup",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_est_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE pre-aggregation pattern for distinct
+    counts at 100 TB: compute one HLL sketch per (event_type, day)
+    partition (a single scan of the raw data, partial-aggregable
+    map-side), then answer the coarser per-type question by MERGING the
+    daily sketches (hll_union_agg over |types| x |days| binary sketches —
+    never rescanning raw events). Nightly-materialized daily sketches
+    make any date-range distinct-user query a sketch merge instead of a
+    raw scan.
+
+    Gate: the merged estimate must land within HLL's error envelope
+    (lgConfigK=14 -> ~1% rsd; 5% gate) of the exact per-type distinct,
+    which DuckDB recomputes exactly — so the cross-engine hash carries
+    real counts, and the sketch path's correctness leaves as a boolean.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_est_ok"),
+    )

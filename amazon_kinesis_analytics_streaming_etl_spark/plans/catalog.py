@@ -38,6 +38,7 @@ _STALE_R5 = [
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",
+    "hll_sketch_rollup",
     "dedup_embedding_multitable",
     "sim_topk_lsh_multitable",
     "sim_topk_ivf_trained",
