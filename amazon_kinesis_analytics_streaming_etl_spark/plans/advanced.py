@@ -257,3 +257,34 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("merged_est_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# distributed heavy hitters (Misra-Gries candidates + exact verify)
+# --------------------------------------------------------------------------
+
+@register(
+    "heavy_hitters_lang",
+    """
+    SELECT lang AS key, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > (SELECT count(*) FROM documents) / 6.0
+    ORDER BY key
+    """,
+)
+def heavy_hitters_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Languages exceeding 1/6 of the corpus ('en' at ~44% and 'zh' at
+    ~15-17% straddle the bar; es/de/fr must be excluded — the threshold
+    does real work on this column). The engine path is the one-pass
+    bounded-memory shape (operators/sketch.py): per-partition
+    Misra-Gries summaries via mapInPandas — O(k) memory per task, no
+    full-cardinality shuffle — then an exact count restricted to the
+    merged candidate set (broadcast semi-join). Output is EXACT, so the
+    oracle is a plain HAVING over a group-by; what the sketch buys at
+    100 TB is never shuffling the full key domain to answer a <=k-row
+    question."""
+    from ..operators.sketch import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_hitters(docs, "lang", 6).orderBy("key")

@@ -35,6 +35,10 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # old). Regenerate with tools/rotate_catalog.py when rotating rounds.
 _STALE_R5 = [
     # new in round 5 — never checked yet
+    "heavy_hitters_lang",
+    "sample_weighted_topn",
+    "stream_chained_agg",
+    "stream_left_outer_join",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

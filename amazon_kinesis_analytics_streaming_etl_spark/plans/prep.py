@@ -345,3 +345,54 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis)
+# --------------------------------------------------------------------------
+
+@register(
+    "sample_weighted_topn",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  + 0.5) / 4294967296.0) / n_chars AS es_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY es_key, doc_id) AS rk
+      FROM r
+    )
+    SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 50 ORDER BY doc_id
+    """,
+)
+def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis-Spirakis): draw u~U(0,1) per row, rank by -ln(u)/w, keep
+    the top n — exactly a weighted sample of size n, computed as a
+    distributed TakeOrdered (per-partition top-n then a k-row driver
+    merge; no global sort, no single-partition window). Here w=n_chars
+    (sample long documents preferentially — the char-budget view of a
+    training mixture) and u derives from md5(doc_id), so the sample is
+    deterministic, append-stable, and replayable by the oracle — the
+    same reproducibility contract as mixture_sample_sources, which
+    samples each row INDEPENDENTLY (Bernoulli) while this op hits an
+    EXACT sample size under weights."""
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id", "source", "n_chars", (-F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    # orderBy + limit => TakeOrdered (distributed top-n), never a full sort
+    return (
+        keyed.orderBy("es_key", "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

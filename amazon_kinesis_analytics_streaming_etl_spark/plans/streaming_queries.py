@@ -302,3 +302,117 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     return replay_to_memory(spark, agged, output_mode="complete")
+
+
+@register(
+    "stream_chained_agg",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT strftime(d, '{_TS_FMT_DUCK}') AS day_start, event_type,
+           CAST(max(n) AS BIGINT) AS max_hourly, CAST(sum(n) AS BIGINT) AS n_day
+    FROM hourly
+    WHERE d + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (Spark 3.4+
+    multiple-stateful-operator support): tumbling 1-hour counts per
+    event_type feed a second windowed aggregation that rolls them up to
+    per-day max/sum — the streaming form of a pre-aggregation pyramid
+    (hourly tier materialized once, daily tier derived from it without
+    rescanning raw events; at 100 TB the raw stream is touched exactly
+    once).
+
+    Runs in APPEND mode (unlike the complete-mode single-agg queries):
+    hour windows emit downstream only when the watermark passes them, so
+    this query also pins watermark PROPAGATION through a stateful
+    operator. With a 0-second delay the final no-data batch flushes every
+    window except those still above the last watermark = max(ts) — i.e.
+    the trailing partial day is withheld, and the oracle mirrors exactly
+    that with its `d + 1 day <= max(ts)` predicate."""
+    stream = _events_stream(spark, sf_dir)
+    hourly = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("win"), "1 day").alias("dwin"), "event_type"
+        )
+        .agg(F.max("n").alias("max_hourly"), F.sum("n").cast("long").alias("n_day"))
+    )
+    out = replay_to_memory(spark, daily, output_mode="append")
+    return out.select(
+        F.date_format("dwin.start", _TS_FMT_SPARK).alias("day_start"),
+        "event_type",
+        "max_hourly",
+        "n_day",
+    )
+
+
+@register(
+    "stream_left_outer_join",
+    f"""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id AS p_user, ts AS p_ts, value
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, c.user_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+           strftime(p_ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           round(value, 2) AS purchase_value
+    FROM c LEFT JOIN p
+      ON c.user_id = p_user
+     AND p_ts >= c.ts AND p_ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE p_ts IS NOT NULL
+       OR c.ts + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
+    """,
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, matched with
+    purchases in the following 30 minutes OR null-extended if none came.
+    Outer results cannot emit eagerly — a click's null row is correct
+    only once the (right-side) watermark proves no purchase can still
+    arrive in its window, so null rows surface when the watermark passes
+    click_ts + 30min and the join state for that row is evicted. Clicks
+    in the last 30 minutes of the bounded replay stay unresolved in
+    state; the oracle carries the same cutoff predicate.
+
+    The watermark is applied BEFORE the event_type filters (both sides
+    then track the GLOBAL max event time), keeping the two sources'
+    watermarks identical — otherwise the engine's global watermark =
+    min(max click ts, max purchase ts), which the oracle would have to
+    reproduce."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = clicks.join(purchases, cond, "left_outer")
+    out = replay_to_memory(spark, joined, output_mode="append", shuffle_partitions=2)
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("c_ts", _TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("p_ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )

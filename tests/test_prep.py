@@ -98,3 +98,18 @@ def test_dedup_incremental_excludes_corpus_fingerprints(spark):
     assert not (set(fresh_fps) & corpus_fps), "nothing already in the corpus"
     # every surviving doc_id is odd (from the incoming shard)
     assert all(r.doc_id % 2 == 1 for r in out)
+
+
+def test_sample_weighted_topn_deterministic_and_weighted(spark):
+    """The E-S sample is (a) byte-stable across invocations, (b) biased
+    toward high-weight (long) documents vs the corpus average."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in QUERIES["sample_weighted_topn"](spark, sf).collect()]
+    b = [tuple(r) for r in QUERIES["sample_weighted_topn"](spark, sf).collect()]
+    assert a == b and len(a) == 50
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus_avg = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    sample_avg = sum(r[2] for r in a) / len(a)
+    assert sample_avg > corpus_avg

@@ -39,3 +39,75 @@ def test_hll_rollup_gate_query(spark):
 
     rows = QUERIES["hll_sketch_rollup"](spark, "/root/testdata/sf0.001").collect()
     assert rows and all(r.merged_est_ok for r in rows)
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (operators/sketch.py)
+# --------------------------------------------------------------------------
+
+
+def test_mg_partition_bounded_and_no_false_negatives():
+    """Pure-python MG step: counters never exceed k, and any key with
+    frequency > n/k survives the per-partition summary."""
+    import pandas as pd
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.sketch import (
+        _mg_partition,
+    )
+
+    # zipf-ish: key0 x 500, key1 x 300, then 1200 singletons
+    keys = ["hot0"] * 500 + ["hot1"] * 300 + [f"cold{i}" for i in range(1200)]
+    k = 5  # threshold n/k = 400 -> only hot0 is guaranteed
+    batches = [pd.DataFrame({"key": keys[i : i + 97]}) for i in range(0, len(keys), 97)]
+    (out,) = list(_mg_partition(iter(batches), k))
+    survivors = set(out.loc[out["key"].notna(), "key"])
+    assert len(survivors) <= k
+    assert "hot0" in survivors
+    assert int(out.loc[out["key"].isna(), "part_n"].iloc[0]) == len(keys)
+
+
+def test_heavy_hitters_exact_on_skewed_data(spark):
+    """End-to-end: exact answer on a skewed frame across many partitions,
+    matching a plain groupBy-HAVING recomputation."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    # 10_000 rows: id%97 gives ~103 each; ids<3000 remapped to 'heavy'
+    df = (
+        spark.range(10_000)
+        .select(
+            F.when(F.col("id") < 3000, F.lit("heavy"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 97)))
+            .alias("key")
+        )
+        .repartition(8)
+    )
+    k = 10  # threshold 1000 -> only 'heavy' (3000) qualifies
+    got = {(r.key, r.cnt) for r in heavy_hitters(df, "key", k).collect()}
+    n = df.count()
+    expect = {
+        (r.key, r.cnt)
+        for r in df.groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > n / k)
+        .collect()
+    }
+    assert got == expect == {("heavy", 3000)}
+
+
+def test_heavy_hitters_leaves_no_cached_summaries(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    result = heavy_hitters(docs, "lang", 6)
+    result.collect()
+    # the merged-summary persist must be released before return; the
+    # localCheckpoint of the (<=k-row) result is the only new block.
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before + 1

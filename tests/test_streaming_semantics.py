@@ -182,3 +182,32 @@ def test_streaming_dedup_same_key_different_event_times(spark, tmp_path):
     plan = streaming_dedup(_stream(spark, p), key_cols=["event_id"], watermark="1 hour")
     out = replay_to_memory(spark, plan, output_mode="append")
     assert out.count() == 2
+
+
+def test_stream_chained_agg_withholds_trailing_partial_day(spark):
+    """Append-mode contract of the chained agg: with watermark delay 0,
+    every complete day is emitted and the day containing max(ts) is
+    withheld (its window end is above the final watermark)."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["stream_chained_agg"](spark, sf)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    days = {r.day_start for r in out.select("day_start").distinct().collect()}
+    assert days  # complete days present
+    assert mx.strftime("%Y-%m-%d 00:00:00") not in days
+
+
+def test_stream_left_outer_join_emits_null_rows(spark):
+    """The left-outer stream-stream join must emit BOTH matched rows and
+    null-extended unmatched clicks (watermark-driven state eviction)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    out = QUERIES["stream_left_outer_join"](spark, "/root/testdata/sf0.001").collect()
+    matched = [r for r in out if r.purchase_ts is not None]
+    unmatched = [r for r in out if r.purchase_ts is None]
+    assert matched and unmatched
+    assert all(r.purchase_value is None for r in unmatched)
