@@ -445,3 +445,71 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("col_name")
     )
+
+
+# --------------------------------------------------------------------------
+# rolling interval-range window features (ML feature engineering)
+# --------------------------------------------------------------------------
+
+@register(
+    "rolling_window_features",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             date_trunc('second', ts) AS tss, value
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, event_type,
+             count(*)            OVER w AS n_7d,
+             round(sum(value) OVER w, 2) AS sum_value_7d,
+             round(avg(value) OVER w + 0.000001, 4) AS avg_value_7d
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tss
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, n_7d, sum_value_7d, avg_value_7d
+    FROM f WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+)
+def rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 7-DAY features (count/sum/avg of activity in the
+    trailing week at each event) — the classic time-bounded RANGE frame
+    that a training-feature pipeline attaches to every example. A RANGE
+    frame differs from a ROWS frame exactly when peers share a
+    timestamp, and its width is wall-clock, not row-count. The +1e-6 epsilon before
+    rounding the average (both sides) shifts exact .xxxx5 rounding ties
+    off the boundary, where the engines' round modes differ (same device
+    as agg_approx_quantiles).
+
+    Engine note: the DataFrame API's rangeBetween is numeric-only, so
+    the frame orders by epoch SECONDS (ts truncated to seconds on both
+    engines first — the frame boundary then falls on identical instants,
+    where DuckDB's INTERVAL arithmetic and Spark's seconds arithmetic
+    agree). One shuffle on user_id, shared by the window; the purchase
+    filter projects the feature rows without a second pass."""
+    ev = load_events(spark, sf_dir)
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_trunc("second", "ts").cast("long").alias("tse"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tse")
+        .rangeBetween(-7 * 86400, Window.currentRow)
+    )
+    f = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 2).alias("sum_value_7d"),
+        F.round(F.avg("value").over(w) + F.lit(0.000001), 4).alias("avg_value_7d"),
+    )
+    return (
+        f.where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "n_7d", "sum_value_7d", "avg_value_7d")
+        .orderBy("event_id")
+    )

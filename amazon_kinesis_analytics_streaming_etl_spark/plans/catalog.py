@@ -39,6 +39,9 @@ _STALE_R5 = [
     "sample_weighted_topn",
     "stream_chained_agg",
     "stream_left_outer_join",
+    "embedding_matryoshka",
+    "rolling_window_features",
+    "train_test_split_leakfree",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

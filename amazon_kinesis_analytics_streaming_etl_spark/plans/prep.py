@@ -396,3 +396,73 @@ def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# leak-free train/test split (fingerprint decontamination across splits)
+# --------------------------------------------------------------------------
+
+@register(
+    "train_test_split_leakfree",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             md5({_NORM_SQL}) AS fingerprint,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) / 4294967296.0 < 0.8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    train_fp AS (SELECT DISTINCT fingerprint FROM assigned WHERE split = 'train'),
+    leaked AS (
+      SELECT a.doc_id FROM assigned a
+      WHERE a.split = 'test'
+        AND a.fingerprint IN (SELECT fingerprint FROM train_fp)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE split = 'train'
+                                 OR doc_id NOT IN (SELECT doc_id FROM leaked))
+                AS BIGINT) AS n_clean
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def train_test_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test split with cross-split leakage
+    removal: assignment is a pure function of md5(doc_id) (append-stable,
+    replayable — same contract as mixture_sample_sources), then any test
+    document whose exact-content fingerprint also appears in train is
+    dropped from the evaluation split (train/test contamination is the
+    eval-integrity twin of benchmark decontamination, which guards the
+    TRAINING side). Output: per-split sizes before/after the scrub.
+
+    Plan: fingerprints are computed in the same scan as the assignment;
+    the leak check is a fingerprint-keyed left-semi join of the test
+    slice against distinct train fingerprints — co-partitioned shuffle,
+    no broadcast assumption on the train side (at 100 TB train is the
+    big side), then a 2-row aggregate."""
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    assigned = docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+        F.when(u < 0.8, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+    train_fp = assigned.where(F.col("split") == "train").select("fingerprint").distinct()
+    test = assigned.where(F.col("split") == "test")
+    leaked = test.join(train_fp, "fingerprint", "left_semi").select("doc_id")
+    clean_test = test.join(leaked, "doc_id", "left_anti")
+    per_split = assigned.groupBy("split").agg(F.count("*").alias("n_docs"))
+    clean_counts = (
+        assigned.where(F.col("split") == "train")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_clean"))
+        .unionByName(
+            clean_test.groupBy("split").agg(F.count("*").alias("n_clean"))
+        )
+    )
+    return per_split.join(clean_counts, "split").orderBy("split")

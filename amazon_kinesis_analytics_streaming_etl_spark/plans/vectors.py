@@ -155,3 +155,55 @@ def centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# matryoshka truncation quality (prefix-dim cosine preservation)
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_matryoshka",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             CAST(a.embedding AS DOUBLE[]) AS ea,
+             CAST(b.embedding AS DOUBLE[]) AS eb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 250
+    )
+    SELECT vec_id_a, vec_id_b,
+           round(list_cosine_similarity(ea, eb), 6) AS cos_full,
+           round(list_cosine_similarity(ea[1:16], eb[1:16]), 6) AS cos_trunc16,
+           round(abs(list_cosine_similarity(ea, eb)
+                     - list_cosine_similarity(ea[1:16], eb[1:16])), 6) AS drift
+    FROM p ORDER BY vec_id_a
+    """,
+)
+def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix truncation diagnostic: for a deterministic
+    pairing (vec_id, vec_id+250), the cosine at full 64 dims vs the
+    first-16-dim prefix (renormalization is implicit in cosine), plus the
+    drift — the table you consult before serving ANN at a truncated
+    dimension to cut index memory 4x (Kusupati et al. 2022's accuracy/
+    cost dial, evaluated corpus-side).
+
+    Plan: one keyed self-join (shuffle on vec_id — at 100 TB the pairing
+    key would be the ANN candidate list, same shape), then narrow array
+    math; truncation is F.slice, so the prefix never re-materializes as
+    a second column store."""
+    from ..functions.vectors import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    to_d = F.transform("embedding", lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), to_d.alias("ea"))
+    b = emb.select((F.col("vec_id") - 250).alias("vec_id_a"),
+                   F.col("vec_id").alias("vec_id_b"), to_d.alias("eb"))
+    p = a.join(b, "vec_id_a")
+    cf = cosine(F.col("ea"), F.col("eb"))
+    ct = cosine(F.slice("ea", 1, 16), F.slice("eb", 1, 16))
+    return p.select(
+        "vec_id_a",
+        "vec_id_b",
+        F.round(cf, 6).alias("cos_full"),
+        F.round(ct, 6).alias("cos_trunc16"),
+        F.round(F.abs(cf - ct), 6).alias("drift"),
+    ).orderBy("vec_id_a")

@@ -145,3 +145,14 @@ def test_centroid_cohesion_matches_numpy(spark):
         assert row["n_vectors"] == len(grp)
         assert row["avg_cosine"] == pytest.approx(cos.mean(), abs=1.5e-5)
         assert row["min_cosine"] == pytest.approx(cos.min(), abs=1.5e-5)
+
+
+def test_embedding_matryoshka_pairs_and_drift(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["embedding_matryoshka"](spark, "/root/testdata/sf0.001").collect()
+    assert rows  # deterministic (vec_id, vec_id+N/2) pairing is non-empty
+    for r in rows:
+        assert -1.0001 <= r.cos_full <= 1.0001
+        assert -1.0001 <= r.cos_trunc16 <= 1.0001
+        assert abs(r.drift - abs(r.cos_full - r.cos_trunc16)) < 2e-6

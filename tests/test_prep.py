@@ -113,3 +113,34 @@ def test_sample_weighted_topn_deterministic_and_weighted(spark):
     corpus_avg = docs.agg({"n_chars": "avg"}).collect()[0][0]
     sample_avg = sum(r[2] for r in a) / len(a)
     assert sample_avg > corpus_avg
+
+
+def test_train_test_split_is_leak_free(spark):
+    """After the scrub, no clean-test fingerprint may appear in train."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.text import (
+        fingerprint_md5,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.split: r for r in QUERIES["train_test_split_leakfree"](spark, sf).collect()}
+    assert set(out) == {"train", "test"}
+    assert out["train"].n_clean == out["train"].n_docs
+    assert out["test"].n_clean <= out["test"].n_docs
+    # independent recomputation of the invariant
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    fp = docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp"),
+        (u < 0.8).alias("is_train"),
+    )
+    train = fp.where("is_train").select("fp").distinct()
+    test_clean = fp.where(~F.col("is_train")).join(train, "fp", "left_anti")
+    assert test_clean.count() == out["test"].n_clean
