@@ -513,3 +513,352 @@ def rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "n_7d", "sum_value_7d", "avg_value_7d")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# distribution drift (population stability index between time slices)
+# --------------------------------------------------------------------------
+
+@register(
+    "drift_psi",
+    """
+    WITH m AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    b AS (
+      SELECT event_type,
+             CAST(least(9, floor((value - lo) * 10.0 / (hi - lo))) AS INT) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS is_p,
+             CASE WHEN ts >= TIMESTAMP '2024-01-22' THEN 1 ELSE 0 END AS is_q
+      FROM events, m
+      WHERE ts < TIMESTAMP '2024-01-08' OR ts >= TIMESTAMP '2024-01-22'
+    ),
+    c AS (
+      SELECT event_type, bin,
+             CAST(sum(is_p) AS DOUBLE) AS p_cnt,
+             CAST(sum(is_q) AS DOUBLE) AS q_cnt
+      FROM b GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT DISTINCT event_type, gs.bin
+      FROM events, (SELECT unnest(range(0, 10)) AS bin) gs
+    ),
+    f AS (
+      SELECT s.event_type, s.bin,
+             COALESCE(c.p_cnt, 0) AS p_cnt, COALESCE(c.q_cnt, 0) AS q_cnt
+      FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.bin = c.bin
+    ),
+    t AS (SELECT event_type, sum(p_cnt) AS pt, sum(q_cnt) AS qt FROM f GROUP BY 1)
+    SELECT f.event_type,
+           round(sum(((f.p_cnt + 0.5) / (t.pt + 5.0) - (f.q_cnt + 0.5) / (t.qt + 5.0))
+                     * ln(((f.p_cnt + 0.5) / (t.pt + 5.0))
+                          / ((f.q_cnt + 0.5) / (t.qt + 5.0)))), 5) AS psi,
+           CAST(sum(f.p_cnt) AS BIGINT) AS n_baseline,
+           CAST(sum(f.q_cnt) AS BIGINT) AS n_current
+    FROM f JOIN t ON f.event_type = t.event_type
+    GROUP BY f.event_type ORDER BY f.event_type
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between a baseline week
+    (before Jan 8) and a current week (Jan 22 on) — the standard ML-
+    monitoring statistic for "has this feature's distribution shifted
+    since training". Ten equi-width bins over the global [min,max] with
+    the histogram query's engine-identical double expression; a full
+    type x bin spine so empty bins contribute their smoothed mass
+    ((cnt+0.5)/(tot+5) Laplace smoothing — absent bins must NOT silently
+    drop, their p != q whenever slice sizes differ); PSI = sum
+    (p-q)*ln(p/q).
+
+    Plan: one scan computes BOTH slices' bin counts (sum(CASE) in a
+    single partial-aggregable pass — the expectation-audit trick), a
+    1-row min/max broadcast, and a 50-row spine join; everything after
+    the first aggregate is driver-trivial but stays declarative."""
+    ev = load_events(spark, sf_dir)
+    m = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    p_cut, q_cut = "2024-01-08", "2024-01-22"
+    x = F.col("value")
+    bin_ = F.least(
+        F.lit(9).cast("long"),
+        F.floor((x - F.col("lo")) * F.lit(10.0) / (F.col("hi") - F.col("lo"))),
+    ).cast("int")
+    b = (
+        ev.where((F.col("ts") < p_cut) | (F.col("ts") >= q_cut))
+        .crossJoin(m)
+        .select(
+            "event_type",
+            bin_.alias("bin"),
+            F.when(F.col("ts") < p_cut, 1).otherwise(0).alias("is_p"),
+            F.when(F.col("ts") >= q_cut, 1).otherwise(0).alias("is_q"),
+        )
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum("is_p").cast("double").alias("p_cnt"),
+        F.sum("is_q").cast("double").alias("q_cnt"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"))
+        .select("event_type", F.col("bin").cast("int").alias("bin"))
+    )
+    f = spine.join(c, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("p_cnt", F.lit(0.0)).alias("p_cnt"),
+        F.coalesce("q_cnt", F.lit(0.0)).alias("q_cnt"),
+    )
+    t = f.groupBy("event_type").agg(
+        F.sum("p_cnt").alias("pt"), F.sum("q_cnt").alias("qt")
+    )
+    j = f.join(t, "event_type")
+    p = (F.col("p_cnt") + 0.5) / (F.col("pt") + 5.0)
+    q = (F.col("q_cnt") + 0.5) / (F.col("qt") + 5.0)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 5).alias("psi"),
+            F.sum("p_cnt").cast("long").alias("n_baseline"),
+            F.sum("q_cnt").cast("long").alias("n_current"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# time-series resampling with linear interpolation
+# --------------------------------------------------------------------------
+
+@register(
+    "resample_interpolate",
+    """
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS pt, round(avg(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 30 MINUTE)) AS g FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), u AS (
+      SELECT event_type, pt AS ord_ts, 0 AS is_grid, v, pt AS ots FROM obs
+      UNION ALL
+      SELECT t.event_type, gr.g, 1, NULL, NULL FROM types t CROSS JOIN grid gr
+    ), w AS (
+      SELECT *,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(ots IGNORE NULLS) OVER wp AS pts,
+             last_value(v IGNORE NULLS) OVER wn AS nv,
+             last_value(ots IGNORE NULLS) OVER wn AS nts
+      FROM u
+      WINDOW
+        wp AS (PARTITION BY event_type ORDER BY ord_ts ASC, is_grid ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY event_type ORDER BY ord_ts DESC, is_grid DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(ord_ts, '%Y-%m-%d %H:%M') AS slot,
+           round(CASE
+             WHEN pts IS NULL THEN NULL
+             WHEN nts IS NULL THEN pv
+             ELSE pv + (nv - pv)
+                  * (CAST(epoch_us(ord_ts) - epoch_us(pts) AS DOUBLE)
+                     / CAST(epoch_us(nts) - epoch_us(pts) AS DOUBLE))
+           END + 0.00000001, 4) AS value_interp,
+           COALESCE(pts = ord_ts, false) AS is_exact
+    FROM w WHERE is_grid = 1
+    ORDER BY event_type, slot
+    """,
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event_type's hourly series onto a 30-minute grid
+    with LINEAR interpolation between the surrounding observations —
+    the time-series alignment primitive (sensor fusion, feature grids)
+    that gap-fill's forward-fill deliberately is not: a grid point
+    mid-gap gets the line between its neighbors, not a stale copy.
+    Leading points (no observation yet) stay null; trailing points hold
+    the last observation flat.
+
+    Plan: the raw scan collapses to an hourly aggregate FIRST, so the
+    per-type prev/next windows run on types x hours cardinality, never
+    raw events (same posture as gapfill_hourly); the grid is a bounded
+    types x slots spine off a 1-row bounds aggregate. prev/next come
+    from two frames over ONE union — ascending last-non-null and
+    descending last-non-null with tie-order flipped so an observation at
+    exactly the grid instant lands in the prev frame, not next — i.e.
+    two sorts of the same small partition, zero joins against raw data.
+    The lerp runs on exact integer microseconds (unix_micros/epoch_us)
+    and 4dp-rounded observation values, so both engines compute
+    bit-identical doubles."""
+    ev = load_events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 30 minutes"))).alias("g")
+    )
+    types = ev.select("event_type").distinct()
+    u = obs.select(
+        "event_type",
+        F.col("pt").alias("ord_ts"),
+        F.lit(0).alias("is_grid"),
+        "v",
+        F.col("pt").alias("ots"),
+    ).unionByName(
+        types.crossJoin(grid).select(
+            "event_type",
+            F.col("g").alias("ord_ts"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(None).cast("timestamp").alias("ots"),
+        )
+    )
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ord_ts").asc(), F.col("is_grid").asc())
+        .rowsBetween(*frame)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ord_ts").desc(), F.col("is_grid").desc())
+        .rowsBetween(*frame)
+    )
+    w = u.select(
+        "*",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last("ots", ignorenulls=True).over(wp).alias("pts"),
+        F.last("v", ignorenulls=True).over(wn).alias("nv"),
+        F.last("ots", ignorenulls=True).over(wn).alias("nts"),
+    )
+    frac = (
+        (F.unix_micros("ord_ts") - F.unix_micros("pts")).cast("double")
+        / (F.unix_micros("nts") - F.unix_micros("pts")).cast("double")
+    )
+    interp = (
+        F.when(F.col("pts").isNull(), F.lit(None).cast("double"))
+        .when(F.col("nts").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    # +1e-8 before rounding on BOTH sides (the repo's half-tie treatment,
+    # advanced.py:155, scaled for 4dp): the engines compute bit-identical
+    # lerp doubles but round them through different algorithms (decimal
+    # HALF_UP vs scaled float), which disagree exactly on .xxxx5 ties.
+    return (
+        w.where(F.col("is_grid") == 1)
+        .select(
+            "event_type",
+            F.date_format("ord_ts", "yyyy-MM-dd HH:mm").alias("slot"),
+            F.round(interp + F.lit(0.00000001), 4).alias("value_interp"),
+            F.coalesce(F.col("pts") == F.col("ord_ts"), F.lit(False)).alias(
+                "is_exact"
+            ),
+        )
+        .orderBy("event_type", "slot")
+    )
+
+
+# --------------------------------------------------------------------------
+# event-sequence pattern matching (MATCH_RECOGNIZE-style)
+# --------------------------------------------------------------------------
+
+_SEQ_CODE = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END"
+)
+
+# (name, regex) — partial-match semantics in BOTH engines (Spark rlike,
+# DuckDB regexp_matches); anchors used where "whole journey" is meant.
+_SEQ_PATTERNS = [
+    ("strict_funnel", "v[^p]*c[^p]*p"),  # view->click->purchase, no early buy
+    ("signup_then_purchase", "s.*p"),
+    ("repeated_errors", "ee"),
+    ("bounce", "^v[^cp]*$"),  # viewed, never clicked or purchased
+]
+
+
+@register(
+    "pattern_match_funnel",
+    f"""
+    WITH s AS (
+      SELECT user_id,
+             string_agg({_SEQ_CODE}, '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ), t AS (SELECT count(*) AS n_total FROM s)
+    SELECT pattern, n_users,
+           round(CAST(n_users AS DOUBLE) / n_total, 6) AS pct
+    FROM (
+      {" UNION ALL ".join(
+        f"SELECT '{name}' AS pattern, "
+        f"CAST(sum(CASE WHEN regexp_matches(seq, '{rx.replace(chr(39), chr(39)*2)}') "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM s"
+        for name, rx in _SEQ_PATTERNS
+      )}
+    ) m CROSS JOIN t
+    ORDER BY pattern
+    """,
+)
+def pattern_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection: each user's journey is
+    collapsed to a code string in (ts, event_id) order and matched
+    against regex patterns — regex over per-key ordered strings is the
+    classic distributed stand-in for SQL row-pattern matching (ordered
+    quantified patterns, negations like "no purchase in between"), and
+    each pattern is one JVM regexp column, not a self-join chain.
+
+    Plan: ONE groupBy(user_id) builds the journey strings
+    (array_sort(collect_list(struct)) -> transform -> array_join, all
+    JVM built-ins; state per user is bounded by that user's event
+    count); all four patterns then evaluate in the SAME single pass over
+    the per-user strings (sum(CASE) columns, unpivoted by stack) with a
+    1-row total broadcast — adding a pattern adds a column, never a scan
+    or shuffle. Four sequence-dependent patterns that would each need
+    self-joins or windows become one aggregate + regex evaluation."""
+    ev = load_events(spark, sf_dir)
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seqs = (
+        ev.select("user_id", "ts", "event_id", code.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    counts = seqs.agg(
+        F.count("*").alias("n_total"),
+        *[
+            F.sum(F.when(F.col("seq").rlike(rx), 1).otherwise(0))
+            .cast("long")
+            .alias(name)
+            for name, rx in _SEQ_PATTERNS
+        ],
+    )
+    stacked = counts.select(
+        "n_total",
+        F.expr(
+            "stack({n}, {args}) as (pattern, n_users)".format(
+                n=len(_SEQ_PATTERNS),
+                args=", ".join(f"'{name}', {name}" for name, _ in _SEQ_PATTERNS),
+            )
+        ),
+    )
+    return stacked.select(
+        "pattern",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("n_total"), 6).alias("pct"),
+    ).orderBy("pattern")

@@ -42,6 +42,12 @@ _STALE_R5 = [
     "embedding_matryoshka",
     "rolling_window_features",
     "train_test_split_leakfree",
+    "drift_psi",
+    "sample_stratified",
+    "mv_incremental_refresh",
+    "resample_interpolate",
+    "pattern_match_funnel",
+    "json_variant_typed",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_md5, lower_tokens
+from ..schemas import load_events
 from ..operators.scale import global_cumsum
 from .relational import register
 
@@ -466,3 +467,144 @@ def train_test_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_split.join(clean_counts, "split").orderBy("split")
+
+
+# --------------------------------------------------------------------------
+# stratified sampling: exact top-n-by-hash per stratum
+# --------------------------------------------------------------------------
+
+_STRAT_N = 5  # sample size per stratum
+_STRAT_CUT = "8"  # md5-hex prefilter: keep ~1/2 of each stratum before sorting
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH h AS (
+      SELECT source, doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+      WHERE md5(CAST(doc_id AS VARCHAR)) < '{_STRAT_CUT}'
+    ), r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+      FROM h
+    )
+    SELECT source, CAST(rn AS INT) AS rn, doc_id, n_chars
+    FROM r WHERE rn <= {_STRAT_N}
+    ORDER BY source, rn
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly the ``_STRAT_N`` docs with
+    the smallest md5(doc_id) per ``source`` stratum — layout-stable (a doc
+    keeps its membership as the corpus grows) and exact (not Bernoulli,
+    so every stratum hits its quota even for rare sources, the failure
+    mode of fraction-based sampleBy).
+
+    Two-phase scale shape: a stateless hash prefilter (``hk < '8'``,
+    expected survivors = stratum/2) bounds what the per-stratum sort ever
+    sees, THEN row_number ranks only survivors. Because ranking is BY the
+    same hash, top-n of the survivor set IS top-n of the full stratum
+    whenever >= n rows survive (hashes below the cutoff are a prefix of
+    the stratum's hash order); at 100 TB the cutoff is tightened so the
+    windowed sort touches ~2n rows per stratum instead of billions. The
+    one shuffle keys on source; skewed strata stay bounded by the
+    prefilter."""
+    d = _docs(spark, sf_dir)
+    hk = F.md5(F.col("doc_id").cast("string"))
+    h = d.select("source", "doc_id", "n_chars", hk.alias("hk")).where(
+        F.col("hk") < _STRAT_CUT
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _STRAT_N)
+        .select("source", "rn", "doc_id", "n_chars")
+        .orderBy("source", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental materialized-view refresh (mergeable partial aggregates)
+# --------------------------------------------------------------------------
+
+_MV_SPLIT = "2024-01-24 12:00:00"  # base MV covers ts < split; delta is >=
+# (mid-day split on purpose: Jan 24's groups get partial rows from BOTH
+# sides, so the second groupBy performs a real cross-batch merge)
+
+
+@register(
+    "mv_incremental_refresh",
+    f"""
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(sum(value) / count(*), 2) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(sqrt(greatest(sum(value * value) / count(*)
+                               - (sum(value) / count(*)) ** 2, 0)), 2)
+             AS stddev_pop
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the (event_type, day)
+    rollup is stored as MERGEABLE partial aggregates (n, sum, sum_sq,
+    min, max), so refreshing with a new day's delta merges state rows
+    instead of rescanning history — at 100 TB the refresh cost is
+    O(delta + |MV|), never O(base). The oracle is the full recompute over
+    all events; hash equality IS the refresh-correctness gate (merged
+    partials must be indistinguishable from a cold rebuild).
+
+    avg/stddev are derived from the merged sums (the standard mergeable
+    decomposition: stddev_pop = sqrt(E[x^2] - E[x]^2)) — BOTH sides use
+    the same formula so the gate checks merge algebra, not float trivia.
+    Plan: two partial-aggregable scans (base once in real life, here both
+    sides of the simulated split) + a |MV|-sized merge groupBy."""
+    ev = load_events(spark, sf_dir)
+    proj = ev.select(
+        "event_type",
+        F.col("ts"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.col("value"),
+        (F.col("value") * F.col("value")).alias("value_sq"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum("value_sq").alias("s2"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partials(proj.where(F.col("ts") < F.lit(_MV_SPLIT).cast("timestamp")))
+    delta = partials(proj.where(F.col("ts") >= F.lit(_MV_SPLIT).cast("timestamp")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("s2").alias("s2"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        F.round("s", 2).alias("sum_value"),
+        F.round(mean, 2).alias("avg_value"),
+        F.round("mn", 6).alias("min_value"),
+        F.round("mx", 6).alias("max_value"),
+        F.round(F.sqrt(var), 2).alias("stddev_pop"),
+    ).orderBy("event_type", "day")

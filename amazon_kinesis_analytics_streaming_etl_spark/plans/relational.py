@@ -1457,3 +1457,82 @@ def global_rank_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate"),
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4 open-variant type)
+# --------------------------------------------------------------------------
+
+@register(
+    "json_variant_typed",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract_string(
+               json_object('t', event_type, 'm',
+                           json_object('u', user_id, 'val', value),
+                           'raw', json(props)),
+               '$.t') AS VARCHAR) AS t,
+             CAST(json_extract(
+               json_object('t', event_type, 'm',
+                           json_object('u', user_id, 'val', value),
+                           'raw', json(props)),
+               '$.m.val') AS DOUBLE) AS val,
+             CAST(json_extract(
+               json_object('t', event_type, 'm',
+                           json_object('u', user_id, 'val', value),
+                           'raw', json(props)),
+               '$.raw.k') AS INT) AS k
+      FROM events
+    )
+    SELECT t AS event_type, count(*) AS n,
+           round(sum(val), 2) AS sum_val,
+           max(k) AS max_k,
+           CAST(count(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS n_high_k
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+)
+def json_variant_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion path: nested JSON is parsed ONCE into
+    the open variant encoding (`parse_json`), then typed paths are
+    extracted with `variant_get` — the schema-on-read shape for
+    semi-structured lakes where `from_json` would need a declared schema
+    and `get_json_object` re-parses the string per extraction. The
+    nested document (a string JSON field inside a composed object)
+    round-trips through the variant binary form; extraction, filtering,
+    and aggregation all run on variant-decoded typed columns.
+
+    Plan: the parse and all three `variant_get`s sit in the scan's
+    project (one parse feeding multiple extractions — the variant win),
+    followed by a 5-key hash aggregate with map-side partials; zero
+    Python, zero shuffles beyond the final groupBy. The oracle builds
+    the same nested document with DuckDB's JSON functions and extracts
+    the same typed paths."""
+    ev = _t(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.col("user_id").alias("u"), F.col("value").alias("val")
+            ).alias("m"),
+            F.from_json("props", "k INT").alias("raw"),
+        )
+    )
+    v = F.parse_json(doc)
+    ex = ev.select(
+        F.variant_get(v, "$.t", "string").alias("t"),
+        F.variant_get(v, "$.m.val", "double").alias("val"),
+        F.variant_get(v, "$.raw.k", "int").alias("k"),
+    )
+    return (
+        ex.groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("val"), 2).alias("sum_val"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_k"),
+        )
+        .orderBy("event_type")
+    )

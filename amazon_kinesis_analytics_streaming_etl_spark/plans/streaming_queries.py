@@ -361,7 +361,11 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
          p AS (SELECT user_id AS p_user, ts AS p_ts, value
-               FROM events WHERE event_type = 'purchase')
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT date_trunc('milliseconds', least(
+                  (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                  (SELECT max(ts) FROM events WHERE event_type = 'purchase')))
+                AS w)
     SELECT c.event_id AS click_id, c.user_id,
            strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
            strftime(p_ts, '{_TS_FMT_DUCK}') AS purchase_ts,
@@ -370,36 +374,39 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.user_id = p_user
      AND p_ts >= c.ts AND p_ts <= c.ts + INTERVAL 30 MINUTE
     WHERE p_ts IS NOT NULL
-       OR c.ts + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
+       OR c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
     """,
 )
 def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every click, matched with
     purchases in the following 30 minutes OR null-extended if none came.
     Outer results cannot emit eagerly — a click's null row is correct
-    only once the (right-side) watermark proves no purchase can still
-    arrive in its window, so null rows surface when the watermark passes
-    click_ts + 30min and the join state for that row is evicted. Clicks
-    in the last 30 minutes of the bounded replay stay unresolved in
-    state; the oracle carries the same cutoff predicate.
+    only once the watermark proves no purchase can still arrive in its
+    window, so null rows surface when the watermark passes
+    click_ts + 30min and the join state for that row is evicted; clicks
+    near the end of the bounded replay stay unresolved in state.
 
-    The watermark is applied BEFORE the event_type filters (both sides
-    then track the GLOBAL max event time), keeping the two sources'
-    watermarks identical — otherwise the engine's global watermark =
-    min(max click ts, max purchase ts), which the oracle would have to
-    reproduce."""
+    The oracle carries the engine's EXACT finalization cutoff: each
+    side's watermark node sits over its own filtered stream (this is
+    also where Catalyst lands if the filter is written after
+    withWatermark — predicate pushdown moves it below the event-time
+    node), so the query's global watermark is min(max click ts,
+    max purchase ts), millisecond-truncated the way event-time
+    watermarks are. A click's null row appears iff click_ts + 30min <
+    that value — verified empirically: the unmatched click BETWEEN the
+    two side maxima is retained in state, not emitted."""
     clicks = (
         _events_stream(spark, sf_dir)
-        .withWatermark("ts", "0 seconds")
         .where(F.col("event_type") == "click")
+        .withWatermark("ts", "0 seconds")
         .select(
             F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
         )
     )
     purchases = (
         _events_stream(spark, sf_dir)
-        .withWatermark("ts", "0 seconds")
         .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "0 seconds")
         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value")
     )
     cond = (

@@ -53,6 +53,12 @@ HEADLINE = [
     "gapfill_hourly",
     "stream_tumbling_counts",
     "stream_static_enrich",
+    # round 5 additions (cheap; keep earlier entries' series comparable)
+    "heavy_hitters_lang",
+    "sample_weighted_topn",
+    "rolling_window_features",
+    "drift_psi",
+    "stream_chained_agg",
 ]
 
 

@@ -25,6 +25,9 @@ SCALAR_THRESHOLD_QUERIES = {
     "gapfill_hourly",
     "histogram_extendedprice",
     "skew_key_profile",
+    "drift_psi",
+    "resample_interpolate",
+    "pattern_match_funnel",
     # lexical family: 1-row corpus-stats broadcasts (N, avgdl, df).
     "tfidf_top_keywords",
     "bm25_retrieval",

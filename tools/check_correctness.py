@@ -26,8 +26,10 @@ def canon_cell(v):
         if math.isnan(v):
             return "NaN"
         return repr(round(v, 9))
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ").replace("+00:00", "")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return str(v)
 
 
