@@ -79,16 +79,35 @@ class _TopicSlice(InputPartition):
 
 
 def _rows(slice_: _TopicSlice, payloads: list[bytes]):
-    for i, value in enumerate(payloads):
-        yield (
-            None,
-            value,
-            slice_.topic,
-            slice_.partition,
-            slice_.start + i,
-            None,
-            0,  # TimestampType.CREATE_TIME sentinel, as the connector emits
-        )
+    """Arrow RecordBatches for one topic-partition slice (same vectorized
+    shape as kinesis_replay._rows: columns built once per slice, no
+    per-record Python->Arrow tuple conversion)."""
+    import pyarrow as pa
+
+    n = len(payloads)
+    if not n:
+        return
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.nulls(n, pa.binary()),
+            pa.array(payloads, type=pa.binary()),
+            pa.array([slice_.topic] * n, type=pa.string()),
+            pa.array([slice_.partition] * n, type=pa.int32()),
+            pa.array(range(slice_.start, slice_.start + n), type=pa.int64()),
+            pa.nulls(n, pa.timestamp("us")),
+            # TimestampType.CREATE_TIME sentinel, as the connector emits
+            pa.array([0] * n, type=pa.int32()),
+        ],
+        names=[
+            "key",
+            "value",
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+            "timestampType",
+        ],
+    )
 
 
 def _read_slice(slice_: _TopicSlice):

@@ -265,6 +265,7 @@ def _bench_replay_keepup(
     d = tempfile.mkdtemp(prefix=f"bench_{model}src_")
     out = tempfile.mkdtemp(prefix=f"bench_{model}out_")
     ckpt = tempfile.mkdtemp(prefix=f"bench_{model}ckpt_")
+    warm = tempfile.mkdtemp(prefix=f"bench_{model}warm_")
     fname = (
         (lambda i: f"shardId-{i:012d}.jsonl")
         if model == "kinesis"
@@ -290,6 +291,34 @@ def _bench_replay_keepup(
         else:
             raw = kafka_replay_stream(spark, d)
             events = parse_trip_events(raw, value_col="value")
+        # Warm the replay path before timing: the FIRST Python-data-source
+        # stream in a session pays ~7s once-off (Python worker spin-up,
+        # Arrow serializer + codegen, streaming committer init) that the
+        # second model never sees — measured: whichever model ran first
+        # clocked ~27-35k rec/s, whichever ran second ~56-86k, regardless
+        # of which. The criterion is SUSTAINED keep-up, so measure
+        # steady-state the same way bench_etl_throughput warms its write:
+        # a 1k-record replay of shard/partition 0 into throwaway dirs.
+        wsrc = os.path.join(warm, "src")
+        os.makedirs(wsrc)
+        with open(os.path.join(d, fname(0))) as src, open(
+            os.path.join(wsrc, fname(0)), "w"
+        ) as dst:
+            for _ in range(1000):
+                dst.write(src.readline())
+        if model == "kinesis":
+            wraw = kinesis_replay_stream(spark, wsrc)
+            wevents = parse_trip_events(wraw, value_col="data")
+        else:
+            wraw = kafka_replay_stream(spark, wsrc)
+            wevents = parse_trip_events(wraw, value_col="value")
+        wq = (
+            file_sink_stream(wevents, os.path.join(warm, "out"),
+                             os.path.join(warm, "ckpt"), parquet=True)
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination()
         t0 = time.time()
         q = (
             file_sink_stream(events, out, ckpt, parquet=True)
@@ -307,7 +336,7 @@ def _bench_replay_keepup(
             "keepup": rate >= 16_000,
         }
     finally:
-        for dd in (d, out, ckpt):
+        for dd in (d, out, ckpt, warm):
             shutil.rmtree(dd, ignore_errors=True)
 
 
