@@ -862,3 +862,81 @@ def pattern_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users").cast("double") / F.col("n_total"), 6).alias("pct"),
     ).orderBy("pattern")
+
+
+# --------------------------------------------------------------------------
+# exponentially weighted moving average (bounded-window EWMA)
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.9  # per-hour decay
+_EWMA_SPAN = 24  # hours of history per point
+
+
+@register(
+    "ewma_hourly",
+    f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS pt, round(avg(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), lw AS (
+      SELECT event_type, pt, v,
+             list(v) OVER (PARTITION BY event_type ORDER BY pt
+                           ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING
+                           AND CURRENT ROW) AS lst
+      FROM obs
+    )
+    SELECT event_type, strftime(pt, '%Y-%m-%d %H:00') AS hour, v,
+           round(list_sum(list_transform(lst,
+                     (x, i) -> x * pow({_EWMA_ALPHA}, len(lst) - i)))
+                 / list_sum(list_transform(lst,
+                     (x, i) -> pow({_EWMA_ALPHA}, len(lst) - i)))
+                 + 0.00000001, 4) AS ewma
+    FROM lw ORDER BY event_type, pt
+    """,
+)
+def ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each type's hourly series
+    over a bounded 24-hour window — the trend-smoothing feature
+    (monitoring dashboards, ML feature stores) that a plain rolling mean
+    under-reacts to. Weight for the point k hours back is alpha^k,
+    normalized over the points actually present (series heads use fewer
+    points, identically in both engines).
+
+    The textbook recursive EWMA (s_t = a*s_{{t-1}} + (1-a)*v_t) is a
+    sequential dependency no engine parallelizes, and its algebraic
+    unrolling (a^-t prefix sums) overflows doubles past ~300 steps; the
+    bounded-window form is the scale-safe equivalent (alpha^24 ≈ 0.08 —
+    older mass is negligible by construction) and is exactly computable
+    as a frame aggregate. Plan: hourly aggregate first (the windows run
+    on types x hours cardinality), then ONE 24-row frame per row:
+    collect_list over the frame + JVM higher-order folds (zip_with /
+    aggregate) — no self-join against the series, no Python. The +1e-8
+    pre-round epsilon is the repo's half-tie treatment (advanced.py:155).
+    """
+    ev = load_events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("pt")
+        .rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    )
+    lw = obs.select("event_type", "pt", "v", F.collect_list("v").over(w).alias("lst"))
+    m = F.size("lst")
+    # Spark lambda index is 0-based; weight for 0-based i in an m-list is
+    # alpha^(m-1-i) (current row = alpha^0), matching DuckDB's 1-based
+    # alpha^(len-i).
+    wts = F.transform("lst", lambda x, i: F.pow(F.lit(_EWMA_ALPHA), m - 1 - i))
+    num = F.aggregate(
+        F.zip_with("lst", wts, lambda v, wt: v * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(wts, F.lit(0.0), lambda acc, x: acc + x)
+    return lw.select(
+        "event_type",
+        F.date_format("pt", "yyyy-MM-dd HH:00").alias("hour"),
+        "v",
+        F.round(num / den + F.lit(0.00000001), 4).alias("ewma"),
+    ).orderBy("event_type", "pt")

@@ -48,6 +48,7 @@ _STALE_R5 = [
     "resample_interpolate",
     "pattern_match_funnel",
     "json_variant_typed",
+    "ewma_hourly",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",
