@@ -95,3 +95,47 @@ def test_no_cartesian_or_accidental_bnlj(spark, name):
             f"{name}: non-equi broadcast join (add to whitelist only if the "
             f"build side is provably tiny)\n{plan}"
         )
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
+    """Catalyst's runtime bloom-filter injection (InjectRuntimeFilter) is
+    the 100 TB lever for selective-dimension shuffle joins: the filtered
+    build side publishes a bloom filter that the probe side's scan applies
+    BEFORE the shuffle, so most of the big side never crosses the wire.
+    This pins that the engine's session config leaves the feature usable:
+    with thresholds floored (the sf0.001 build side is otherwise below the
+    creation threshold) a selective orders⋈lineitem shuffle join must
+    carry a might_contain probe on the lineitem side."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creationSideThreshold is an UPPER bound on the build side (the
+        # filter is worth creating only if the build side is small);
+        # applicationSideScanSizeThreshold is a LOWER bound on the probe
+        # side (pruning must be worth it). Floor the probe bound so the
+        # sf0.001 lineitem qualifies.
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        j = li.join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == orders.o_orderkey,
+        ).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter" in plan, (
+            f"no runtime bloom filter injected:\n{plan}"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
