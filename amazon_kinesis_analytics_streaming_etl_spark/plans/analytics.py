@@ -940,3 +940,99 @@ def ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.round(num / den + F.lit(0.00000001), 4).alias("ewma"),
     ).orderBy("event_type", "pt")
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency/frequency quintile grid)
+# --------------------------------------------------------------------------
+
+@register(
+    "rfm_segments",
+    """
+    WITH gmax AS (SELECT CAST(max(ts) AS DATE) AS gd FROM events),
+    u AS (
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE), (SELECT gd FROM gmax))
+               AS recency_days,
+             count(*) AS freq,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END), 2) AS money
+      FROM events GROUP BY user_id
+    ), n AS (SELECT count(*) AS n_total FROM u),
+    r AS (
+      SELECT u.*,
+             row_number() OVER (ORDER BY recency_days, user_id) AS r_rank,
+             row_number() OVER (ORDER BY freq, user_id) AS f_rank
+      FROM u
+    )
+    SELECT CAST(5 - ((r_rank - 1) * 5) // n_total AS INT) AS r_score,
+           CAST(((f_rank - 1) * 5) // n_total + 1 AS INT) AS f_score,
+           count(*) AS n_users,
+           round(avg(money) + 0.000001, 2) AS avg_monetary
+    FROM r, n GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation heatmap: every user scored 1-5 on Recency (days
+    since last event, 5 = most recent) and Frequency (event count, 5 =
+    most active) by EXACT quintile rank, then the user base rolled up to
+    the 5x5 segment grid with average purchase monetary value — the
+    classic marketing/retention segmentation over the engine's event
+    output.
+
+    Quintiles come from exact global ranks, and a bare
+    ``row_number() OVER (ORDER BY ...)`` collapses 100 TB of users onto
+    one task — so ranking uses :func:`operators.scale.global_rank`
+    (range-partition + broadcast prefix offsets, one range shuffle per
+    metric) with user_id tie-breaks making both metrics' rank total.
+    Scores use the same explicit ``((rank-1)*5) // n`` bucketing in both
+    engines (ntile's remainder-spreading is engine-idiosyncratic). Plan:
+    one groupBy(user) aggregate, two range shuffles on |users| rows, two
+    1-row broadcasts (global max date, user count), then a 25-key
+    aggregate."""
+    from ..operators.scale import global_rank
+
+    ev = load_events(spark, sf_dir)
+    gmax = ev.agg(F.to_date(F.max("ts")).alias("gd"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("freq"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .otherwise(0.0)
+                ),
+                2,
+            ).alias("money"),
+        )
+        .crossJoin(gmax)
+        .select(
+            "user_id",
+            F.datediff(F.col("gd"), F.to_date("last_ts")).alias("recency_days"),
+            "freq",
+            "money",
+        )
+    )
+    n = u.agg(F.count("*").alias("n_total"))
+    ranked = global_rank(
+        global_rank(u, ["recency_days", "user_id"], "r_rank"),
+        ["freq", "user_id"],
+        "f_rank",
+    )
+    r_score = (
+        F.lit(5) - F.floor((F.col("r_rank") - 1) * 5 / F.col("n_total"))
+    ).cast("int")
+    f_score = (
+        F.floor((F.col("f_rank") - 1) * 5 / F.col("n_total")) + 1
+    ).cast("int")
+    return (
+        ranked.crossJoin(n)
+        .groupBy(r_score.alias("r_score"), f_score.alias("f_score"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("money") + F.lit(0.000001), 2).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score")
+    )

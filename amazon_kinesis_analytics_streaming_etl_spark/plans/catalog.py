@@ -49,6 +49,7 @@ _STALE_R5 = [
     "pattern_match_funnel",
     "json_variant_typed",
     "ewma_hourly",
+    "rfm_segments",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

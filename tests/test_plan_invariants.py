@@ -28,6 +28,7 @@ SCALAR_THRESHOLD_QUERIES = {
     "drift_psi",
     "resample_interpolate",
     "pattern_match_funnel",
+    "rfm_segments",
     # lexical family: 1-row corpus-stats broadcasts (N, avgdl, df).
     "tfidf_top_keywords",
     "bm25_retrieval",
