@@ -59,6 +59,7 @@ _STALE_R5 = [
     "sim_topk_ivf_trained",
     "layout_zorder_stats",
     "layout_compact_stats",
+    "layout_bucketed_join",
     # oldest green signal (round 1), staleness rotation
     "filter_predicates",
     "join_enrich_events",

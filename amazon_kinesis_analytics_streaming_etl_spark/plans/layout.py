@@ -219,3 +219,79 @@ def io_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return agreed.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_BUCKETED_SCHEMA = StructType(
+    [
+        StructField("rows", LongType(), False),
+        StructField("shuffle_free_join", BooleanType(), False),
+        StructField("bucket_pruned_scan", BooleanType(), False),
+    ]
+)
+
+
+@register(
+    "layout_bucketed_join",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS rows,
+           TRUE AS shuffle_free_join,
+           TRUE AS bucket_pruned_scan
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 25
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing as a layout contract, driver-gated: lineitem and orders
+    are persisted bucketed (8 buckets, same key) via
+    operators/scale.write_bucketed, then sort-merge-joined — the plan
+    must contain ZERO Exchange nodes (both sides read pre-shuffled
+    buckets; at 100 TB this deletes the two largest shuffles of every
+    recurring fact-fact join). A point-lookup on the bucket key must
+    additionally scan 1 of 8 buckets (SelectedBucketsCount pruning).
+    The rows column is the filtered join's real count, checked against
+    DuckDB's count over the same source parquet — so the layout claim
+    rides on a genuinely cross-engine result."""
+    from ..operators.scale import read_table, write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t_li, t_o = "layout_bj_li", "layout_bj_o"
+    try:
+        write_bucketed(
+            li.select("l_orderkey", "l_quantity"),
+            t_li,
+            "l_orderkey",
+            8,
+            sort_cols=["l_orderkey"],
+        )
+        write_bucketed(
+            o.select("o_orderkey"), t_o, "o_orderkey", 8, sort_cols=["o_orderkey"]
+        )
+        a, b = read_table(spark, t_li), read_table(spark, t_o)
+        joined = a.where(F.col("l_quantity") > 25).join(
+            b.hint("merge"), a.l_orderkey == b.o_orderkey
+        )
+        join_plan = joined._jdf.queryExecution().executedPlan().toString()
+        n = joined.count()
+        # a bare point lookup saves no Exchange, so the planner's
+        # auto-bucketed-scan turns bucketing off ("Bucketed: false
+        # (disabled by query planner)") and with it the pruning; force the
+        # bucketed scan to surface SelectedBucketsCount for the lookup
+        auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        saved_auto = spark.conf.get(auto_key)
+        try:
+            spark.conf.set(auto_key, "false")
+            lookup = a.where(F.col("l_orderkey") == 1)
+            lookup_plan = lookup._jdf.queryExecution().executedPlan().toString()
+            lookup.count()
+        finally:
+            spark.conf.set(auto_key, saved_auto)
+        row = (
+            int(n),
+            "Exchange" not in join_plan,
+            "SelectedBucketsCount: 1 out of 8" in lookup_plan,
+        )
+    finally:
+        for t in (t_li, t_o):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return spark.createDataFrame([row], _BUCKETED_SCHEMA)

@@ -144,3 +144,59 @@ def test_train_test_split_is_leak_free(spark):
     train = fp.where("is_train").select("fp").distinct()
     test_clean = fp.where(~F.col("is_train")).join(train, "fp", "left_anti")
     assert test_clean.count() == out["test"].n_clean
+
+
+def test_sample_stratified_quota_and_determinism(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.prep import _STRAT_N
+
+    out = QUERIES["sample_stratified"](spark, SF_SMOKE)
+    rows = [tuple(r) for r in out.collect()]
+    per_source: dict[str, int] = {}
+    for source, rn, _doc, _n in rows:
+        per_source[source] = per_source.get(source, 0) + 1
+        assert 1 <= rn <= _STRAT_N
+    assert all(n <= _STRAT_N for n in per_source.values())
+    # rn is dense per stratum: quota k means ranks exactly 1..k
+    assert rows == [tuple(r) for r in out.collect()]
+
+
+def test_mv_incremental_refresh_merge_equals_cold_rebuild(spark):
+    """The mergeable-partials invariant, independent of the DuckDB oracle:
+    base-partials + delta-partials merged must equal one aggregate over
+    all events, column for column."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+    from amazon_kinesis_analytics_streaming_etl_spark.schemas import load_events
+
+    merged = {
+        (r.event_type, r.day): r
+        for r in QUERIES["mv_incremental_refresh"](spark, SF_SMOKE).collect()
+    }
+    ev = load_events(spark, SF_SMOKE)
+    mean = F.sum("value") / F.count("*")
+    var = F.greatest(
+        F.sum(F.col("value") * F.col("value")) / F.count("*") - mean * mean,
+        F.lit(0.0),
+    )
+    direct = {
+        (r.event_type, r.day): r
+        for r in ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(mean, 2).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.sqrt(var), 2).alias("stddev_pop"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for k, m in merged.items():
+        d = direct[k]
+        assert m.n_events == d.n_events
+        for col in ("sum_value", "avg_value", "min_value", "max_value", "stddev_pop"):
+            assert abs(getattr(m, col) - getattr(d, col)) <= 0.011, (k, col)
