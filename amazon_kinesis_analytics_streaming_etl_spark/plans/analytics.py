@@ -1036,3 +1036,70 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score")
     )
+
+
+# --------------------------------------------------------------------------
+# rolling exact median (robust complement of the EWMA)
+# --------------------------------------------------------------------------
+
+@register(
+    "rolling_median_hourly",
+    f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS pt, round(avg(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), lw AS (
+      SELECT event_type, pt, v,
+             list_sort(list(v) OVER (PARTITION BY event_type ORDER BY pt
+                        ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING
+                        AND CURRENT ROW)) AS ls
+      FROM obs
+    )
+    SELECT event_type, strftime(pt, '%Y-%m-%d %H:00') AS hour, v,
+           round(CASE WHEN len(ls) % 2 = 1 THEN ls[(len(ls) + 1) // 2]
+                      ELSE (ls[len(ls) // 2] + ls[len(ls) // 2 + 1]) / 2.0
+                 END + 0.00000001, 4) AS median_24h
+    FROM lw ORDER BY event_type, pt
+    """,
+)
+def rolling_median_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the trailing 24 hourly points per type —
+    the robust-trend complement of `ewma_hourly` (a single outlier hour
+    moves the EWMA but not the median; dashboards want both). Exact, not
+    approx_percentile: the frame is bounded at 24 values, so sorting it
+    per row is O(24 log 24) — the cheap regime where sketches only add
+    error.
+
+    Plan: identical posture to the EWMA — hourly aggregate first, then a
+    24-row frame per row on types x hours cardinality; the sort and
+    median pick are JVM array expressions (`array_sort`, `element_at`,
+    1-based in BOTH engines). Even-length frames average the middle
+    pair with the same explicit formula on both sides."""
+    ev = load_events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("pt")
+        .rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    )
+    lw = obs.select(
+        "event_type",
+        "pt",
+        "v",
+        F.array_sort(F.collect_list("v").over(w)).alias("ls"),
+    )
+    m = F.size("ls")
+    odd = F.element_at("ls", ((m + 1) / 2).cast("int"))
+    even = (
+        F.element_at("ls", (m / 2).cast("int"))
+        + F.element_at("ls", (m / 2 + 1).cast("int"))
+    ) / 2.0
+    med = F.when(m % 2 == 1, odd).otherwise(even)
+    return lw.select(
+        "event_type",
+        F.date_format("pt", "yyyy-MM-dd HH:00").alias("hour"),
+        "v",
+        F.round(med + F.lit(0.00000001), 4).alias("median_24h"),
+    ).orderBy("event_type", "pt")

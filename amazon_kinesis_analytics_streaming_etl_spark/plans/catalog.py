@@ -50,6 +50,8 @@ _STALE_R5 = [
     "json_variant_typed",
     "ewma_hourly",
     "rfm_segments",
+    "rolling_median_hourly",
+    "agg_mode_argmax",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

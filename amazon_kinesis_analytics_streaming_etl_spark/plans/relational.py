@@ -1536,3 +1536,54 @@ def json_variant_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# portable mode / argmax-per-group
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_mode_argmax",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_orders
+    FROM r WHERE rn = 1 ORDER BY o_orderstatus
+    """,
+)
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent o_orderpriority per
+    order status) via the portable argmax idiom: count-then-rank with an
+    EXPLICIT tie-break (highest count, then smallest value) — the
+    engines' native mode()/F.mode builtins break ties
+    engine-idiosyncratically, so the gate pins the decomposed form a
+    100 TB pipeline should use anyway.
+
+    Plan: one hash aggregate on (group, value) with map-side partials —
+    cardinality collapses to |groups| x |distinct values| BEFORE the
+    rank; the row_number window then runs on aggregated rows only. The
+    same two-step is the generic argmax-per-key template (top category,
+    most-common error, dominant language per source)."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
