@@ -80,34 +80,39 @@ class _TopicSlice(InputPartition):
 
 def _rows(slice_: _TopicSlice, payloads: list[bytes]):
     """Arrow RecordBatches for one topic-partition slice (same vectorized
-    shape as kinesis_replay._rows: columns built once per slice, no
-    per-record Python->Arrow tuple conversion)."""
+    shape as kinesis_replay._rows: columns built once per chunk, no
+    per-record Python->Arrow tuple conversion; chunked at
+    _ARROW_BATCH_ROWS so a deep-backlog slice never materializes as one
+    giant batch)."""
     import pyarrow as pa
 
-    n = len(payloads)
-    if not n:
-        return
-    yield pa.RecordBatch.from_arrays(
-        [
-            pa.nulls(n, pa.binary()),
-            pa.array(payloads, type=pa.binary()),
-            pa.array([slice_.topic] * n, type=pa.string()),
-            pa.array([slice_.partition] * n, type=pa.int32()),
-            pa.array(range(slice_.start, slice_.start + n), type=pa.int64()),
-            pa.nulls(n, pa.timestamp("us")),
-            # TimestampType.CREATE_TIME sentinel, as the connector emits
-            pa.array([0] * n, type=pa.int32()),
-        ],
-        names=[
-            "key",
-            "value",
-            "topic",
-            "partition",
-            "offset",
-            "timestamp",
-            "timestampType",
-        ],
-    )
+    from .kinesis_replay import _ARROW_BATCH_ROWS
+
+    for lo in range(0, len(payloads), _ARROW_BATCH_ROWS):
+        chunk = payloads[lo : lo + _ARROW_BATCH_ROWS]
+        n = len(chunk)
+        first = slice_.start + lo
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.nulls(n, pa.binary()),
+                pa.array(chunk, type=pa.binary()),
+                pa.array([slice_.topic] * n, type=pa.string()),
+                pa.array([slice_.partition] * n, type=pa.int32()),
+                pa.array(range(first, first + n), type=pa.int64()),
+                pa.nulls(n, pa.timestamp("us")),
+                # TimestampType.CREATE_TIME sentinel, as the connector emits
+                pa.array([0] * n, type=pa.int32()),
+            ],
+            names=[
+                "key",
+                "value",
+                "topic",
+                "partition",
+                "offset",
+                "timestamp",
+                "timestampType",
+            ],
+        )
 
 
 def _read_slice(slice_: _TopicSlice):

@@ -100,38 +100,45 @@ def _read_lines(fp: str, start: int, end: int) -> list[bytes]:
     return out
 
 
+#: Rows per emitted Arrow batch: bounds reader-side memory when a resumed
+#: slice covers a deep backlog (one availableNow batch can span millions
+#: of lines per shard — a single RecordBatch would materialize all of it).
+_ARROW_BATCH_ROWS = 65_536
+
+
 def _rows(stream: str, shard: str, payloads: list[bytes], first_seq: int):
     """Arrow RecordBatches for one shard slice. The per-row tuple path pays
     a Python->Arrow conversion per record (tuple build, string dup, None
-    timestamp boxing); building the columns once per slice keeps the
+    timestamp boxing); building the columns once per chunk keeps the
     reader's per-record cost at C-loop speed — at real stream widths the
     reader must not be the bottleneck the executors wait on."""
     import pyarrow as pa
 
-    n = len(payloads)
-    if not n:
-        return
     # Kinesis sequence numbers are opaque decimal strings that sort by
     # arrival within a shard — a zero-padded line index reproduces that
     # contract deterministically.
-    yield pa.RecordBatch.from_arrays(
-        [
-            pa.array(payloads, type=pa.binary()),
-            pa.array([stream] * n, type=pa.string()),
-            pa.array([shard] * n, type=pa.string()),
-            pa.array([f"{s:020d}" for s in range(first_seq, first_seq + n)]),
-            pa.nulls(n, pa.timestamp("us")),
-            pa.array([shard] * n, type=pa.string()),
-        ],
-        names=[
-            "data",
-            "streamName",
-            "partitionKey",
-            "sequenceNumber",
-            "approximateArrivalTimestamp",
-            "shardId",
-        ],
-    )
+    for lo in range(0, len(payloads), _ARROW_BATCH_ROWS):
+        chunk = payloads[lo : lo + _ARROW_BATCH_ROWS]
+        n = len(chunk)
+        first = first_seq + lo
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(chunk, type=pa.binary()),
+                pa.array([stream] * n, type=pa.string()),
+                pa.array([shard] * n, type=pa.string()),
+                pa.array([f"{s:020d}" for s in range(first, first + n)]),
+                pa.nulls(n, pa.timestamp("us")),
+                pa.array([shard] * n, type=pa.string()),
+            ],
+            names=[
+                "data",
+                "streamName",
+                "partitionKey",
+                "sequenceNumber",
+                "approximateArrivalTimestamp",
+                "shardId",
+            ],
+        )
 
 
 @dataclass

@@ -206,3 +206,18 @@ def test_replay_line_helpers_edge_cases(tmp_path):
     no_nl.write_bytes(b"a\nb\ncc\nd\n")
     assert _count_lines(str(no_nl)) == 4
     assert _read_lines(str(no_nl), 2, 4) == [b"cc", b"d"]
+
+
+def test_arrow_reader_chunks_large_slices(monkeypatch, tmp_path):
+    """A deep-backlog slice must surface as MULTIPLE bounded Arrow
+    batches with contiguous sequence numbers, not one giant batch."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources import kinesis_replay as kr
+
+    monkeypatch.setattr(kr, "_ARROW_BATCH_ROWS", 10)
+    payloads = [f"rec-{i}".encode() for i in range(25)]
+    batches = list(kr._rows("s", "shardId-000000000000", payloads, 100))
+    assert [b.num_rows for b in batches] == [10, 10, 5]
+    seqs = [s for b in batches for s in b.column("sequenceNumber").to_pylist()]
+    assert seqs == [f"{i:020d}" for i in range(100, 125)]
+    datas = [d for b in batches for d in b.column("data").to_pylist()]
+    assert datas == payloads
