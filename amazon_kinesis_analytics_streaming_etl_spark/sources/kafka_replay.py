@@ -42,7 +42,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from .kinesis_replay import _count_lines, _read_lines
+from .kinesis_replay import _count_lines, _LineIndex, _read_lines
 
 KAFKA_SCHEMA = StructType(
     [
@@ -76,6 +76,10 @@ class _TopicSlice(InputPartition):
     start: int
     end: int
     topic: str
+    # seek hint (see kinesis_replay._ShardSlice): byte position of line
+    # index `first_line` so resumed reads skip already-consumed bytes
+    start_byte: int = 0
+    first_line: int = 0
 
 
 def _rows(slice_: _TopicSlice, payloads: list[bytes]):
@@ -118,7 +122,16 @@ def _rows(slice_: _TopicSlice, payloads: list[bytes]):
 def _read_slice(slice_: _TopicSlice):
     if slice_.end <= slice_.start or not slice_.path:
         return iter(())
-    return _rows(slice_, _read_lines(slice_.path, slice_.start, slice_.end))
+    return _rows(
+        slice_,
+        _read_lines(
+            slice_.path,
+            slice_.start,
+            slice_.end,
+            slice_.start_byte,
+            slice_.first_line,
+        ),
+    )
 
 
 class _KafkaReplayStreamReader(DataSourceStreamReader):
@@ -131,15 +144,19 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
         if start not in ("earliest", "latest"):
             raise ValueError(f"startingOffsets must be earliest|latest, got {start}")
         self.starting = start
+        self._index = _LineIndex()
 
     def initialOffset(self) -> dict:
         files = _partition_files(self.path)
         if self.starting == "earliest":
             return {str(p): 0 for p in files}
-        return {str(p): _count_lines(fp) for p, fp in files.items()}
+        return {str(p): self._index.count(fp) for p, fp in files.items()}
 
     def latestOffset(self) -> dict:
-        return {str(p): _count_lines(fp) for p, fp in _partition_files(self.path).items()}
+        return {
+            str(p): self._index.count(fp)
+            for p, fp in _partition_files(self.path).items()
+        }
 
     def partitions(self, start: dict, end: dict):
         files = _partition_files(self.path)
@@ -148,7 +165,10 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
             lo = start.get(p, 0)  # new partition discovered: from earliest
             pi = int(p)
             if hi > lo and pi in files:
-                out.append(_TopicSlice(pi, files[pi], lo, hi, self.topic))
+                byte_pos, line_no = self._index.seek_hint(files[pi], lo)
+                out.append(
+                    _TopicSlice(pi, files[pi], lo, hi, self.topic, byte_pos, line_no)
+                )
         return out or [_TopicSlice(-1, "", 0, 0, self.topic)]
 
     def read(self, partition: _TopicSlice):

@@ -87,10 +87,18 @@ def _count_lines(fp: str) -> int:
     return n
 
 
-def _read_lines(fp: str, start: int, end: int) -> list[bytes]:
+def _read_lines(
+    fp: str, start: int, end: int, start_byte: int = 0, first_line: int = 0
+) -> list[bytes]:
+    """Lines [start, end) of ``fp``. ``start_byte``/``first_line`` are an
+    optional seek hint (byte position of line index ``first_line``,
+    ``first_line <= start``) so a resumed read skips already-consumed
+    bytes instead of re-scanning from the top of an ever-growing shard
+    file; with the default hint the behavior is a full scan."""
     out = []
     with open(fp, "rb") as f:
-        for i, line in enumerate(f):
+        f.seek(start_byte)
+        for i, line in enumerate(f, start=first_line):
             if i >= end:
                 break
             if not line.endswith(b"\n"):
@@ -98,6 +106,48 @@ def _read_lines(fp: str, start: int, end: int) -> list[bytes]:
             if i >= start:
                 out.append(line[:-1])
     return out
+
+
+class _LineIndex:
+    """Driver-side incremental line index for append-only replay files.
+
+    ``count(fp)`` returns the number of COMPLETE lines, reading only the
+    bytes appended since the previous call — without this, every
+    ``latestOffset`` poll is O(file) on the driver and a long-running
+    replay becomes quadratic. It also memoizes line-count -> byte-offset
+    at every poll boundary so ``partitions()`` can hand executors a seek
+    hint for their slice start (micro-batch slices always start at a
+    previous poll's end). A shrunken file (truncated/rewritten out of
+    band) resets that file's index and rescans."""
+
+    def __init__(self) -> None:
+        self._state: dict[str, tuple[int, int]] = {}  # fp -> (byte_pos, lines)
+        self._marks: dict[str, dict[int, int]] = {}  # fp -> {lines: byte_pos}
+
+    def count(self, fp: str) -> int:
+        pos, lines = self._state.get(fp, (0, 0))
+        if os.path.getsize(fp) < pos:
+            pos, lines = 0, 0
+            self._marks.pop(fp, None)
+        with open(fp, "rb") as f:
+            f.seek(pos)
+            for line in f:
+                if not line.endswith(b"\n"):
+                    break  # partial append: picked up whole next poll
+                lines += 1
+                pos += len(line)
+        self._state[fp] = (pos, lines)
+        self._marks.setdefault(fp, {0: 0})[lines] = pos
+        return lines
+
+    def seek_hint(self, fp: str, line: int) -> tuple[int, int]:
+        """(byte_pos, line_no) of the latest memoized boundary <= line;
+        (0, 0) when unknown (fresh driver resuming an old checkpoint)."""
+        marks = self._marks.get(fp)
+        if not marks:
+            return 0, 0
+        best = max((ln for ln in marks if ln <= line), default=0)
+        return marks.get(best, 0), best
 
 
 #: Rows per emitted Arrow batch: bounds reader-side memory when a resumed
@@ -148,6 +198,10 @@ class _ShardSlice(InputPartition):
     start: int
     end: int
     stream: str
+    # seek hint: byte position of line index `first_line` (<= start); the
+    # executor skips already-consumed bytes instead of rescanning the file
+    start_byte: int = 0
+    first_line: int = 0
 
 
 class _ReplayStreamReader(DataSourceStreamReader):
@@ -160,14 +214,15 @@ class _ReplayStreamReader(DataSourceStreamReader):
         if pos not in ("TRIM_HORIZON", "LATEST"):
             raise ValueError(f"initialPosition must be TRIM_HORIZON|LATEST, got {pos}")
         self.initial_position = pos
+        self._index = _LineIndex()
 
     def initialOffset(self) -> dict:
         if self.initial_position == "TRIM_HORIZON":
             return {s: 0 for s in _shard_files(self.path)}
-        return {s: _count_lines(fp) for s, fp in _shard_files(self.path).items()}
+        return {s: self._index.count(fp) for s, fp in _shard_files(self.path).items()}
 
     def latestOffset(self) -> dict:
-        return {s: _count_lines(fp) for s, fp in _shard_files(self.path).items()}
+        return {s: self._index.count(fp) for s, fp in _shard_files(self.path).items()}
 
     def partitions(self, start: dict, end: dict):
         files = _shard_files(self.path)
@@ -176,13 +231,24 @@ class _ReplayStreamReader(DataSourceStreamReader):
             lo = start.get(shard, 0)  # shard absent in start == newly
             # discovered (resharding): consume from its trim horizon
             if hi > lo and shard in files:
-                out.append(_ShardSlice(shard, files[shard], lo, hi, self.stream))
+                byte_pos, line_no = self._index.seek_hint(files[shard], lo)
+                out.append(
+                    _ShardSlice(
+                        shard, files[shard], lo, hi, self.stream, byte_pos, line_no
+                    )
+                )
         return out or [_ShardSlice("shardId-empty", "", 0, 0, self.stream)]
 
     def read(self, partition: _ShardSlice):
         if partition.end <= partition.start or not partition.path:
             return iter(())
-        payloads = _read_lines(partition.path, partition.start, partition.end)
+        payloads = _read_lines(
+            partition.path,
+            partition.start,
+            partition.end,
+            partition.start_byte,
+            partition.first_line,
+        )
         return _rows(partition.stream, partition.shard, payloads, partition.start)
 
     def commit(self, end: dict) -> None:

@@ -221,3 +221,43 @@ def test_arrow_reader_chunks_large_slices(monkeypatch, tmp_path):
     assert seqs == [f"{i:020d}" for i in range(100, 125)]
     datas = [d for b in batches for d in b.column("data").to_pylist()]
     assert datas == payloads
+
+
+def test_line_index_incremental_append_and_partial_tail(tmp_path):
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        _LineIndex,
+        _read_lines,
+    )
+
+    fp = str(tmp_path / "shardId-000000000000.jsonl")
+    idx = _LineIndex()
+    with open(fp, "w") as f:
+        f.write("a\nb\n")
+    assert idx.count(fp) == 2
+    with open(fp, "a") as f:
+        f.write("c\nd")  # d is a partial append (no newline yet)
+    assert idx.count(fp) == 3  # partial tail not counted
+    with open(fp, "a") as f:
+        f.write("!\n")  # producer finishes the record
+    assert idx.count(fp) == 4
+    # seek hints reproduce exactly the same slices as a cold scan
+    byte_pos, line_no = idx.seek_hint(fp, 2)
+    assert line_no <= 2
+    assert _read_lines(fp, 2, 4, byte_pos, line_no) == _read_lines(fp, 2, 4)
+    assert _read_lines(fp, 2, 4) == [b"c", b"d!"]
+
+
+def test_line_index_resets_on_truncated_file(tmp_path):
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        _LineIndex,
+    )
+
+    fp = str(tmp_path / "shardId-000000000000.jsonl")
+    idx = _LineIndex()
+    with open(fp, "w") as f:
+        f.write("a\nb\nc\n")
+    assert idx.count(fp) == 3
+    with open(fp, "w") as f:
+        f.write("x\n")  # rewritten shorter out of band
+    assert idx.count(fp) == 1
+    assert idx.seek_hint(fp, 0) == (0, 0)
