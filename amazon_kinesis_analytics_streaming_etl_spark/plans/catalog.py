@@ -52,6 +52,8 @@ _STALE_R5 = [
     "rfm_segments",
     "rolling_median_hourly",
     "agg_mode_argmax",
+    "sql_recursive_spine",
+    "sql_lateral_topk",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

@@ -1587,3 +1587,107 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 SQL surface: recursive CTE + LATERAL correlated subquery
+# --------------------------------------------------------------------------
+
+@register(
+    "sql_recursive_spine",
+    """
+    WITH RECURSIVE months(m, hi) AS (
+      SELECT date_trunc('month', min(o_orderdate)),
+             date_trunc('month', max(o_orderdate))
+      FROM orders
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+    ), agg AS (
+      SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           COALESCE(n, 0) AS n_orders,
+           COALESCE(total, 0.0) AS total_price
+    FROM months LEFT JOIN agg ON months.m = agg.m
+    ORDER BY month
+    """,
+)
+def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (WITH RECURSIVE, SPARK-24497): generate the
+    complete monthly calendar spine between the first and last order date
+    by recursion — the warehouse-canonical recursive use (spines,
+    hierarchies, closures) — and left-join monthly order rollups so
+    zero-order months surface as explicit rows. Pure SQL on BOTH engines:
+    the same statement text runs on Spark and DuckDB.
+
+    Scale: recursion depth = number of months (bounded, ~7 years of
+    TPC-H dates ~= 85 iterations, under the default 100-level limit);
+    each step is a 1-row increment, the heavy side stays in the ONE hash
+    aggregate over orders. The engine keeps `sequence()+explode` spines
+    (gapfill/resample) for the hot path; this pins that the declarative
+    recursive form works for consumers who write it."""
+    for t in ("orders",):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m, hi) AS (
+          SELECT date_trunc('month', min(o_orderdate)),
+                 date_trunc('month', max(o_orderdate))
+          FROM orders
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+        ), agg AS (
+          SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+                 round(sum(o_totalprice), 2) AS total
+          FROM orders GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               COALESCE(n, 0L) AS n_orders,
+               COALESCE(total, 0.0D) AS total_price
+        FROM months LEFT JOIN agg ON months.m = agg.m
+        ORDER BY month
+        """
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_top_orders,
+           round(sum(t.o_totalprice), 2) AS top_order_revenue
+    FROM customer c,
+         LATERAL (SELECT o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by value
+    (deterministic o_orderkey tie-break), rolled up per market segment —
+    the SQL-standard spelling of top-k-per-key that analysts port from
+    warehouses, same statement text on both engines.
+
+    Catalyst decorrelates the LATERAL LIMIT into a partitioned window
+    rank (DomainJoin rewrite) — one shuffle on the correlation key, NOT a
+    per-customer re-execution; the plan-invariant suite holds it to the
+    same no-cartesian bar as every other query. The engine's native
+    idiom for this shape stays `window_topk_per_group`; this pins the
+    SQL front door."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_top_orders,
+               round(sum(t.o_totalprice), 2) AS top_order_revenue
+        FROM customer c,
+             LATERAL (SELECT o_totalprice FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
