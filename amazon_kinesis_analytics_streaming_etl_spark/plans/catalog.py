@@ -54,6 +54,7 @@ _STALE_R5 = [
     "agg_mode_argmax",
     "sql_recursive_spine",
     "sql_lateral_topk",
+    "text_lm_bigram_score",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

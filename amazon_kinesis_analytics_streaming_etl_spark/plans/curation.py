@@ -311,3 +311,89 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# bigram language-model quality score (LM-filter shape)
+# --------------------------------------------------------------------------
+
+_LM_K = 0.5  # add-k smoothing
+
+
+@register(
+    "text_lm_bigram_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_T} AS toks FROM documents WHERE len({_T}) >= 2
+    ), b AS (
+      SELECT doc_id, u.bg AS bg
+      FROM t, UNNEST(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])) u(bg)
+    ), bc AS (
+      SELECT bg, count(*) AS cb FROM b GROUP BY bg
+    ), uc AS (
+      SELECT string_split(bg, ' ')[1] AS w1, count(*) AS cu FROM b GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS vn
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    ), s AS (
+      SELECT doc_id, ln((cb + {_LM_K}) / (cu + {_LM_K} * vn)) AS logp
+      FROM b JOIN bc USING (bg)
+           JOIN uc ON string_split(b.bg, ' ')[1] = uc.w1, v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(logp) + 0.00000001, 4) AS avg_logp
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document (mean
+    add-k-smoothed log P(w2|w1)) — the LM-filter stage of a curation
+    pipeline (CCNet-style: low average log-probability marks gibberish,
+    boilerplate, or wrong-domain text for down-weighting). The model IS
+    the corpus: bigram and preceding-token counts come from the same
+    explode, so scoring is self-contained and deterministic.
+
+    Plan: ONE bigram explode feeds both count tables (hash aggregates
+    with map-side partials) and the scoring join; scoring shuffles keyed
+    on the bigram/preceding-token — the vocabulary lives in the
+    cluster, never the driver, and nothing is broadcast except the
+    1-row vocab size (the LM-as-broadcast-dict design caps at driver
+    memory; this one scales with executors). Per-doc rollup is the
+    final keyed aggregate."""
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", lower_tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    b = t.select("doc_id", F.explode(word_bigrams(F.col("toks"))).alias("bg"))
+    bc = b.groupBy("bg").agg(F.count("*").alias("cb"))
+    uc = (
+        b.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cu"))
+    )
+    v = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("vn")
+    )
+    s = (
+        b.join(bc, "bg")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(uc, "w1")
+        .crossJoin(v)
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cb") + F.lit(_LM_K))
+                / (F.col("cu") + F.lit(_LM_K) * F.col("vn"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        s.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("logp") + F.lit(0.00000001), 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )

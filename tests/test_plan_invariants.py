@@ -32,6 +32,8 @@ SCALAR_THRESHOLD_QUERIES = {
     # lexical family: 1-row corpus-stats broadcasts (N, avgdl, df).
     "tfidf_top_keywords",
     "bm25_retrieval",
+    # curation: 1-row vocab-size broadcast into the LM scoring join.
+    "text_lm_bigram_score",
     # approx-vs-exact gate queries: crossJoins of 1-row summary aggregates
     # (exact-pair count x recall/subset booleans).
     "dedup_minhash_lsh",
