@@ -55,6 +55,7 @@ _STALE_R5 = [
     "sql_recursive_spine",
     "sql_lateral_topk",
     "text_lm_bigram_score",
+    "multimodal_frame_sample",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

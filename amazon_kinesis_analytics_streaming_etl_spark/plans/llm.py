@@ -1070,6 +1070,44 @@ def multimodal_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT range AS media_id, (range * 997) % 10000 AS dur
+      FROM range(256) WHERE range % 3 = 2
+    )
+    SELECT media_id,
+           CAST((greatest(dur - 1, 0) // 1000) + 1 AS BIGINT) AS n_frames,
+           CAST((greatest(dur - 1, 0) // 1000) * 1000 AS BIGINT) AS last_frame_ms
+    FROM m ORDER BY media_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
+    one row per 1000ms sample instant derived from metadata duration —
+    the Spark-side fan-out (explode of a bounded per-row sequence) that
+    feeds the per-frame decode stage; decode itself is the documented
+    codec stub, the PLUMBING (row explosion, timestamps, per-media
+    rollup) is what 100 TB of video preprocessing actually schedules.
+    The oracle reproduces the frame count/last-instant arithmetic in
+    closed form (floor((dur-1)/1000)+1), so the explode's boundary
+    behavior (duration 0 -> one frame at t=0; inclusive last instant) is
+    pinned exactly."""
+    from ..operators.multimodal import frame_sample_plan, synthetic_media
+
+    media = synthetic_media(spark, n=256).where(F.col("kind") == "video")
+    frames = frame_sample_plan(media, every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.max("frame_ts_ms").cast("long").alias("last_frame_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Avro interop (the reference's native record format, TripEvent.avsc:1-93)
 # --------------------------------------------------------------------------
