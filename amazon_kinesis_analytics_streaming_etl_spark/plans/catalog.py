@@ -56,6 +56,7 @@ _STALE_R5 = [
     "sql_lateral_topk",
     "text_lm_bigram_score",
     "multimodal_frame_sample",
+    "stream_anomaly_flags",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

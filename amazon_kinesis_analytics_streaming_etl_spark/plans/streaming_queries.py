@@ -423,3 +423,47 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", _TS_FMT_SPARK).alias("purchase_ts"),
         F.round("value", 2).alias("purchase_value"),
     )
+
+
+@register(
+    "stream_anomaly_flags",
+    """
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             count(*) OVER pw AS pn,
+             sum(value) OVER pw AS ps,
+             sum(value * value) OVER pw AS ps2
+      FROM events
+      WINDOW pw AS (PARTITION BY event_type ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT event_id, event_type, round(value, 2) AS value,
+             (value - ps / pn)
+               / sqrt(greatest(ps2 / pn - (ps / pn) ** 2, 0)) AS zs,
+             sqrt(greatest(ps2 / pn - (ps / pn) ** 2, 0)) AS sd, pn
+      FROM w
+    )
+    SELECT event_id, event_type, value, round(zs + 0.00000001, 3) AS zscore
+    FROM z
+    WHERE pn >= 30 AND sd > 0.000000000001 AND abs(zs) > 3.0
+    ORDER BY event_id
+    """,
+)
+def stream_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection as a custom stateful operator
+    (streaming/stateful.streaming_anomaly_flags): O(1) mergeable-moments
+    state per key, each event z-scored against its key's STRICTLY PRIOR
+    distribution (30-event warm-up, |z| > 3 flags). The batch oracle is
+    the same math as prior-frame window sums (ROWS ... 1 PRECEDING) in
+    event_id order — the order the operator pins within each batch, so
+    replay and oracle agree row for row."""
+    from ..streaming.stateful import streaming_anomaly_flags
+
+    plan = streaming_anomaly_flags(_events_stream(spark, sf_dir))
+    out = replay_to_memory(spark, plan, output_mode="append")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.round(F.col("zscore") + F.lit(0.00000001), 3).alias("zscore"),
+    ).orderBy("event_id")

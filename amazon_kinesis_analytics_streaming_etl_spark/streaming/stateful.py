@@ -219,3 +219,80 @@ def running_totals_per_key(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+_ANOMALY_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("s2", DoubleType()),
+    ]
+)
+
+_ANOMALY_MIN_N = 30  # prior observations required before scoring
+_ANOMALY_Z = 3.0
+
+
+def _anomaly_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    n0, s0, s20 = state.get if state.exists else (0, 0.0, 0.0)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    # deterministic within-batch order: score in event_id order so replay
+    # and the batch oracle see the same "prior events" at every row
+    pdf = pdf.sort_values("event_id", ignore_index=True)
+    v = pdf["value"].to_numpy(dtype=np.float64)
+    cs = np.cumsum(v)
+    cs2 = np.cumsum(v * v)
+    prior_n = n0 + np.arange(len(v), dtype=np.int64)
+    prior_s = s0 + cs - v
+    prior_s2 = s20 + cs2 - v * v
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = prior_s / prior_n
+        var = np.maximum(prior_s2 / prior_n - mean * mean, 0.0)
+        std = np.sqrt(var)
+        z = (v - mean) / std
+    ok = (prior_n >= _ANOMALY_MIN_N) & (std > 1e-12)
+    flag = ok & (np.abs(z) > _ANOMALY_Z)
+    state.update((int(n0 + len(v)), float(s0 + cs[-1]), float(s20 + cs2[-1])))
+    out = pdf.loc[flag, ["event_id", "value"]].copy()
+    out["event_type"] = key[0]
+    out["zscore"] = z[flag]
+    yield out[["event_id", "event_type", "value", "zscore"]]
+
+
+def streaming_anomaly_flags(
+    stream: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Per-key streaming anomaly detector: O(1) state per key (count,
+    sum, sum of squares — the mergeable moments), each event scored
+    against the distribution of STRICTLY PRIOR events of its key; |z| > 3
+    after a 30-event warm-up emits a flag row. This is the monitoring
+    shape (latency spikes, value outliers) where recomputing a window per
+    event would be quadratic — running moments make it one pass.
+
+    Within-batch order is pinned to event_id so replays and the batch
+    oracle (window sums over ROWS ... 1 PRECEDING) agree row for row."""
+    sel = stream.select(
+        stream[key_col].alias("event_type"), "event_id", "value"
+    )
+    return sel.groupBy("event_type").applyInPandasWithState(
+        _anomaly_fn,
+        outputStructType=ANOMALY_OUTPUT,
+        stateStructType=_ANOMALY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

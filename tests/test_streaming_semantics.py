@@ -211,3 +211,57 @@ def test_stream_left_outer_join_emits_null_rows(spark):
     unmatched = [r for r in out if r.purchase_ts is None]
     assert matched and unmatched
     assert all(r.purchase_value is None for r in unmatched)
+
+
+def test_stream_anomaly_state_carries_across_batches(spark, tmp_path):
+    """The moments state must CONTINUE across micro-batches: replaying the
+    events in two batches must flag exactly the same rows as one batch
+    (prior-distribution semantics are independent of batch boundaries,
+    because within-batch order is pinned to event_id and batches split on
+    an event_id boundary)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.schemas import load_events
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.stateful import (
+        streaming_anomaly_flags,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.windows import (
+        replay_to_memory,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_events(spark, SF_SMOKE).orderBy("event_id")
+    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "split"
+    src.mkdir()
+    # two files, ordered halves — the file stream drains them as separate
+    # micro-batches (maxFilesPerTrigger=1)
+    ev.where(F.col("event_id") <= cut).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+    ev.where(F.col("event_id") > cut).coalesce(1).write.parquet(
+        str(src / "b.parquet")
+    )
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    two_batch = replay_to_memory(
+        spark, streaming_anomaly_flags(stream), output_mode="append"
+    )
+    got = sorted(
+        (r.event_id, round(r.zscore, 6)) for r in two_batch.collect()
+    )
+    one_stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    one_batch = replay_to_memory(
+        spark, streaming_anomaly_flags(one_stream), output_mode="append"
+    )
+    want = sorted(
+        (r.event_id, round(r.zscore, 6)) for r in one_batch.collect()
+    )
+    assert got == want and len(got) > 0
+    shutil.rmtree(src, ignore_errors=True)
