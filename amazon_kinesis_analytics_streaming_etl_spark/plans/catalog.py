@@ -57,6 +57,8 @@ _STALE_R5 = [
     "text_lm_bigram_score",
     "multimodal_frame_sample",
     "stream_anomaly_flags",
+    "embedding_dim_stats",
+    "stream_cdc_latest",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

@@ -467,3 +467,35 @@ def stream_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         F.round(F.col("zscore") + F.lit(0.00000001), 3).alias("zscore"),
     ).orderBy("event_id")
+
+
+@register(
+    "stream_cdc_latest",
+    """
+    SELECT user_id, event_id AS version, event_type AS last_type,
+           round(value, 2) AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert view (streaming/stateful.streaming_cdc_latest):
+    per user, O(1) state holding only the highest-versioned row
+    (event_id as the change version), re-emitted as a snapshot each
+    micro-batch — the stream analog of cdc_merge_customers' MERGE-into-
+    latest. Monotone version comparison makes arrival order irrelevant
+    and replays idempotent. The per-batch snapshots are reduced to the
+    final view with max_by on the version (robust to multi-batch
+    replays); oracle = argmax per key."""
+    from ..streaming.stateful import streaming_cdc_latest
+
+    plan = streaming_cdc_latest(_events_stream(spark, sf_dir))
+    out = replay_to_memory(spark, plan, output_mode="append")
+    snap = out.groupBy("user_id").agg(
+        F.max("event_id").alias("version"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.round(F.max_by("value", "event_id"), 2).alias("last_value"),
+    )
+    return snap.orderBy("user_id")

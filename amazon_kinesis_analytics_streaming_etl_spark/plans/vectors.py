@@ -207,3 +207,53 @@ def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ct, 6).alias("cos_trunc16"),
         F.round(F.abs(cf - ct), 6).alias("drift"),
     ).orderBy("vec_id_a")
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH d AS (
+      SELECT r.i - 1 AS dim, CAST(embedding[r.i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           round(avg(v) + 0.000001, 4) AS mean_v,
+           round(sqrt(greatest(avg(v * v) - avg(v) ** 2, 0)) + 0.000001, 4)
+             AS std_v,
+           round(min(v), 4) AS min_v,
+           round(max(v), 4) AS max_v,
+           CAST(sum(CASE WHEN abs(v) < 0.000001 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_zero
+    FROM d GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding diagnostics: mean/std/range plus a
+    near-zero count per coordinate — the health check that catches dead
+    dimensions (zero variance: wasted index width), unnormalized
+    coordinates, and collapsed encoders BEFORE an ANN index is built on
+    them; it also ranks dimensions for matryoshka-style truncation.
+
+    Plan: one posexplode to (dim, value) — dim x rows narrow tuples —
+    then a |dim|-key hash aggregate with map-side partials; std derives
+    from the same sum/sum-sq decomposition both engines share. No joins,
+    no driver traffic beyond |dim| result rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = emb.select(F.posexplode("embedding").alias("dim", "v0")).select(
+        "dim", F.col("v0").cast("double").alias("v")
+    )
+    mean = F.avg("v")
+    var = F.greatest(F.avg(F.col("v") * F.col("v")) - mean * mean, F.lit(0.0))
+    return (
+        d.groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.round(mean + F.lit(0.000001), 4).alias("mean_v"),
+            F.round(F.sqrt(var) + F.lit(0.000001), 4).alias("std_v"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+            F.sum(F.when(F.abs("v") < 0.000001, 1).otherwise(0))
+            .cast("long")
+            .alias("n_near_zero"),
+        )
+        .orderBy("dim")
+    )

@@ -296,3 +296,65 @@ def streaming_anomaly_flags(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CDC_LATEST_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_CDC_LATEST_STATE = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _cdc_latest_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    cur_id, cur_type, cur_val = state.get if state.exists else (-1, "", 0.0)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        top = pdf.loc[pdf["event_id"].idxmax()]
+        if int(top["event_id"]) > cur_id:
+            cur_id = int(top["event_id"])
+            cur_type = str(top["event_type"])
+            cur_val = float(top["value"])
+    state.update((cur_id, cur_type, cur_val))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_id": [cur_id],
+            "event_type": [cur_type],
+            "value": [cur_val],
+        }
+    )
+
+
+def streaming_cdc_latest(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming upsert view: per key, the state is the SINGLE latest row
+    (highest event_id — the change-stream version), re-emitted as a
+    snapshot each micro-batch a key appears in. This is the CDC
+    materialization pattern (MERGE-into-latest as a stream): state is
+    O(1) per key, arrival order never matters because version comparison
+    is monotone, and replays are idempotent by construction."""
+    sel = stream.select(
+        stream[key_col].alias("user_id"), "event_id", "event_type", "value"
+    )
+    return sel.groupBy("user_id").applyInPandasWithState(
+        _cdc_latest_fn,
+        outputStructType=CDC_LATEST_OUTPUT,
+        stateStructType=_CDC_LATEST_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
