@@ -59,6 +59,8 @@ _STALE_R5 = [
     "stream_anomaly_flags",
     "embedding_dim_stats",
     "stream_cdc_latest",
+    "join_null_safe",
+    "salted_join_events",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

@@ -1691,3 +1691,104 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment ORDER BY c_mktsegment
         """
     )
+
+
+# --------------------------------------------------------------------------
+# null-safe equality join
+# --------------------------------------------------------------------------
+
+@register(
+    "join_null_safe",
+    """
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0
+                  THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS INT) % 10 END
+               AS bucket
+      FROM events
+    ), d AS (
+      SELECT * FROM (VALUES (1, 'one'), (3, 'three'), (NULL, 'missing'))
+               AS t(bucket, label)
+    )
+    SELECT COALESCE(CAST(e.bucket AS VARCHAR), 'NULL') AS bucket,
+           d.label, count(*) AS n
+    FROM e JOIN d ON e.bucket IS NOT DISTINCT FROM d.bucket
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of dropping — the semantics dimension-join
+    pipelines need when "unknown" is itself a dimension member (here:
+    events whose extracted bucket is nulled join the explicit 'missing'
+    dimension row). A plain equi-join silently loses every NULL-keyed
+    row; this query pins the variant that keeps them.
+
+    Plan: the null-safe predicate still hashes (Spark treats <=> as an
+    equi-join key with null buckets), so this is a broadcast/hash join,
+    not a nested loop — the plan-invariant sweep holds it to the same
+    no-BNLJ bar as every equi-join."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.get_json_object("props", "$.k").cast("int") % 10 == 0, F.lit(None)
+        )
+        .otherwise(F.get_json_object("props", "$.k").cast("int") % 10)
+        .alias("bucket"),
+    )
+    d = spark.createDataFrame(
+        [(1, "one"), (3, "three"), (None, "missing")], "bucket int, label string"
+    )
+    return (
+        e.join(d, e["bucket"].eqNullSafe(d["bucket"]))
+        .groupBy(
+            F.coalesce(e["bucket"].cast("string"), F.lit("NULL")).alias("bucket"),
+            "label",
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket", "label")
+    )
+
+
+# --------------------------------------------------------------------------
+# salted skew join (driver-gated equivalence)
+# --------------------------------------------------------------------------
+
+@register(
+    "salted_join_events",
+    """
+    WITH hot AS (
+      SELECT event_id, user_id % 3 AS hot_key, value FROM events
+    ), d AS (
+      SELECT * FROM (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'))
+               AS t(hot_key, segment)
+    )
+    SELECT segment, count(*) AS n, round(sum(value), 2) AS total
+    FROM hot JOIN d USING (hot_key)
+    GROUP BY segment ORDER BY segment
+    """,
+)
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join through operators/scale.salted_join: the left
+    side is deliberately collapsed onto 3 hot keys (every row hits one of
+    3 reducers in a plain shuffle join), the right side is replicated
+    16x with salt values, and the join keys on (key, salt) — each hot key
+    spreads over 16 reducers. The oracle is the PLAIN join: salting must
+    be a pure physical rewrite, invisible in the result (the same
+    equivalence the pytest property pins; this entry keeps it in the
+    driver's cross-engine gate)."""
+    from ..operators.scale import salted_join
+
+    hot = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 3).alias("hot_key"), "value"
+    )
+    d = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")], "hot_key int, segment string"
+    )
+    joined = salted_join(hot, d, "hot_key", n_salts=16)
+    return (
+        joined.groupBy("segment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("segment")
+    )
