@@ -288,3 +288,95 @@ def heavy_hitters_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return heavy_hitters(docs, "lang", 6).orderBy("key")
+
+
+# --------------------------------------------------------------------------
+# snapshot reconciliation diff
+# --------------------------------------------------------------------------
+
+@register(
+    "table_diff_snapshots",
+    """
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+             'UPDATED' AS c_mktsegment, 'U' AS op
+      FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
+      FROM customer WHERE c_custkey % 17 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'new customer', 0, 0.0, 'NEWSEG', 'I'
+      FROM customer WHERE c_custkey % 23 = 0
+    ), new_snap AS (
+      SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+      FROM customer s
+      WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = s.c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM changes WHERE op <> 'D'
+    )
+    SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.c_name IS DISTINCT FROM n.c_name
+                  OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+                  OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                  OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                THEN 'changed' ELSE 'unchanged' END AS diff_class,
+           count(*) AS n
+    FROM customer o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: row-level diff of two table versions (the
+    base customer snapshot vs the CDC-merged one) classified
+    added / removed / changed / unchanged — the audit that validates a
+    migration, a CDC pipeline, or a backfill actually produced the
+    intended delta and nothing else. Change detection is column-wise
+    null-safe inequality, not a rendered-string hash (float formatting
+    is engine-idiosyncratic; IS DISTINCT FROM is not).
+
+    Plan: ONE full-outer shuffle join co-partitioned on the key, then a
+    4-key rollup — at 100 TB this is the canonical two-snapshot
+    reconciliation shape (both sides shuffle once; nothing is
+    broadcast, nothing collects)."""
+    from ..operators.merge import merge_changes
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    updates = (
+        cust.where((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 17 != 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = cust.where(F.col("c_custkey") % 17 == 0).withColumn("op", F.lit("D"))
+    inserts = cust.where(F.col("c_custkey") % 23 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("new customer").alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    new_snap = merge_changes(
+        cust, updates.unionByName(deletes).unionByName(inserts), key_cols=["c_custkey"]
+    )
+    o, n = cust.alias("o"), new_snap.alias("n")
+    j = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    changed = (
+        ~F.col("o.c_name").eqNullSafe(F.col("n.c_name"))
+        | ~F.col("o.c_nationkey").eqNullSafe(F.col("n.c_nationkey"))
+        | ~F.col("o.c_acctbal").eqNullSafe(F.col("n.c_acctbal"))
+        | ~F.col("o.c_mktsegment").eqNullSafe(F.col("n.c_mktsegment"))
+    )
+    cls = (
+        F.when(F.col("o.c_custkey").isNull(), "added")
+        .when(F.col("n.c_custkey").isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.groupBy(cls.alias("diff_class"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("diff_class")
+    )

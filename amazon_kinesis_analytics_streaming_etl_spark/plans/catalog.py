@@ -61,6 +61,7 @@ _STALE_R5 = [
     "stream_cdc_latest",
     "join_null_safe",
     "salted_join_events",
+    "table_diff_snapshots",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",
