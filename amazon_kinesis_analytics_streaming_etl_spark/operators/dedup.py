@@ -162,6 +162,92 @@ def ngram_jaccard_pairs(
     return _checkpoint_released(out, [sh]) if eager else out
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    eager: bool = True,
+) -> DataFrame:
+    """EXACT near-dup pairs (same contract as :func:`ngram_jaccard_pairs`)
+    via PPJoin-style prefix filtering — the designed answer to the
+    inverted index's stop-shingle residual (SCALE.md).
+
+    Under a global rare-first shingle order, any pair with Jaccard >= t
+    must share a shingle within each side's first ``|s| - ceil(t*|s|) + 1``
+    shingles (prefix-filter completeness; Chaudhuri 2006 / Xiao 2008 —
+    public results, PAPERS.md). So the candidate join indexes ONLY those
+    prefixes: frequent shingles sort LAST in the global order and almost
+    never enter a prefix, which removes exactly the posting lists that
+    blow up the plain inverted index at 100 TB. Candidates are then
+    verified with the full hash arrays (array_intersect) — exactness is
+    by construction, no recall knob.
+
+    Shuffles: document frequency (keyed by shingle), per-doc reorder
+    (keyed by doc), candidate join (keyed by PREFIX shingle — bounded
+    lists), verify joins (keyed by doc id). Nothing is broadcast."""
+    sh = _shingled(df, text_col, id_col, k)
+    inv = sh.select("_id", F.explode("_h").alias("_shash"))
+    dfreq = inv.groupBy("_shash").agg(F.count("*").alias("_df"))
+    ordered = (
+        inv.join(dfreq, "_shash")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_df", "_shash"))).alias("_os"),
+            F.count("*").alias("_n"),
+        )
+    )
+    p_len = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
+    pref = ordered.select(
+        "_id",
+        "_n",
+        F.explode(
+            F.slice(
+                F.transform("_os", lambda st: st["_shash"]), F.lit(1), p_len
+            )
+        ).alias("_shash"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    ratio_ok = (
+        F.greatest(F.col("a._n"), F.col("b._n")) * F.lit(threshold)
+        <= F.least(F.col("a._n"), F.col("b._n")).cast("double")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a._shash") == F.col("b._shash"))
+            & (F.col("a._id") < F.col("b._id"))
+            & ratio_ok,
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("na"),
+            F.col("b._n").alias("nb"),
+        )
+        .distinct()
+    )
+    ha = sh.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"))
+    hb = sh.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"))
+    inter = F.size(F.array_intersect("_ha", "_hb"))
+    out = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter.cast("double")
+                / (F.col("na") + F.col("nb") - inter).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return _checkpoint_released(out, [sh]) if eager else out
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 def minhash_signature(

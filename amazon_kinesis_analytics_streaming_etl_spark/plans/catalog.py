@@ -62,6 +62,7 @@ _STALE_R5 = [
     "join_null_safe",
     "salted_join_events",
     "table_diff_snapshots",
+    "dedup_ngram_prefix",
     "sim_topk_pq",
     "dedup_semantic",
     "io_format_roundtrip",

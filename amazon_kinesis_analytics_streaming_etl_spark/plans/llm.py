@@ -34,6 +34,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_near_dup_pairs,
 )
 from ..operators.multimodal import (
@@ -155,6 +156,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-shingle Jaccard >= 0.5 via inverted
     shingle index (no all-pairs compare; shuffle keyed by shingle hash)."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+
+
+@register(
+    "dedup_ngram_prefix",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
+               i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+    ),
+    inv AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+      FROM inv a JOIN inv b ON md5(a.sh) = md5(b.sh) AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    """,
+)
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact result as dedup_ngram_jaccard (identical oracle) via
+    PPJoin-style prefix filtering (operators/dedup.py
+    ngram_jaccard_pairs_prefix): only each doc's rarest
+    |s| - ceil(t*|s|) + 1 shingles are indexed, so the stop-shingle
+    posting lists that bound the plain inverted index at 100 TB never
+    form — frequent shingles sort last in the global order and stay out
+    of every prefix. Exactness is the prefix-filter completeness
+    theorem, pinned both by this cross-engine gate and by the
+    three-threshold equality test against the inverted index."""
+    return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), k=3, threshold=0.5)
 
 
 @register(

