@@ -33,6 +33,12 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # new queries first, then the 45 queries whose only green is round 1
 # (relational/window/set-op/scalar families, code unchanged but 4 rounds
 # old). Regenerate with tools/rotate_catalog.py when rotating rounds.
+#
+# ROUND-6 ROTATION NOTE: round 5 added ~41 new queries, so the driver's
+# ~50-query window covered canary + new only — the r1-stale tail below
+# (from "filter_predicates" on) did NOT get re-windowed this round.
+# Round 6 should front-load that tail (plus any round-5 queries the
+# driver's window didn't reach) before adding new names.
 _STALE_R5 = [
     # new in round 5 — never checked yet
     "heavy_hitters_lang",
