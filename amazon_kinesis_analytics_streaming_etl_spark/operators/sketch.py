@@ -47,10 +47,14 @@ def _mg_partition(batches: Iterator[pd.DataFrame], k: int) -> Iterator[pd.DataFr
     counters: dict = {}
     total = 0
     for pdf in batches:
+        # total counts EVERY row, null keys included — value_counts drops
+        # nulls, so accumulating total from it would silently shrink the
+        # n/k threshold relative to the count(*)-based contract whenever
+        # the key column contains NULLs.
+        total += len(pdf)
         # value_counts per Arrow batch is safe (batch-bounded), then the
         # batch's counts fold into the bounded MG table.
         for key, cnt in pdf.iloc[:, 0].value_counts().items():
-            total += int(cnt)
             if key in counters:
                 counters[key] += int(cnt)
             elif len(counters) < k:
@@ -78,6 +82,12 @@ def _mg_partition(batches: Iterator[pd.DataFrame], k: int) -> Iterator[pd.DataFr
 def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """Exact keys with frequency > n/k via Misra-Gries candidates + an
     exact verification pass. Returns (key, cnt) with true counts.
+
+    Null contract: ``n`` is count(*) over ALL rows (null keys included),
+    matching a SQL ``HAVING count(*) > (SELECT count(*) FROM t)/k``
+    threshold; NULL itself is never reported as a heavy hitter (SQL
+    GROUP BY would report it — callers needing that should coalesce the
+    key to a sentinel first).
 
     Plan shape: scan #1 is narrow (mapInPandas, no shuffle) and reduces
     to ≤ k rows/partition; the summary union aggregates on the driver-

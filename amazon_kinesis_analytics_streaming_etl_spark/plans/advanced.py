@@ -338,8 +338,13 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE full-outer shuffle join co-partitioned on the key, then a
     4-key rollup — at 100 TB this is the canonical two-snapshot
-    reconciliation shape (both sides shuffle once; nothing is
-    broadcast, nothing collects)."""
+    reconciliation shape (both sides shuffle once, nothing collects).
+    The changeset here keys ~18% of the snapshot (every 10th/17th/23rd
+    key), so the merge runs with ``broadcast_changes=False``: a
+    proportional changeset must shuffle, not broadcast (the broadcast
+    default exists for the common tiny-delta case; at 100 TB an 18%
+    key set would blow the driver/executor broadcast budget). AQE still
+    plans the anti join fine."""
     from ..operators.merge import merge_changes
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -359,7 +364,10 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("I").alias("op"),
     )
     new_snap = merge_changes(
-        cust, updates.unionByName(deletes).unionByName(inserts), key_cols=["c_custkey"]
+        cust,
+        updates.unionByName(deletes).unionByName(inserts),
+        key_cols=["c_custkey"],
+        broadcast_changes=False,
     )
     o, n = cust.alias("o"), new_snap.alias("n")
     j = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")

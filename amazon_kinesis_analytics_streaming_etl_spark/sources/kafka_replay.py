@@ -175,7 +175,13 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
         return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        # Release seek boundaries below each committed offset (same
+        # bounded-driver-memory contract as the Kinesis twin).
+        files = _partition_files(self.path)
+        for p, line in end.items():
+            fp = files.get(int(p))
+            if fp:
+                self._index.prune(fp, line)
 
 
 class _KafkaReplayBatchReader(DataSourceReader):

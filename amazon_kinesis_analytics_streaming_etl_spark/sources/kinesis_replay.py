@@ -118,7 +118,17 @@ class _LineIndex:
     at every poll boundary so ``partitions()`` can hand executors a seek
     hint for their slice start (micro-batch slices always start at a
     previous poll's end). A shrunken file (truncated/rewritten out of
-    band) resets that file's index and rescans."""
+    band) resets that file's index and rescans.
+
+    Memory is bounded two ways: ``prune(fp, line)`` (called from the
+    reader's ``commit`` with each committed offset) drops every boundary
+    strictly below the last one still reachable by a future slice start,
+    and ``count`` caps retained boundaries at ``_MAX_MARKS`` per file —
+    without both, one ``{lines: byte_pos}`` entry per poll per shard
+    accumulates forever in a long-running driver polling every few
+    seconds."""
+
+    _MAX_MARKS = 256  # newest boundaries kept per file between commits
 
     def __init__(self) -> None:
         self._state: dict[str, tuple[int, int]] = {}  # fp -> (byte_pos, lines)
@@ -137,8 +147,24 @@ class _LineIndex:
                 lines += 1
                 pos += len(line)
         self._state[fp] = (pos, lines)
-        self._marks.setdefault(fp, {0: 0})[lines] = pos
+        marks = self._marks.setdefault(fp, {0: 0})
+        marks[lines] = pos
+        if len(marks) > self._MAX_MARKS:  # keep the newest boundaries
+            for ln in sorted(marks)[: len(marks) - self._MAX_MARKS]:
+                del marks[ln]
         return lines
+
+    def prune(self, fp: str, committed_line: int) -> None:
+        """Drop memoized boundaries no future slice can start below.
+        Slice starts are always >= the last committed offset, so only the
+        greatest boundary <= committed_line (the seek hint for a slice
+        starting exactly there) and everything above it stay useful."""
+        marks = self._marks.get(fp)
+        if not marks:
+            return
+        keep_floor = max((ln for ln in marks if ln <= committed_line), default=0)
+        for ln in [ln for ln in marks if ln < keep_floor]:
+            del marks[ln]
 
     def seek_hint(self, fp: str, line: int) -> tuple[int, int]:
         """(byte_pos, line_no) of the latest memoized boundary <= line;
@@ -252,7 +278,15 @@ class _ReplayStreamReader(DataSourceStreamReader):
         return _rows(partition.stream, partition.shard, payloads, partition.start)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint offset log
+        # Offsets live in the checkpoint offset log; the only driver
+        # state is the line index, whose stale seek boundaries are
+        # released here (ADVICE r5: unpruned marks grow without bound on
+        # a long-running poll loop).
+        files = _shard_files(self.path)
+        for shard, line in end.items():
+            fp = files.get(shard)
+            if fp:
+                self._index.prune(fp, line)
 
 
 class _ReplayBatchReader(DataSourceReader):

@@ -261,3 +261,45 @@ def test_line_index_resets_on_truncated_file(tmp_path):
         f.write("x\n")  # rewritten shorter out of band
     assert idx.count(fp) == 1
     assert idx.seek_hint(fp, 0) == (0, 0)
+
+
+def test_line_index_prune_and_mark_cap(tmp_path):
+    """Driver memory stays bounded on a long poll loop (ADVICE r5):
+    commit-time pruning drops boundaries below the committed offset but
+    keeps the seek hint a slice starting exactly there needs, and the
+    per-file mark table never exceeds the cap even without commits."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        _LineIndex,
+        _read_lines,
+    )
+
+    fp = str(tmp_path / "shardId-000000000000.jsonl")
+    idx = _LineIndex()
+    for i in range(10):  # 10 polls, one appended record each
+        with open(fp, "a") as f:
+            f.write(f"rec{i}\n")
+        assert idx.count(fp) == i + 1
+    assert len(idx._marks[fp]) == 11  # {0..10}
+
+    idx.prune(fp, 7)
+    marks = idx._marks[fp]
+    assert min(marks) == 7  # floor boundary kept; everything below gone
+    assert set(marks) == {7, 8, 9, 10}
+    # the kept floor still resolves a slice starting at the committed line
+    byte_pos, line_no = idx.seek_hint(fp, 7)
+    assert _read_lines(fp, 7, 10, byte_pos, line_no) == _read_lines(fp, 7, 10)
+
+    # pruning at a never-memoized line keeps the nearest lower boundary
+    idx.prune(fp, 9)
+    assert min(idx._marks[fp]) == 9
+
+    # cap: a commit-less poller tops out at _MAX_MARKS boundaries
+    idx2 = _LineIndex()
+    fp2 = str(tmp_path / "shardId-000000000001.jsonl")
+    for i in range(_LineIndex._MAX_MARKS + 50):
+        with open(fp2, "a") as f:
+            f.write("x\n")
+        idx2.count(fp2)
+    assert len(idx2._marks[fp2]) == _LineIndex._MAX_MARKS
+    # newest boundaries survive the cap
+    assert max(idx2._marks[fp2]) == _LineIndex._MAX_MARKS + 50

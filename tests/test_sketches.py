@@ -111,3 +111,36 @@ def test_heavy_hitters_leaves_no_cached_summaries(spark):
     # localCheckpoint of the (<=k-row) result is the only new block.
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before + 1
+
+
+def test_heavy_hitters_null_keys_count_into_threshold(spark):
+    """Null contract (ADVICE r5): n is count(*) over ALL rows — null keys
+    raise the n/k bar even though NULL itself is never reported. Without
+    len(pdf)-based totals, the nulls-dropped threshold would wrongly
+    admit 'warm' here."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    # 1000 rows: 300 'heavy', 150 'warm', 400 NULL, 150 spread over k50..k99.
+    # k=3 -> threshold n/3 = 333.33 with nulls counted (only nothing or
+    # 'heavy' under it: 300 < 333 -> EMPTY); nulls-dropped would make the
+    # threshold 600/3 = 200 and wrongly report heavy (300) and possibly warm.
+    df = (
+        spark.range(1000)
+        .select(
+            F.when(F.col("id") < 300, F.lit("heavy"))
+            .when(F.col("id") < 450, F.lit("warm"))
+            .when(F.col("id") < 850, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 50) + 50))
+            .alias("key")
+        )
+        .repartition(4)
+    )
+    assert heavy_hitters(df, "key", 3).collect() == []
+    # with k=2 nothing qualifies either (500 bar); with k=4 (250 bar)
+    # exactly 'heavy' qualifies, counted exactly
+    got = {(r.key, r.cnt) for r in heavy_hitters(df, "key", 4).collect()}
+    assert got == {("heavy", 300)}
