@@ -16,6 +16,7 @@ from __future__ import annotations
 from . import advanced as _advanced  # noqa: F401  (registration side effects)
 from . import analytics as _analytics  # noqa: F401
 from . import curation as _curation  # noqa: F401
+from . import etl as _etl  # noqa: F401
 from . import layout as _layout  # noqa: F401
 from . import lexical as _lexical  # noqa: F401
 from . import llm as _llm  # noqa: F401
@@ -28,67 +29,20 @@ from .relational import ORACLES, QUERIES
 # Tier 0: always-on canary — cheap, high-signal TPC-H shapes.
 _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 
-# Tier 1, round 5: every prior FAIL/no_oracle is discharged (r4 went
-# 50/50; 128/128 latest-green), so the window now rotates by signal AGE —
-# new queries first, then the 45 queries whose only green is round 1
-# (relational/window/set-op/scalar families, code unchanged but 4 rounds
-# old). Regenerate with tools/rotate_catalog.py when rotating rounds.
-#
-# ROUND-6 ROTATION NOTE: round 5 added ~41 new queries, so the driver's
-# ~50-query window covered canary + new only — the r1-stale tail below
-# (from "filter_predicates" on) did NOT get re-windowed this round.
-# Round 6 should front-load that tail (plus any round-5 queries the
-# driver's window didn't reach) before adding new names.
-_STALE_R5 = [
-    # new in round 5 — never checked yet
-    "heavy_hitters_lang",
-    "sample_weighted_topn",
-    "stream_chained_agg",
-    "stream_left_outer_join",
-    "embedding_matryoshka",
-    "rolling_window_features",
-    "train_test_split_leakfree",
-    "drift_psi",
-    "sample_stratified",
-    "mv_incremental_refresh",
-    "resample_interpolate",
-    "pattern_match_funnel",
-    "json_variant_typed",
-    "ewma_hourly",
-    "rfm_segments",
-    "rolling_median_hourly",
-    "agg_mode_argmax",
-    "sql_recursive_spine",
-    "sql_lateral_topk",
-    "text_lm_bigram_score",
-    "multimodal_frame_sample",
-    "stream_anomaly_flags",
-    "embedding_dim_stats",
-    "stream_cdc_latest",
-    "join_null_safe",
-    "salted_join_events",
-    "table_diff_snapshots",
-    "dedup_ngram_prefix",
-    "sim_topk_pq",
-    "dedup_semantic",
-    "io_format_roundtrip",
-    "hll_sketch_rollup",
-    "dedup_embedding_multitable",
-    "sim_topk_lsh_multitable",
-    "sim_topk_ivf_trained",
-    "layout_zorder_stats",
-    "layout_compact_stats",
-    "layout_bucketed_join",
-    # oldest green signal (round 1), staleness rotation
-    "filter_predicates",
-    "join_enrich_events",
-    "join_left_semi",
-    "join_left_anti",
-    "join_right_outer",
-    "join_full_outer",
-    "join_cross",
-    "agg_rollup",
-    "agg_cube",
+# Tier 1 rotates by signal AGE each round. Round-5 window (CORRECTNESS_r05,
+# 50 entries) covered the canary + all 38 round-5 additions + the first 9
+# r1-stale names (filter_predicates..agg_cube). Round 6 therefore
+# front-loads: (a) queries NEW this round (never driver-checked), then
+# (b) the 36 remaining queries whose only driver green is round 1
+# (agg_grouping_sets..curation_sample — the judge's r5 full sweep
+# re-proved them, but the driver artifact should too). Everything past
+# the window falls through to family order (tpch first — its last driver
+# check was r2/r3 except the canary).
+_STALE_R6 = [
+    # new in round 6 — never checked yet
+    "parse_dead_letter",
+    "pipeline_fanout_replay",
+    # oldest driver signal (round 1), staleness rotation
     "agg_grouping_sets",
     "agg_having",
     "agg_count_distinct",
@@ -130,6 +84,7 @@ _STALE_R5 = [
 # Family priority by defining module for the already-green tail.
 _FAMILY_PRIORITY = {
     "tpch": 3,
+    "etl": 4,
     "llm": 4,
     "curation": 4,
     "advanced": 4,
@@ -144,12 +99,12 @@ _FAMILY_PRIORITY = {
 
 def _reorder() -> None:
     names = list(QUERIES)
-    unknown = (set(_CANARY) | set(_STALE_R5)) - set(names)
+    unknown = (set(_CANARY) | set(_STALE_R6)) - set(names)
     if unknown:  # a typo here silently strands a query past the window
         raise ValueError(f"catalog priority lists name unknown queries: {unknown}")
     original_pos = {n: i for i, n in enumerate(names)}
     canary_pos = {n: i for i, n in enumerate(_CANARY)}
-    stale_pos = {n: i for i, n in enumerate(_STALE_R5)}
+    stale_pos = {n: i for i, n in enumerate(_STALE_R6)}
 
     def key(name: str) -> tuple[int, int]:
         if name in canary_pos:

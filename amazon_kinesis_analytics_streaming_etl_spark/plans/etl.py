@@ -1,0 +1,263 @@
+"""Driver-gated ETL topology queries — the reference's CORE surface under
+the same oracle bar as the relational catalog.
+
+Until round 5 the multi-sink fan-out (K8, StreamingEtl.java:106-149), the
+batch-id replay ledger (X1, plans/pipeline.py:30-78) and the dead-letter
+split (P2, TripEventSchema.java:78-82) were pytest-only: their value is
+side effects (files written, sinks skipped, corrupt rows routed), not a
+result relation. These queries close that gap the same way the layout
+family did (plans/layout.py): run the real machinery over sf-derived
+input, inspect the bounded side effects driver-side, and return ONE
+deterministic row whose counts cross engines for real — the oracle
+recomputes them from the events table, so the check is not all-literal.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+from ..schemas import load_events
+from .relational import register
+
+# Deterministic corrupt-line rule shared with the oracle: an md5-prefix
+# predicate on event_id (the engine's standard cross-engine sampling
+# idiom, plans/prep.py) marks ~1/7 of rows, whose JSON payload is then
+# TRUNCATED mid-object. The rule decides only WHICH lines get mangled;
+# the engine must rediscover them purely by failing to parse.
+_BAD_MOD = 7
+
+
+def _is_bad(col):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % _BAD_MOD
+        == 0
+    )
+
+
+_BAD_SQL = (
+    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    f"% {_BAD_MOD} = 0"
+)
+
+
+def _trip_event_lines(events: DataFrame, corrupt: bool) -> DataFrame:
+    """TripEvent JSON payloads derived from the events table (trip_id =
+    event_id, pickup = ts). With ``corrupt=True`` the md5-marked subset
+    is truncated to ``{"vendor_id": <event_id>`` — unparseable, but the
+    id survives as a suffix so the dead-letter branch can be fingerprinted
+    cross-engine."""
+    from ..sources.streaming import synthetic_trip_event_json
+
+    good = synthetic_trip_event_json(F.col("event_id"), F.col("ts"))
+    if not corrupt:
+        return events.select(good.alias("value"))
+    mangled = F.concat(F.lit('{"vendor_id": '), F.col("event_id").cast("string"))
+    return events.select(
+        F.when(_is_bad(F.col("event_id")), mangled).otherwise(good).alias("value")
+    )
+
+
+# --------------------------------------------------------------------------
+# P2 — dead-letter split (TripEventSchema.java:78-82)
+# --------------------------------------------------------------------------
+
+@register(
+    "parse_dead_letter",
+    f"""
+    WITH flags AS (
+      SELECT event_id, {_BAD_SQL} AS is_bad FROM events
+    )
+    SELECT CAST(count(*) FILTER (WHERE NOT is_bad) AS BIGINT) AS valid_rows,
+           CAST(count(*) FILTER (WHERE is_bad) AS BIGINT)     AS corrupt_rows,
+           CAST(sum(CASE WHEN is_bad THEN event_id END) AS BIGINT)
+                                                              AS corrupt_id_sum
+    FROM flags
+    """,
+)
+def parse_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 under the oracle bar: derive TripEvent JSON from the events
+    table, truncate the md5-marked ~1/7 of lines mid-object, and push
+    everything through ``split_corrupt`` (operators/parse.py — the
+    reference logs-and-drops here, TripEventSchema.java:78-82; the
+    engine keeps the corrupt branch as a first-class dead letter). The
+    engine learns nothing from the marking rule — corrupt rows are
+    whatever ``from_json`` rejects — while the oracle recomputes the
+    expected split from the rule. ``corrupt_id_sum`` fingerprints WHICH
+    rows landed in the dead letter (the id is recovered from the raw
+    payload, exactly what a dead-letter consumer would do), so a split
+    that got the counts right but routed the wrong rows still fails.
+
+    Scale: one narrow scan — JSON synthesis, the parse, and the validity
+    split are all whole-stage-codegen projections; the two 1-row
+    aggregates meet in a scalar cross join (whitelisted BNLJ shape)."""
+    from ..operators.parse import split_corrupt
+
+    events = load_events(spark, sf_dir)
+    raw = _trip_event_lines(events, corrupt=True)
+    valid, corrupt = split_corrupt(raw)
+    v = valid.agg(F.count("*").cast("long").alias("valid_rows"))
+    c = corrupt.agg(
+        F.count("*").cast("long").alias("corrupt_rows"),
+        F.sum(F.regexp_extract("raw_payload", r"(\d+)$", 1).cast("long"))
+        .cast("long")
+        .alias("corrupt_id_sum"),
+    )
+    return v.crossJoin(c)
+
+
+# --------------------------------------------------------------------------
+# K8 + X1 — fan-out with batch-id replay ledger (StreamingEtl.java:106-149)
+# --------------------------------------------------------------------------
+
+class _SpoolTransport:
+    """Picklable fake-ES transport: spools one ``index\\tdoc_id`` line per
+    upsert into a uniquely-named file per partition task (K4's transport
+    seam, streaming/sinks.py es_upsert_batch). Runs on executors; a
+    shared local spool dir stands in for the HTTP endpoint."""
+
+    def __init__(self, spool_dir: str):
+        self.dir = spool_dir
+        self._f = None
+
+    def __call__(self, index: str, doc_id: str, body: str) -> None:
+        if self._f is None:
+            import uuid
+
+            self._f = open(
+                os.path.join(self.dir, f"bulk-{uuid.uuid4().hex}.tsv"), "w"
+            )
+        self._f.write(f"{index}\t{doc_id}\n")
+
+    def flush(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
+_FANOUT_SCHEMA = StructType(
+    [
+        StructField("file_rows", LongType(), False),
+        StructField("es_rows", LongType(), False),
+        StructField("batches", LongType(), False),
+        StructField("file_skip_on_replay", BooleanType(), False),
+        StructField("es_skip_on_replay", BooleanType(), False),
+        StructField("noop_skip_on_replay", BooleanType(), False),
+    ]
+)
+
+
+@register(
+    "pipeline_fanout_replay",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS file_rows,
+           CAST(count(*) AS BIGINT) AS es_rows,
+           CAST(1 AS BIGINT)        AS batches,
+           TRUE AS file_skip_on_replay,
+           TRUE AS es_skip_on_replay,
+           TRUE AS noop_skip_on_replay
+    FROM events
+    """,
+)
+def pipeline_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8/X1 under the oracle bar: run the REAL pipeline — config
+    resolution (C1), file source, parse (P1), foreachBatch fan-out to
+    file + discarding + fake-ES sinks with the batch-id ledger — over
+    TripEvent JSON derived from the events table, then FORCE a replay of
+    batch 0 through the same ledger and return per-sink row counts plus
+    replayed-skip booleans.
+
+    What crosses engines for real: ``file_rows`` re-reads the partitioned
+    Parquet the K1 sink produced and ``es_rows`` counts the keyed-upsert
+    spool — both must equal DuckDB's count(*) of events, so a fan-out
+    that dropped or duplicated rows in ANY sink fails the hash. The skip
+    booleans pin X1: a replayed batch id must write nothing anywhere
+    (the reference gets this from Flink's checkpoint commit protocol,
+    cdk/lib/streaming-etl.ts:146-151; the engine from the sink ledger,
+    plans/pipeline.py:30-78).
+
+    Scale: the fan-out persists each micro-batch once and every sink
+    writes from the cached batch (single source read — the same decision
+    the reference's shared-source DAG encodes); ledger markers are one
+    tiny driver-side file per (sink, batch)."""
+    from ..operators.parse import parse_trip_events
+    from ..streaming import sinks as sk
+    from .pipeline import BatchLedger, Pipeline, _sink_specs
+
+    base = tempfile.mkdtemp(prefix="fanout_gate_")
+    src = os.path.join(base, "src")
+    outdir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    spool = os.path.join(base, "es_spool")
+    os.makedirs(src)
+    os.makedirs(spool)
+    try:
+        events = load_events(spark, sf_dir)
+        # one input file -> exactly one availableNow micro-batch (batch 0)
+        _trip_event_lines(events, corrupt=False).coalesce(1).write.mode(
+            "overwrite"
+        ).text(src)
+
+        transport = _SpoolTransport(spool)
+
+        def es_fake(batch: DataFrame) -> None:
+            sk.es_upsert_batch(batch, "fake-endpoint:9200", transport=transport)
+
+        pipe = Pipeline.from_config(
+            spark,
+            args=[
+                "--InputFilePath", src,
+                "--OutputBucket", outdir,
+                "--ParquetConversion", "true",
+                "--OutputDiscarding", "true",
+                "--CheckpointLocation", ckpt,
+            ],
+        )
+        pipe.extra_sinks.append(("es_fake", es_fake))
+        pipe.run_available_now()
+
+        def spool_rows() -> int:
+            return sum(
+                sum(1 for _ in open(os.path.join(spool, f)))
+                for f in os.listdir(spool)
+            )
+
+        def file_rows() -> int:
+            return (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(outdir)
+                .count()
+            )
+
+        es_before, file_before = spool_rows(), file_rows()
+        ledger = BatchLedger(os.path.join(ckpt, "sink_ledger"))
+        batches = len(
+            {m.rsplit("-", 1)[1] for m in os.listdir(ledger.path) if m.startswith("file-")}
+        )
+
+        # Forced replay: rebuild the foreachBatch writer against the SAME
+        # ledger and re-deliver batch 0 (what Structured Streaming does
+        # after a crash between sink write and offset-log commit). Every
+        # sink must skip.
+        specs = _sink_specs(pipe.cfg) + pipe.extra_sinks
+        replay_batch = parse_trip_events(spark.read.text(src))
+        pipe._foreach_batch(specs, ledger)(replay_batch, 0)
+
+        file_after, es_after = file_rows(), spool_rows()
+        row = (
+            int(file_after),
+            int(es_after),
+            int(batches),
+            file_after == file_before,
+            es_after == es_before,
+            ledger.committed("discarding", 0),
+        )
+        return spark.createDataFrame([row], _FANOUT_SCHEMA)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -420,6 +420,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("FATAL")
     spark.stop()
     sys.stdout.flush()
+    # Per-run spreads go out on their OWN line first: the driver's tail
+    # capture is size-bounded, and in r5 the bulky "runs" map inside the
+    # single contract line pushed the headline-suite prefix past the
+    # window (BENCH_r05.json lost metric/value/queries). The FINAL line
+    # is the compact contract — headline medians, ETL, streaming, both
+    # replay models, gates — and always survives tail capture whole.
+    print(json.dumps({"detail": "per_run_spreads", "bench_repeats": repeats, "runs": spreads}))
     print(
         json.dumps(
             {
@@ -434,7 +441,6 @@ def main() -> None:
                 "kafka_replay": kafka_replay,
                 "gates": gates,
                 "bench_repeats": repeats,
-                "runs": spreads,
             }
         )
     )

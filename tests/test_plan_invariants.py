@@ -34,6 +34,8 @@ SCALAR_THRESHOLD_QUERIES = {
     "bm25_retrieval",
     # curation: 1-row vocab-size broadcast into the LM scoring join.
     "text_lm_bigram_score",
+    # etl: valid x corrupt 1-row summary aggregates (dead-letter split).
+    "parse_dead_letter",
     # approx-vs-exact gate queries: crossJoins of 1-row summary aggregates
     # (exact-pair count x recall/subset booleans).
     "dedup_minhash_lsh",
