@@ -58,8 +58,19 @@ def main() -> None:
     for n in never:
         print(f'    "{n}",  # never checked')
 
+    # Age rotation: once nothing is FAIL/no_oracle, the window re-verifies
+    # the queries whose latest green is OLDEST. Printed oldest-first so the
+    # paste continues the stale list; trim to fit the ~50-query window
+    # after the canary + the sections above.
+    green = sorted(
+        (n for n in names if status.get(n, (0, ""))[1] == "green"),
+        key=lambda n: status[n][0],
+    )
+    print("    # oldest green signal first (age rotation)")
+    for n in green:
+        print(f'    "{n}",  # green r{status[n][0]}')
+
     if "--counts" in sys.argv:
-        green = [n for n in names if status.get(n, (0, ""))[1] == "green"]
         print(
             f"\n# {len(names)} registered: {len(green)} latest-green, "
             f"{len(bad)} latest-fail/no_oracle, {len(never)} never checked"
