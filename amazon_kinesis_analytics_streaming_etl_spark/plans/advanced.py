@@ -388,3 +388,144 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("diff_class")
     )
+
+
+# --------------------------------------------------------------------------
+# theta-sketch set algebra (audience overlap) + count-min point frequency
+# --------------------------------------------------------------------------
+
+@register(
+    "sketch_theta_audience",
+    """
+    WITH flags AS (
+      SELECT o_custkey,
+             bool_or(o_orderstatus = 'F') AS fa,
+             bool_or(o_orderstatus = 'O') AS fb
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT)     AS inter_exact,
+           CAST(sum(CASE WHEN fa OR fb THEN 1 ELSE 0 END) AS BIGINT)      AS union_exact,
+           CAST(sum(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS only_f_exact,
+           TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+    FROM flags
+    """,
+)
+def sketch_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA over customer audiences — the capability
+    tier above the HLL rollup (plans/advanced.py hll_sketch_rollup): HLL
+    merges only by union, while Datasketches theta sketches answer
+    INTERSECTION and DIFFERENCE cardinalities from the stored sketches
+    alone. The 100 TB pattern: keep one tiny theta sketch per audience
+    slice (here: customers with 'F' vs 'O' orders — partial overlap,
+    1383 of ~1500 shared at sf0.01), and answer any overlap/exclusion
+    question sketch-vs-sketch without rescanning raw data — the
+    segment-overlap query a full count-distinct would re-shuffle the
+    corpus for. One scan builds both sketches (conditional aggs); the
+    exact twin (one groupBy + flag rollup) rides the same driver check
+    within a 5% envelope (below the 4096 nominal entries the sketch is
+    in exact mode, so the envelope is slack, not load-bearing).
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sk = o.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("a"),
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+        ).alias("b"),
+    )
+    est = sk.select(
+        F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias("inter_est"),
+        F.theta_sketch_estimate(F.theta_union("a", "b")).alias("union_est"),
+        F.theta_sketch_estimate(F.theta_difference("a", "b")).alias("diff_est"),
+    )
+    flags = o.groupBy("o_custkey").agg(
+        F.bool_or(F.col("o_orderstatus") == "F").alias("fa"),
+        F.bool_or(F.col("o_orderstatus") == "O").alias("fb"),
+    )
+    exact = flags.agg(
+        F.sum((F.col("fa") & F.col("fb")).cast("long")).alias("inter_exact"),
+        F.sum((F.col("fa") | F.col("fb")).cast("long")).alias("union_exact"),
+        F.sum((F.col("fa") & ~F.col("fb")).cast("long")).alias("only_f_exact"),
+    )
+
+    def ok(e, x):
+        return F.abs(e.cast("double") - x) <= F.greatest(F.lit(2.0), 0.05 * x)
+
+    j = exact.crossJoin(est)  # 1-row x 1-row scalar gate join
+    return j.select(
+        "inter_exact",
+        "union_exact",
+        "only_f_exact",
+        ok(F.col("inter_est"), F.col("inter_exact")).alias("inter_ok"),
+        ok(F.col("union_est"), F.col("union_exact")).alias("union_ok"),
+        ok(F.col("diff_est"), F.col("only_f_exact")).alias("diff_ok"),
+    )
+
+
+@register(
+    "sketch_cms_freq",
+    """
+    SELECT CAST(count(*) FILTER (WHERE user_id = 1) AS BIGINT) AS u1_exact,
+           CAST(count(*) FILTER (WHERE user_id = 2) AS BIGINT) AS u2_exact,
+           CAST(count(*) FILTER (WHERE user_id = 3) AS BIGINT) AS u3_exact,
+           TRUE AS bounds_ok
+    FROM events
+    """,
+)
+def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Count-Min point-frequency tier: one CMS binary per
+    event_type (built by the JVM ``count_min_sketch`` aggregate in a
+    single scan), merged driver-side through Spark's public
+    ``org.apache.spark.util.sketch.CountMinSketch`` — the rollup-store
+    pattern again: per-slice sketches persist tiny (width 2/eps ints)
+    and any coarser frequency question is answered by merging sketches,
+    never rescanning raw events. Completes the sketch family:
+    HLL = distinct by union, theta = distinct set algebra,
+    Misra-Gries = top keys, CMS = per-key counts.
+
+    Gate: the classic CMS guarantee, est >= exact AND
+    est <= exact + eps*N (eps=0.001, confidence 0.99) for three fixed
+    user ids, checked against the exact counts computed distributed
+    (those counts also cross engines against DuckDB). Driver traffic is
+    |event_type| sketch binaries — bounded, like the layout-family
+    footer reads."""
+    import math
+
+    events = load_events(spark, sf_dir)
+    per_type = (
+        events.groupBy("event_type")
+        .agg(
+            F.count_min_sketch(
+                "user_id", F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    jvm_cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged, n_total = None, 0
+    for r in per_type:
+        sk = jvm_cms.readFrom(bytes(r["sk"]))
+        n_total += r["n"]
+        merged = sk if merged is None else merged.mergeInPlace(sk)
+    users = (1, 2, 3)
+    ests = {u: int(merged.estimateCount(u)) for u in users} if merged else {}
+    slack = int(math.ceil(0.001 * n_total))
+
+    exact = events.agg(
+        *[
+            F.count(F.when(F.col("user_id") == u, 1))
+            .cast("long")
+            .alias(f"u{u}_exact")
+            for u in users
+        ]
+    )
+    bounds = F.lit(True)
+    for u in users:
+        e = F.lit(ests.get(u, 0)).cast("long")
+        x = F.col(f"u{u}_exact")
+        bounds = bounds & (e >= x) & (e <= x + F.lit(slack))
+    return exact.select(
+        *[f"u{u}_exact" for u in users], bounds.alias("bounds_ok")
+    )

@@ -42,6 +42,8 @@ _STALE_R6 = [
     # new in round 6 — never checked yet
     "parse_dead_letter",
     "pipeline_fanout_replay",
+    "sketch_theta_audience",
+    "sketch_cms_freq",
     # oldest driver signal (round 1), staleness rotation
     "agg_grouping_sets",
     "agg_having",

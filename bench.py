@@ -405,8 +405,21 @@ def main() -> None:
     gates = bench_gate_costs(spark, sf_dir)
     etl = bench_etl_throughput(spark)
     streaming = bench_streaming_keepup(spark)
-    kinesis_replay = _bench_replay_keepup(spark, "kinesis")
-    kafka_replay = _bench_replay_keepup(spark, "kafka")
+
+    def replay_median(model: str) -> dict:
+        # Same median-of-repeats discipline as the headline queries: the
+        # 1k-record warm-up doesn't fully warm the partitioned-write path,
+        # so a single-shot replay mixes ~20-30% residual cold-start into a
+        # SUSTAINED-throughput criterion (measured 85k/118k/109k rec/s
+        # across three back-to-back runs). Per-run rates ride along.
+        runs = [_bench_replay_keepup(spark, model) for _ in range(repeats)]
+        runs.sort(key=lambda r: r["recs_per_sec"])
+        med = dict(runs[len(runs) // 2])
+        med["runs_rec_per_sec"] = [r["recs_per_sec"] for r in runs]
+        return med
+
+    kinesis_replay = replay_median("kinesis")
+    kafka_replay = replay_median("kafka")
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

@@ -36,6 +36,8 @@ SCALAR_THRESHOLD_QUERIES = {
     "text_lm_bigram_score",
     # etl: valid x corrupt 1-row summary aggregates (dead-letter split).
     "parse_dead_letter",
+    # sketches: exact-twin x estimate 1-row scalar gate joins.
+    "sketch_theta_audience",
     # approx-vs-exact gate queries: crossJoins of 1-row summary aggregates
     # (exact-pair count x recall/subset booleans).
     "dedup_minhash_lsh",
