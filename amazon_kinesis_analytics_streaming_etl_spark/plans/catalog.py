@@ -44,6 +44,7 @@ _STALE_R6 = [
     "pipeline_fanout_replay",
     "sketch_theta_audience",
     "sketch_cms_freq",
+    "kinesis_sink_roundtrip",
     # oldest driver signal (round 1), staleness rotation
     "agg_grouping_sets",
     "agg_having",

@@ -261,3 +261,83 @@ def pipeline_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([row], _FANOUT_SCHEMA)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# K5 + S1 — Kinesis write-model -> read-model roundtrip
+# --------------------------------------------------------------------------
+
+@register(
+    "kinesis_sink_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT)    AS n_records,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           TRUE AS all_shards_hit,
+           TRUE AS no_partial_lines
+    FROM events
+    """,
+)
+def kinesis_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 under the oracle bar, closed into a loop with S1: TripEvents
+    derived from the events table go out through the REAL K5 sink code
+    (``kinesis_put_batch``: P3 serialization, 500-record PutRecords
+    batching, executor-side sends) into the replay-dir write model
+    (``KinesisReplayClient`` — 128-bit MD5 partition-key routing over 16
+    evenly-split shard hash ranges, the service's actual contract), and
+    come back through the S1 replay read model. The consumer-side
+    fingerprint extracts ``trip_id`` from the P3 JSON (P3 omits
+    payment_type/padding — by reference semantics its output is for
+    consumers, not re-ingestion, so the check reads it the way a
+    consumer would): count and id-sum must equal DuckDB's over the
+    events table, so a record lost, duplicated, or corrupted anywhere in
+    serialize -> route -> append -> shard-read fails the hash.
+    Routing uses trip_id as the per-record key (the engine extension;
+    the reference's fixed key "0" would park everything on one shard) —
+    ``all_shards_hit`` pins that the MD5 spread actually exercises all
+    16 ranges, and ``no_partial_lines`` that concurrent executor appends
+    left whole lines only (the flock contract).
+
+    Scale: the sink is executor-parallel appends; the read back is one
+    InputPartition per shard — the same 16-way parallelism the
+    reference's provisioned stream gives (cdk/lib/streaming-etl.ts:69-71).
+    """
+    from ..operators.parse import parse_trip_events
+    from ..sources.kinesis_replay import KinesisReplayClient, register_kinesis_replay
+    from ..streaming.sinks import kinesis_put_batch
+
+    base = tempfile.mkdtemp(prefix="kinesis_rt_")
+    try:
+        events = load_events(spark, sf_dir)
+        trips = parse_trip_events(_trip_event_lines(events, corrupt=False))
+        kinesis_put_batch(
+            trips,
+            "trips",
+            client_factory=lambda: KinesisReplayClient(base, num_shards=16),
+            partition_key_col="trip_id",
+        )
+
+        register_kinesis_replay(spark)
+        back = (
+            spark.read.format("kinesis-replay")
+            .option("path", os.path.join(base, "trips"))
+            .load()
+        )
+        payload = F.col("data").cast("string")
+        agg = back.agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.sum(F.get_json_object(payload, "$.trip_id").cast("long"))
+            .cast("long")
+            .alias("id_sum"),
+            (F.countDistinct("shardId") == 16).alias("all_shards_hit"),
+            # P3 payloads are single JSON objects; a torn line would lose
+            # its trip_id and/or its closing brace
+            F.bool_and(
+                F.get_json_object(payload, "$.trip_id").isNotNull()
+                & payload.endswith("}")
+            ).alias("no_partial_lines"),
+        )
+        # materialize before the tempdir vanishes
+        row = agg.collect()[0]
+        return spark.createDataFrame([tuple(row)], agg.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -343,3 +343,75 @@ def kinesis_replay_stream(spark, stream_dir: str, initial_position: str = "TRIM_
         .option("initialPosition", initial_position)
         .load()
     )
+
+
+# --------------------------------------------------------------------------
+# write side of the same execution model (K5 twin)
+# --------------------------------------------------------------------------
+
+class KinesisReplayClient:
+    """boto3-shaped client for the replay-dir Kinesis model — the WRITE
+    side of the execution model this module reads: ``put_records``
+    routes every record by the real Kinesis contract (the 128-bit MD5 of
+    its partition key falls into one of ``num_shards`` evenly-split hash
+    ranges — what the service does with provisioned shards) and appends
+    the payload as one newline-terminated line to that shard's file.
+
+    Plugs straight into ``streaming.sinks.kinesis_put_batch`` via
+    ``client_factory`` (same surface the boto3 client exposes), so the
+    K5 sink runs its real batching/limit code against the model, and
+    whatever it wrote replays back through the read side above —
+    an end-to-end S1+K5 loop with no AWS.
+
+    Concurrency: records are grouped per shard and appended under an
+    ``fcntl`` exclusive lock per shard file, so parallel executor tasks
+    interleave whole batches, never partial lines (same guarantee the
+    service gives: a sequenced append per shard).
+    """
+
+    _MAX_RECORDS = 500  # PutRecords hard limit, enforced like the service
+
+    def __init__(self, base_dir: str, num_shards: int = 16):
+        self.base_dir = base_dir
+        self.num_shards = int(num_shards)
+
+    def _shard_for(self, partition_key: str) -> int:
+        import hashlib
+
+        h = int.from_bytes(
+            hashlib.md5(str(partition_key).encode()).digest(), "big"
+        )
+        # shard i owns [i * 2^128/N, (i+1) * 2^128/N)
+        return (h * self.num_shards) >> 128
+
+    def put_records(self, StreamName: str, Records: list) -> dict:
+        import fcntl
+
+        if len(Records) > self._MAX_RECORDS:
+            raise ValueError(
+                f"PutRecords accepts at most {self._MAX_RECORDS} records"
+            )
+        stream_dir = os.path.join(self.base_dir, StreamName)
+        os.makedirs(stream_dir, exist_ok=True)
+        by_shard: dict[int, list[bytes]] = {}
+        order: list[int] = []
+        for rec in Records:
+            data = rec["Data"]
+            if isinstance(data, str):
+                data = data.encode()
+            s = self._shard_for(rec["PartitionKey"])
+            by_shard.setdefault(s, []).append(data)
+            order.append(s)
+        for s, payloads in by_shard.items():
+            fp = os.path.join(stream_dir, f"{_SHARD_PREFIX}{s:012d}.jsonl")
+            with open(fp, "ab") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    f.write(b"".join(p + b"\n" for p in payloads))
+                    f.flush()
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+        return {
+            "FailedRecordCount": 0,
+            "Records": [{"ShardId": f"{_SHARD_PREFIX}{s:012d}"} for s in order],
+        }

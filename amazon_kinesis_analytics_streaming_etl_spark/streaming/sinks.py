@@ -285,18 +285,25 @@ def kinesis_put_batch(
     region: str = "us-east-1",
     partition_key: str = "0",
     client_factory: Callable | None = None,
+    partition_key_col: str | None = None,
 ) -> None:
     """K5 — put P3 JSON records to a Kinesis stream with a **fixed
     partition key "0"** (all records to one shard — reference
     StreamingEtl.java:199 keeps this curious default; configurable here).
+    ``partition_key_col`` switches to a per-record key taken from that
+    column (engine extension — spreads records over the stream's shard
+    hash ranges instead of the reference's single-shard default).
 
     ``client_factory`` yields an object with
     ``put_records(StreamName=..., Records=[...])`` (boto3 signature);
-    tests inject a fake. Runs per-partition on executors.
+    tests inject a fake, and ``sources.kinesis_replay.KinesisReplayClient``
+    plugs in the replay-dir write model for an AWS-free S1+K5 loop.
+    Runs per-partition on executors.
     """
     from ..operators.serialize import trip_event_to_json
 
-    payload = trip_event_to_json(events).select("value")
+    cols = ["value"] + ([partition_key_col] if partition_key_col else [])
+    payload = trip_event_to_json(events).select(*cols)
 
     def _send_partition(rows):
         if client_factory is not None:
@@ -311,7 +318,10 @@ def kinesis_put_batch(
             client = boto3.client("kinesis", region_name=region)
         buf = []
         for row in rows:
-            buf.append({"Data": row["value"].encode(), "PartitionKey": partition_key})
+            key = (
+                str(row[partition_key_col]) if partition_key_col else partition_key
+            )
+            buf.append({"Data": row["value"].encode(), "PartitionKey": key})
             if len(buf) == 500:  # Kinesis PutRecords hard limit
                 client.put_records(StreamName=stream_name, Records=buf)
                 buf = []

@@ -303,3 +303,67 @@ def test_line_index_prune_and_mark_cap(tmp_path):
     assert len(idx2._marks[fp2]) == _LineIndex._MAX_MARKS
     # newest boundaries survive the cap
     assert max(idx2._marks[fp2]) == _LineIndex._MAX_MARKS + 50
+
+
+def test_write_model_md5_routing_and_limits(tmp_path):
+    """KinesisReplayClient routes by the service's contract — the 128-bit
+    MD5 of the partition key into N evenly-split hash ranges — enforces
+    the 500-record PutRecords limit, and appends whole lines."""
+    import hashlib
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        KinesisReplayClient,
+        _shard_files,
+        _count_lines,
+    )
+
+    client = KinesisReplayClient(str(tmp_path), num_shards=16)
+    recs = [{"Data": f'{{"k":{i}}}', "PartitionKey": str(i)} for i in range(400)]
+    resp = client.put_records(StreamName="s", Records=recs)
+    assert resp["FailedRecordCount"] == 0
+    assert len(resp["Records"]) == 400
+
+    # independent routing computation per record
+    for i, r in enumerate(resp["Records"]):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest(), "big")
+        assert r["ShardId"] == f"shardId-{(h * 16) >> 128:012d}"
+
+    files = _shard_files(str(tmp_path / "s"))
+    assert len(files) > 1  # spread, not single-shard
+    assert sum(_count_lines(fp) for fp in files.values()) == 400
+
+    # a second put APPENDS (stream semantics, never truncates)
+    client.put_records(StreamName="s", Records=recs[:10])
+    assert sum(_count_lines(fp) for fp in files.values()) == 410
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        client.put_records(
+            StreamName="s",
+            Records=[{"Data": "x", "PartitionKey": "0"}] * 501,
+        )
+
+
+def test_write_model_reads_back_through_replay_source(spark, tmp_path):
+    """What the write model appended is exactly what the S1 read model
+    returns, shard by shard."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        KinesisReplayClient,
+        register_kinesis_replay,
+    )
+
+    client = KinesisReplayClient(str(tmp_path), num_shards=4)
+    recs = [{"Data": f"payload-{i}", "PartitionKey": str(i)} for i in range(100)]
+    client.put_records(StreamName="s", Records=recs)
+
+    register_kinesis_replay(spark)
+    back = (
+        spark.read.format("kinesis-replay")
+        .option("path", str(tmp_path / "s"))
+        .load()
+    )
+    rows = back.collect()
+    assert len(rows) == 100
+    assert {bytes(r.data).decode() for r in rows} == {f"payload-{i}" for i in range(100)}
+    assert len({r.shardId for r in rows}) > 1
