@@ -45,6 +45,7 @@ _STALE_R6 = [
     "sketch_theta_audience",
     "sketch_cms_freq",
     "kinesis_sink_roundtrip",
+    "es_upsert_idempotent",
     # oldest driver signal (round 1), staleness rotation
     "agg_grouping_sets",
     "agg_having",

@@ -341,3 +341,64 @@ def kinesis_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([tuple(row)], agg.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# K4 — keyed idempotent upsert under at-least-once redelivery
+# --------------------------------------------------------------------------
+
+@register(
+    "es_upsert_idempotent",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(2 * count(*) AS BIGINT) AS n_ops,
+           TRUE AS idempotent_ok,
+           TRUE AS index_routing_ok
+    FROM events
+    """,
+)
+def es_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4's core delivery recipe under the oracle bar: index = event
+    ``type``, document id = ``trip_id``, so at-least-once delivery +
+    deterministic key = effectively-once (StreamingEtl.java:250-258 —
+    re-upserting the same trip OVERWRITES its document). The query
+    delivers every events-derived trip TWICE through the real
+    ``es_upsert_batch`` code (P3 body, bulk batching, executor-side
+    transport) into an operation-log transport, reads the log back as a
+    DataFrame, and reduces it exactly the way an ES index would:
+    last-write-per-(index, doc_id) wins.
+
+    Cross-engine: ``n_docs`` (distinct documents after double delivery)
+    must equal DuckDB's count(*) of events, and ``n_ops`` must be
+    exactly 2x it — together they prove the redelivery happened AND
+    collapsed. ``index_routing_ok`` pins the index = type contract.
+
+    Scale: the upsert path is executor-parallel bulk sends (no driver
+    traffic); the verification reduction is one groupBy over the op log.
+    """
+    from ..operators.parse import parse_trip_events
+    from ..streaming.sinks import es_upsert_batch
+
+    base = tempfile.mkdtemp(prefix="es_idem_")
+    try:
+        events = load_events(spark, sf_dir)
+        trips = parse_trip_events(_trip_event_lines(events, corrupt=False))
+        transport = _SpoolTransport(base)
+        # at-least-once: the same batch delivered twice (what a retry or
+        # a replayed micro-batch without the ledger would do)
+        es_upsert_batch(trips, "fake:9200", transport=transport)
+        es_upsert_batch(trips, "fake:9200", transport=transport)
+
+        ops = spark.read.csv(base, sep="\t").toDF("idx", "doc_id")
+        agg = ops.agg(
+            F.countDistinct("idx", "doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_ops"),
+            (F.count("*") == 2 * F.countDistinct("idx", "doc_id")).alias(
+                "idempotent_ok"
+            ),
+            F.bool_and(F.col("idx") == "trip").alias("index_routing_ok"),
+        )
+        row = agg.collect()[0]
+        return spark.createDataFrame([tuple(row)], agg.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
