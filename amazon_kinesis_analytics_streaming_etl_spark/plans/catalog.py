@@ -46,6 +46,7 @@ _STALE_R6 = [
     "sketch_cms_freq",
     "kinesis_sink_roundtrip",
     "es_upsert_idempotent",
+    "file_sink_partition_layout",
     # oldest driver signal (round 1), staleness rotation
     "agg_grouping_sets",
     "agg_having",

@@ -402,3 +402,83 @@ def es_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([tuple(row)], agg.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# K3 — payload-driven partition layout (TripEventBucketAssigner.java:34-41)
+# --------------------------------------------------------------------------
+
+@register(
+    "file_sink_partition_layout",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM (
+              SELECT DISTINCT event_id % 265 + 1, year(ts), month(ts)
+              FROM events
+           )) AS BIGINT) AS n_partition_dirs,
+           TRUE AS layout_format_ok,
+           TRUE AS one_file_per_dir
+    FROM events
+    """,
+)
+def file_sink_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 under the oracle bar: the reference's most distinctive on-disk
+    contract is the payload-driven bucket path
+    ``pickup_location=%03d/year=%04d/month=%02d``
+    (TripEventBucketAssigner.java:34-41). Events-derived trips go
+    through the real K1 batch sink (partition-column derivation +
+    repartition-on-partition-cols + partitioned Parquet), and the
+    produced DIRECTORY TREE is the checked artifact: the leaf-dir count
+    must equal DuckDB's count of distinct
+    (event_id % 265 + 1, year(ts), month(ts)) triples — the synthetic
+    trip formula makes the expected layout computable cross-engine — and
+    every leaf path must match the zero-padded
+    ``pickup_location=\\d{3}/year=\\d{4}/month=\\d{2}`` shape
+    byte-for-byte. ``one_file_per_dir`` pins the R1 repartition's
+    purpose: each dir written by exactly one task per batch (without it,
+    tasks x dirs tiny files — the classic partitioned-write explosion).
+
+    Scale: listing is driver-side over the bounded partition tree
+    (<= 265 x months dirs), the same budget as the layout family's
+    footer reads."""
+    import re
+
+    from ..operators.parse import parse_trip_events
+    from ..streaming.sinks import write_file_sink_batch
+
+    base = tempfile.mkdtemp(prefix="k3_layout_")
+    try:
+        events = load_events(spark, sf_dir)
+        trips = parse_trip_events(_trip_event_lines(events, corrupt=False))
+        write_file_sink_batch(trips, base, parquet=True)
+
+        pat = re.compile(
+            r"pickup_location=\d{3}/year=\d{4}/month=\d{2}$"
+        )
+        leaves = []
+        for dirpath, dirnames, filenames in os.walk(base):
+            if not dirnames:  # leaf
+                leaves.append(
+                    (dirpath, [f for f in filenames if not f.startswith(("_", "."))])
+                )
+        layout_ok = all(pat.search(d) for d, _ in leaves)
+        one_file = all(len(fs) == 1 for _, fs in leaves)
+        n_dirs = len(leaves)
+
+        n_rows_df = spark.read.parquet(base).agg(
+            F.count("*").cast("long").alias("n_rows")
+        )
+        row = n_rows_df.collect()[0]
+        return spark.createDataFrame(
+            [(int(row["n_rows"]), int(n_dirs), bool(layout_ok), bool(one_file))],
+            StructType(
+                [
+                    StructField("n_rows", LongType(), False),
+                    StructField("n_partition_dirs", LongType(), False),
+                    StructField("layout_format_ok", BooleanType(), False),
+                    StructField("one_file_per_dir", BooleanType(), False),
+                ]
+            ),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
