@@ -47,6 +47,8 @@ _STALE_R6 = [
     "kinesis_sink_roundtrip",
     "es_upsert_idempotent",
     "file_sink_partition_layout",
+    "serialize_projection_contract",
+    "file_sink_json_rows",
     # oldest driver signal (round 1), staleness rotation
     "agg_grouping_sets",
     "agg_having",
