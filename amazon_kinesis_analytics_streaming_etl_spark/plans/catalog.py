@@ -49,6 +49,7 @@ _STALE_R6 = [
     "file_sink_partition_layout",
     "serialize_projection_contract",
     "file_sink_json_rows",
+    "kafka_sink_roundtrip",
     # oldest driver signal (round 1), staleness rotation
     "agg_grouping_sets",
     "agg_having",

@@ -18,6 +18,8 @@ import os
 import shutil
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
@@ -610,5 +612,90 @@ def file_sink_json_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             ),
         )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# K6 + S2 — Kafka write-model -> read-model roundtrip
+# --------------------------------------------------------------------------
+
+@register(
+    "kafka_sink_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT)       AS n_records,
+           CAST(sum(event_id) AS BIGINT)  AS id_sum,
+           TRUE AS all_partitions_hit,
+           TRUE AS routing_matches_murmur2
+    FROM events
+    """,
+)
+def kafka_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/K6 execution-model loop, symmetric to ``kinesis_sink_roundtrip``:
+    P3-serialized trips are PRODUCED through the Kafka write model
+    (``KafkaReplayProducer`` — Kafka's actual default-partitioner
+    contract, ``murmur2(key) & 0x7fffffff % 16``, keyed by trip_id) on
+    executors, then read back through the S2 replay source. Count and
+    trip_id-sum cross engines against the events table;
+    ``all_partitions_hit`` pins that murmur2 spread covers all 16
+    topic-partitions; ``routing_matches_murmur2`` re-derives every
+    record's expected partition FROM ITS PAYLOAD on the read side and
+    checks it equals the partition the record actually came back from —
+    the routing contract verified record-by-record, not just in
+    aggregate. (The live ``kafka_sink_batch`` needs a broker; the model
+    produces the same records to the same partitions a 16-partition
+    topic would hold, and the read model replays them with Kafka's
+    offset semantics.)"""
+    from ..operators.parse import parse_trip_events
+    from ..operators.serialize import trip_event_to_json
+    from ..sources.kafka_replay import (
+        KafkaReplayProducer,
+        murmur2_32,
+        register_kafka_replay,
+    )
+
+    base = tempfile.mkdtemp(prefix="kafka_rt_")
+    try:
+        events = load_events(spark, sf_dir)
+        trips = parse_trip_events(_trip_event_lines(events, corrupt=False))
+        payload = trip_event_to_json(trips).select("value", "trip_id")
+
+        def _produce(rows, base=base):
+            producer = KafkaReplayProducer(base, num_partitions=16)
+            for row in rows:
+                producer.send("trips", row["value"], key=str(row["trip_id"]))
+            producer.flush()
+
+        payload.foreachPartition(_produce)
+
+        register_kafka_replay(spark)
+        back = (
+            spark.read.format("kafka-replay")
+            .option("path", os.path.join(base, "trips"))
+            .load()
+        )
+        val = F.col("value").cast("string")
+        tid = F.get_json_object(val, "$.trip_id").cast("long")
+
+        # executor-side murmur2 re-derivation from the payload's own key
+        from pyspark.sql.functions import pandas_udf
+
+        def _expected_partition(keys: pd.Series) -> pd.Series:
+            return keys.map(
+                lambda k: (murmur2_32(str(k).encode()) & 0x7FFFFFFF) % 16
+            ).astype("int32")
+
+        exp_part = pandas_udf(_expected_partition, "int")
+
+        agg = back.agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.sum(tid).cast("long").alias("id_sum"),
+            (F.countDistinct("partition") == 16).alias("all_partitions_hit"),
+            F.bool_and(F.col("partition") == exp_part(tid)).alias(
+                "routing_matches_murmur2"
+            ),
+        )
+        row = agg.collect()[0]
+        return spark.createDataFrame([tuple(row)], agg.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

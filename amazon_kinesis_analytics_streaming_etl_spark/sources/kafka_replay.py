@@ -234,3 +234,90 @@ def kafka_replay_stream(spark, topic_dir: str, starting_offsets: str = "earliest
         .option("startingOffsets", starting_offsets)
         .load()
     )
+
+
+# --------------------------------------------------------------------------
+# write side of the same execution model (K6/S2 twin)
+# --------------------------------------------------------------------------
+
+def murmur2_32(data: bytes) -> int:
+    """Kafka's 32-bit murmur2 (Apache Kafka ``Utils.murmur2``: seed
+    0x9747b28c, m=0x5bd1e995, r=24) — the hash the DEFAULT PARTITIONER
+    feeds ``toPositive(h) % numPartitions``. Reimplemented from the
+    public algorithm; unsigned 32-bit arithmetic throughout matches
+    Java's signed ints bit-for-bit under the mask."""
+    mask = 0xFFFFFFFF
+    m, r = 0x5BD1E995, 24
+    h = (0x9747B28C ^ len(data)) & mask
+    i = 0
+    while len(data) - i >= 4:
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & mask
+        k ^= k >> r
+        k = (k * m) & mask
+        h = (h * m) & mask
+        h ^= k
+        i += 4
+    rem = len(data) - i
+    if rem == 3:
+        h ^= data[i + 2] << 16
+    if rem >= 2:
+        h ^= data[i + 1] << 8
+    if rem >= 1:
+        h ^= data[i]
+        h = (h * m) & mask
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    return h
+
+
+class KafkaReplayProducer:
+    """Write side of the replay-dir Kafka model: ``send`` routes each
+    keyed record exactly as Kafka's default partitioner does —
+    ``murmur2(key_bytes) & 0x7fffffff % num_partitions`` — and appends
+    the value as one newline-terminated line to that partition's file
+    (an append == a produced record at the next offset, matching the
+    read model's offsets-are-line-numbers contract). Records without a
+    key go round-robin per producer instance, like the sticky-less
+    legacy default. flock'd whole-batch appends keep parallel executor
+    tasks from tearing lines (the broker's per-partition log append).
+    ``flush()`` writes buffered records out; one buffer per partition.
+    """
+
+    def __init__(self, base_dir: str, num_partitions: int = 16):
+        self.base_dir = base_dir
+        self.num_partitions = int(num_partitions)
+        self._buf: dict[tuple[str, int], list[bytes]] = {}
+        self._rr = 0
+
+    def partition_for(self, key: bytes | str | None) -> int:
+        if key is None:
+            self._rr += 1
+            return self._rr % self.num_partitions
+        if isinstance(key, str):
+            key = key.encode()
+        return (murmur2_32(key) & 0x7FFFFFFF) % self.num_partitions
+
+    def send(self, topic: str, value: bytes | str, key: bytes | str | None = None) -> int:
+        if isinstance(value, str):
+            value = value.encode()
+        p = self.partition_for(key)
+        self._buf.setdefault((topic, p), []).append(value)
+        return p
+
+    def flush(self) -> None:
+        import fcntl
+
+        for (topic, p), payloads in self._buf.items():
+            tdir = os.path.join(self.base_dir, topic)
+            os.makedirs(tdir, exist_ok=True)
+            fp = os.path.join(tdir, f"{_PART_PREFIX}{p:05d}.jsonl")
+            with open(fp, "ab") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    f.write(b"".join(v + b"\n" for v in payloads))
+                    f.flush()
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+        self._buf.clear()

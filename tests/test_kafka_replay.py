@@ -142,3 +142,59 @@ def test_source_mutual_exclusion_counts_replay_dirs(spark, tmp_path):
                 ["--InputKafkaReplayDir", "/x", "--InputKinesisReplayDir", "/y"]
             )
         )
+
+
+def test_murmur2_matches_kafka_published_vectors():
+    """murmur2_32 reproduces Apache Kafka's own UtilsTest vectors
+    (kafka/clients UtilsTest.testMurmur2, signed Java ints shown) — the
+    write model routes exactly where a real 16-partition topic would."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        murmur2_32,
+    )
+
+    vectors = {
+        b"21": -973932308,
+        b"foobar": -790332482,
+        b"a-little-bit-long-string": -985981536,
+    }
+    for key, signed in vectors.items():
+        assert murmur2_32(key) == signed & 0xFFFFFFFF, key
+
+
+def test_kafka_write_model_routing_and_append(tmp_path, spark):
+    """Producer routes by toPositive(murmur2) % N, appends whole lines,
+    and what it wrote reads back identically through the replay source."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        KafkaReplayProducer,
+        murmur2_32,
+        register_kafka_replay,
+    )
+
+    prod = KafkaReplayProducer(str(tmp_path), num_partitions=4)
+    sent = {}
+    for i in range(200):
+        p = prod.send("t", f"v-{i}", key=str(i))
+        assert p == (murmur2_32(str(i).encode()) & 0x7FFFFFFF) % 4
+        sent[f"v-{i}"] = p
+    prod.flush()
+    # append, not truncate
+    prod.send("t", "extra", key="21")
+    prod.flush()
+
+    register_kafka_replay(spark)
+    back = (
+        spark.read.format("kafka-replay")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .collect()
+    )
+    assert len(back) == 201
+    got = {bytes(r.value).decode(): r.partition for r in back}
+    for v, p in sent.items():
+        assert got[v] == p
+    assert got["extra"] == (murmur2_32(b"21") & 0x7FFFFFFF) % 4
+
+    # keyless records round-robin across partitions
+    prod2 = KafkaReplayProducer(str(tmp_path), num_partitions=4)
+    ps = {prod2.send("t2", f"x{i}") for i in range(8)}
+    assert ps == {0, 1, 2, 3}
