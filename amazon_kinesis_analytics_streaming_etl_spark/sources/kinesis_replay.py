@@ -39,7 +39,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -326,6 +329,12 @@ class KinesisReplayDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _ReplayStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _KinesisReplayWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return _KinesisReplayWriter(self.options)
+
 
 def register_kinesis_replay(spark) -> None:
     """Idempotent registration of the replay source."""
@@ -415,3 +424,82 @@ class KinesisReplayClient:
             "FailedRecordCount": 0,
             "Records": [{"ShardId": f"{_SHARD_PREFIX}{s:012d}"} for s in order],
         }
+
+
+# --------------------------------------------------------------------------
+# first-class Spark sink over the write model (K5 as writeStream format)
+# --------------------------------------------------------------------------
+
+@dataclass
+class _PutCommit(WriterCommitMessage):
+    rows: int = 0
+    shards: int = 0
+
+
+class _KinesisReplayWriter(DataSourceStreamWriter, DataSourceWriter):
+    """Executor-side writer: each task routes its rows through
+    ``KinesisReplayClient`` (MD5 hash-range routing, flock'd appends) in
+    PutRecords-sized batches. Input schema contract: a ``data`` column
+    (string or binary payload) and an optional ``partitionKey`` column —
+    absent, the reference's fixed key "0" applies
+    (StreamingEtl.java:199).
+
+    Delivery semantics match the real Kinesis producer path: appends are
+    at-least-once across task retries (a retried task re-puts its rows —
+    the service has no cross-call transaction; consumers dedupe on the
+    idempotent payload key, K4's recipe). ``commit`` records a per-batch
+    marker under ``_commits/`` — the driver-side audit trail of which
+    micro-batches fully landed; ``abort`` records the failure the same
+    way. Works as BOTH the streaming sink (per-micro-batch commit) and
+    the batch writer (single commit)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kinesis-replay writer requires a 'path' option")
+        self.stream = options.get("stream") or os.path.basename(
+            self.path.rstrip("/")
+        )
+        self.num_shards = int(options.get("numshards") or 16)
+        self.fixed_key = options.get("partitionkey") or "0"
+
+    def write(self, iterator):
+        client = KinesisReplayClient(
+            os.path.dirname(self.path.rstrip("/")) or ".", self.num_shards
+        )
+        buf, rows, shards = [], 0, set()
+        for row in iterator:
+            d = row["data"]
+            key = (
+                str(row["partitionKey"])
+                if "partitionKey" in row.__fields__ and row["partitionKey"] is not None
+                else self.fixed_key
+            )
+            buf.append({"Data": d, "PartitionKey": key})
+            rows += 1
+            if len(buf) == KinesisReplayClient._MAX_RECORDS:
+                resp = client.put_records(StreamName=self.stream, Records=buf)
+                shards.update(r["ShardId"] for r in resp["Records"])
+                buf = []
+        if buf:
+            resp = client.put_records(StreamName=self.stream, Records=buf)
+            shards.update(r["ShardId"] for r in resp["Records"])
+        return _PutCommit(rows=rows, shards=len(shards))
+
+    def _mark(self, name: str, messages) -> None:
+        d = os.path.join(self.path, "_commits")
+        os.makedirs(d, exist_ok=True)
+        total = sum(m.rows for m in messages if m is not None)
+        with open(os.path.join(d, name), "w") as f:
+            f.write(json.dumps({"rows": total}))
+
+    # streaming sink: per-micro-batch commit/abort with batch id
+    def commit(self, messages, batchId: int | None = None) -> None:
+        self._mark(
+            "batch-%d" % batchId if batchId is not None else "batch", messages
+        )
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        self._mark(
+            "aborted-%d" % batchId if batchId is not None else "aborted", messages
+        )

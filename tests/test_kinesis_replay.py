@@ -367,3 +367,70 @@ def test_write_model_reads_back_through_replay_source(spark, tmp_path):
     assert len(rows) == 100
     assert {bytes(r.data).decode() for r in rows} == {f"payload-{i}" for i in range(100)}
     assert len({r.shardId for r in rows}) > 1
+
+
+def test_kinesis_replay_is_a_first_class_spark_sink(spark, tmp_path):
+    """K5 as a native Spark sink: writeStream.format('kinesis-replay')
+    routes through the write model with per-micro-batch commit markers,
+    and df.write works for batch — what lands replays back identically."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        KinesisReplayClient,
+        register_kinesis_replay,
+    )
+    import hashlib
+
+    register_kinesis_replay(spark)
+    out = str(tmp_path / "trips")
+
+    # streaming write: two micro-batches via maxFilesPerTrigger
+    src = tmp_path / "src"
+    src.mkdir()
+    for b in range(2):
+        with open(src / f"in-{b}.txt", "w") as f:
+            for i in range(b * 50, b * 50 + 50):
+                f.write(f"rec-{i}\n")
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(
+            F.col("value").alias("data"),
+            F.regexp_extract("value", r"(\d+)", 1).alias("partitionKey"),
+        )
+    )
+    q = (
+        stream.writeStream.format("kinesis-replay")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.format("kinesis-replay").option("path", out).load().collect()
+    assert {bytes(r.data).decode() for r in back} == {f"rec-{i}" for i in range(100)}
+    # records routed by md5(partitionKey) like the client does
+    for r in back:
+        i = bytes(r.data).decode().split("-")[1]
+        h = int.from_bytes(hashlib.md5(i.encode()).digest(), "big")
+        assert r.shardId == f"shardId-{(h * 16) >> 128:012d}"
+    # per-batch commit markers with row counts
+    marks = sorted((tmp_path / "trips" / "_commits").iterdir())
+    assert [m.name for m in marks] == ["batch-0", "batch-1"]
+    assert sum(_json.loads(m.read_text())["rows"] for m in marks) == 100
+
+    # batch write appends through the same model (fixed key "7" -> 1 shard)
+    df = spark.range(10).select(F.concat(F.lit("b-"), F.col("id")).alias("data"))
+    df.write.format("kinesis-replay").option("path", out).option(
+        "partitionKey", "7"
+    ).mode("append").save()
+    back2 = spark.read.format("kinesis-replay").option("path", out).load().collect()
+    assert len(back2) == 110
+    batch_shards = {
+        r.shardId for r in back2 if bytes(r.data).decode().startswith("b-")
+    }
+    assert len(batch_shards) == 1  # fixed partition key -> single shard
