@@ -30,7 +30,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -218,6 +221,12 @@ class KafkaReplayDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _KafkaReplayStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _KafkaReplayWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return _KafkaReplayWriter(self.options)
+
 
 def register_kafka_replay(spark) -> None:
     spark.dataSource.register(KafkaReplayDataSource)
@@ -321,3 +330,65 @@ class KafkaReplayProducer:
                 finally:
                     fcntl.flock(f, fcntl.LOCK_UN)
         self._buf.clear()
+
+
+# --------------------------------------------------------------------------
+# first-class Spark sink over the write model (K6 as writeStream format)
+# --------------------------------------------------------------------------
+
+@dataclass
+class _ProduceCommit(WriterCommitMessage):
+    rows: int = 0
+
+
+class _KafkaReplayWriter(DataSourceStreamWriter, DataSourceWriter):
+    """Executor-side writer mirroring spark-sql-kafka's sink contract:
+    rows carry a ``value`` column (string/binary) and an optional ``key``
+    — keyed rows route by Kafka's default partitioner
+    (``murmur2 & 0x7fffffff % numPartitions``), keyless rows round-robin.
+    Appends are at-least-once across task retries (Kafka's
+    non-transactional producer — the reference configures no
+    transactional semantics either, StreamingEtl.java:207-212);
+    per-micro-batch commit markers land under ``_commits/`` as the
+    driver-side audit trail. Serves both writeStream (per-batch commit)
+    and batch df.write."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kafka-replay writer requires a 'path' option")
+        self.topic = options.get("topic") or os.path.basename(
+            self.path.rstrip("/")
+        )
+        self.num_partitions = int(options.get("numpartitions") or 16)
+
+    def write(self, iterator):
+        producer = KafkaReplayProducer(
+            os.path.dirname(self.path.rstrip("/")) or ".", self.num_partitions
+        )
+        rows = 0
+        for row in iterator:
+            key = row["key"] if "key" in row.__fields__ else None
+            producer.send(self.topic, row["value"], key=key)
+            rows += 1
+        producer.flush()
+        return _ProduceCommit(rows=rows)
+
+    def _mark(self, name: str, messages) -> None:
+        import json
+
+        d = os.path.join(self.path, "_commits")
+        os.makedirs(d, exist_ok=True)
+        total = sum(m.rows for m in messages if m is not None)
+        with open(os.path.join(d, name), "w") as f:
+            f.write(json.dumps({"rows": total}))
+
+    def commit(self, messages, batchId: int | None = None) -> None:
+        self._mark(
+            "batch-%d" % batchId if batchId is not None else "batch", messages
+        )
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        self._mark(
+            "aborted-%d" % batchId if batchId is not None else "aborted", messages
+        )

@@ -198,3 +198,60 @@ def test_kafka_write_model_routing_and_append(tmp_path, spark):
     prod2 = KafkaReplayProducer(str(tmp_path), num_partitions=4)
     ps = {prod2.send("t2", f"x{i}") for i in range(8)}
     assert ps == {0, 1, 2, 3}
+
+
+def test_kafka_replay_is_a_first_class_spark_sink(spark, tmp_path):
+    """K6 as a native Spark sink: keyed rows land on murmur2 partitions,
+    commit markers record per-batch rows, batch + streaming write paths
+    share the model, and the result replays back identically."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        murmur2_32,
+        register_kafka_replay,
+    )
+
+    register_kafka_replay(spark)
+    out = str(tmp_path / "t")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "in.txt", "w") as f:
+        for i in range(100):
+            f.write(f"rec-{i}\n")
+    stream = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(
+            F.col("value"),
+            F.regexp_extract("value", r"(\d+)", 1).alias("key"),
+        )
+    )
+    q = (
+        stream.writeStream.format("kafka-replay")
+        .option("path", out)
+        .option("numPartitions", "8")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.format("kafka-replay").option("path", out).load().collect()
+    assert len(back) == 100
+    for r in back:
+        i = bytes(r.value).decode().split("-")[1]
+        assert r.partition == (murmur2_32(i.encode()) & 0x7FFFFFFF) % 8
+    marks = list((tmp_path / "t" / "_commits").iterdir())
+    assert sum(_json.loads(m.read_text())["rows"] for m in marks) == 100
+
+    # keyless batch write round-robins across partitions
+    spark.range(32).select(
+        F.concat(F.lit("b-"), F.col("id")).alias("value")
+    ).write.format("kafka-replay").option("path", out).option(
+        "numPartitions", "8"
+    ).mode("append").save()
+    back2 = spark.read.format("kafka-replay").option("path", out).load()
+    assert back2.count() == 132
