@@ -110,9 +110,25 @@ def _sink_specs(cfg: JobConfig) -> list[tuple[str, Callable[[DataFrame], None]]]
     if cfg.has("OutputKinesisStream"):
         stream = cfg.get_required("OutputKinesisStream")
         region = cfg.get("OutputStreamRegion", "us-east-1")
+        replay_dir = cfg.get("OutputKinesisReplayDir")
 
-        def _kinesis(batch: DataFrame, stream=stream, region=region) -> None:
-            sk.kinesis_put_batch(batch, stream, region=region)
+        if replay_dir:
+            # write-model twin (sources/kinesis_replay.KinesisReplayClient):
+            # same K5 sink code, MD5 hash-range routing into a local
+            # stream dir — the AWS-free leg of the S1+K5 loop
+            def _kinesis(batch: DataFrame, stream=stream, d=replay_dir) -> None:
+                from ..sources.kinesis_replay import KinesisReplayClient
+
+                sk.kinesis_put_batch(
+                    batch,
+                    stream,
+                    client_factory=lambda: KinesisReplayClient(d),
+                )
+
+        else:
+
+            def _kinesis(batch: DataFrame, stream=stream, region=region) -> None:
+                sk.kinesis_put_batch(batch, stream, region=region)
 
         specs.append(("kinesis", _kinesis))
 
@@ -177,11 +193,24 @@ class Pipeline:
     ) -> Callable[[DataFrame, int], None]:
         def _call(write, batch: DataFrame, batch_id: int):
             # sink writers take (batch) or (batch, batch_id); the latter
-            # may return a post-commit cleanup callable (staged publish)
+            # may return a post-commit cleanup callable (staged publish).
+            # Count only REQUIRED positional params: spec closures carry
+            # bound config as defaulted params (stream=..., region=...),
+            # and counting those once routed batch_id into the kinesis
+            # writer's stream argument.
             import inspect
 
-            n_params = len(inspect.signature(write).parameters)
-            return write(batch, batch_id) if n_params >= 2 else write(batch)
+            required = [
+                p
+                for p in inspect.signature(write).parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind
+                in (
+                    inspect.Parameter.POSITIONAL_ONLY,
+                    inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                )
+            ]
+            return write(batch, batch_id) if len(required) >= 2 else write(batch)
 
         def write_all(batch: DataFrame, batch_id: int) -> None:
             # One materialization shared by every sink (K8 single-read

@@ -238,3 +238,46 @@ def test_batch_ledger_skips_committed_sinks_on_replay(spark, tmp_dirs):
     assert writes == ["a", "b"]
     assert spark.read.parquet(tmp_dirs["out"]).count() == 10  # no duplicates
     assert ledger.committed("b", 7)
+
+
+def test_pipeline_kinesis_sink_via_replay_dir(spark, tmp_path, valid_event):
+    """Full pipeline with OutputKinesisReplayDir: the K5 sink writes
+    through the Kinesis write model into a local stream dir that the S1
+    replay source can read back — no AWS."""
+    import json
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import Pipeline
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        register_kinesis_replay,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "in.jsonl", "w") as f:
+        for i in range(20):
+            ev = dict(valid_event, trip_id=i)
+            f.write(json.dumps(ev) + "\n")
+
+    pipe = Pipeline.from_config(
+        spark,
+        args=[
+            "--InputFilePath", str(src),
+            "--OutputKinesisStream", "trips",
+            "--OutputKinesisReplayDir", str(tmp_path / "out"),
+            "--CheckpointLocation", str(tmp_path / "ckpt"),
+        ],
+    )
+    pipe.run_available_now()
+
+    register_kinesis_replay(spark)
+    back = (
+        spark.read.format("kinesis-replay")
+        .option("path", str(tmp_path / "out" / "trips"))
+        .load()
+        .collect()
+    )
+    assert len(back) == 20
+    # reference default: fixed partition key "0" -> one shard
+    assert len({r.shardId for r in back}) == 1
+    payloads = [json.loads(bytes(r.data).decode()) for r in back]
+    assert {p["trip_id"] for p in payloads} == {str(i) for i in range(20)}
