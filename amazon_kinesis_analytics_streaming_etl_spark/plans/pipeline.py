@@ -135,9 +135,30 @@ def _sink_specs(cfg: JobConfig) -> list[tuple[str, Callable[[DataFrame], None]]]
     if cfg.has("OutputKafkaBootstrapServers") and cfg.has("OutputKafkaTopic"):
         servers = cfg.get_required("OutputKafkaBootstrapServers")
         topic = cfg.get_required("OutputKafkaTopic")
+        kafka_replay_dir = cfg.get("OutputKafkaReplayDir")
 
-        def _kafka(batch: DataFrame, servers=servers, topic=topic) -> None:
-            sk.kafka_sink_batch(batch, servers, topic)
+        if kafka_replay_dir:
+            # write-model twin: P3 JSON produced through the native
+            # kafka-replay sink (keyless -> round-robin, matching the
+            # reference's unkeyed producer, StreamingEtl.java:207-212)
+            def _kafka(batch: DataFrame, topic=topic, d=kafka_replay_dir) -> None:
+                from ..operators.serialize import trip_event_to_json
+                from ..sources.kafka_replay import register_kafka_replay
+
+                register_kafka_replay(batch.sparkSession)
+                (
+                    trip_event_to_json(batch)
+                    .select(F.col("value").cast("binary").alias("value"))
+                    .write.format("kafka-replay")
+                    .option("path", os.path.join(d, topic))
+                    .mode("append")
+                    .save()
+                )
+
+        else:
+
+            def _kafka(batch: DataFrame, servers=servers, topic=topic) -> None:
+                sk.kafka_sink_batch(batch, servers, topic)
 
         specs.append(("kafka", _kafka))
 

@@ -281,3 +281,46 @@ def test_pipeline_kinesis_sink_via_replay_dir(spark, tmp_path, valid_event):
     assert len({r.shardId for r in back}) == 1
     payloads = [json.loads(bytes(r.data).decode()) for r in back]
     assert {p["trip_id"] for p in payloads} == {str(i) for i in range(20)}
+
+
+def test_pipeline_kafka_sink_via_replay_dir(spark, tmp_path, valid_event):
+    """Full pipeline with OutputKafkaReplayDir: the K6 sink produces P3
+    JSON through the kafka-replay native sink; the S2 replay source reads
+    it back — no broker."""
+    import json
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import Pipeline
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        register_kafka_replay,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "in.jsonl", "w") as f:
+        for i in range(15):
+            f.write(json.dumps(dict(valid_event, trip_id=i)) + "\n")
+
+    pipe = Pipeline.from_config(
+        spark,
+        args=[
+            "--InputFilePath", str(src),
+            "--OutputKafkaBootstrapServers", "unused:9092",
+            "--OutputKafkaTopic", "trips",
+            "--OutputKafkaReplayDir", str(tmp_path / "out"),
+            "--CheckpointLocation", str(tmp_path / "ckpt"),
+        ],
+    )
+    pipe.run_available_now()
+
+    register_kafka_replay(spark)
+    back = (
+        spark.read.format("kafka-replay")
+        .option("path", str(tmp_path / "out" / "trips"))
+        .load()
+        .collect()
+    )
+    assert len(back) == 15
+    payloads = [json.loads(bytes(r.value).decode()) for r in back]
+    assert {p["trip_id"] for p in payloads} == {str(i) for i in range(15)}
+    # P3 contract holds on the produced payloads
+    assert all("payment_type" not in p and "padding" not in p for p in payloads)
