@@ -312,3 +312,71 @@ def test_gate_sample_mod_slices_exact_twin(spark, monkeypatch):
     assert full["recall_ok"] and full["lsh_subset_of_exact"]
     assert sampled["recall_ok"] and sampled["lsh_subset_of_exact"]
     assert 0 <= sampled["exact_pairs"] <= full["exact_pairs"]
+
+
+def test_stateful_running_totals_on_rocksdb_state_store(spark, tmp_path):
+    """Same stateful op, RocksDB state store provider — the production
+    100 TB state backend (state lives off-heap/on-disk per task,
+    incremental snapshots into the checkpoint; the HDFS-backed default
+    holds the whole store in executor memory). Conf is set per-query via
+    the session and restored after; state accumulates across a restart
+    exactly as on the default provider."""
+    provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    p = str(tmp_path / "ev")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(p)
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    try:
+        spark.conf.set(key, provider)
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+                .format("parquet")
+                .load(p + "/part*")
+            )
+            q = (
+                running_totals_per_key(stream)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        spark.createDataFrame(
+            [_ev(1, t0, 7, 1.5), _ev(2, t0, 7, 2.5), _ev(3, t0, 8, 1.0)],
+            TESTDATA_SCHEMAS["events"],
+        ).coalesce(1).write.mode("append").parquet(p)
+        run_once()
+        spark.createDataFrame(
+            [_ev(4, t0, 7, 4.0)], TESTDATA_SCHEMAS["events"]
+        ).coalesce(1).write.mode("append").parquet(p)
+        run_once()
+
+        out = spark.read.parquet(sink).collect()
+        latest = {}
+        for r in out:
+            latest[r.user_id] = max(
+                latest.get(r.user_id, (0, 0.0)), (r.n_events, r.total_value)
+            )
+        assert latest[7] == (3, 8.0)
+        assert latest[8] == (1, 1.0)
+        # the checkpoint really used RocksDB (per-operator state dirs
+        # contain RocksDB snapshot artifacts, not the delta/snapshot
+        # files of the HDFS-backed provider)
+        state_root = os.path.join(ckpt, "state")
+        names = []
+        for dirpath, _d, files in os.walk(state_root):
+            names += files
+        assert any(n.endswith((".zip", ".changelog")) for n in names), names
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
