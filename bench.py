@@ -59,6 +59,13 @@ HEADLINE = [
     "rolling_window_features",
     "drift_psi",
     "stream_chained_agg",
+    # round 6 additions (cheap; the heavy ETL-topology gates — fan-out,
+    # connector roundtrips, partition-layout — run in the correctness
+    # sweep, not here, to keep the headline series comparable)
+    "parse_dead_letter",
+    "serialize_projection_contract",
+    "sketch_theta_audience",
+    "sketch_cms_freq",
 ]
 
 
