@@ -434,3 +434,71 @@ def test_kinesis_replay_is_a_first_class_spark_sink(spark, tmp_path):
         r.shardId for r in back2 if bytes(r.data).decode().startswith("b-")
     }
     assert len(batch_shards) == 1  # fixed partition key -> single shard
+
+
+def test_line_index_property_random_interleavings(tmp_path):
+    """Property: under ANY interleaving of complete appends, partial
+    appends, completions, prunes, and out-of-band truncations, the
+    incremental index agrees with a cold recount, and every seek hint
+    reproduces exactly the lines a cold scan reads."""
+    from hypothesis import given, settings, strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        _count_lines,
+        _LineIndex,
+        _read_lines,
+    )
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 5)),
+        st.tuples(st.just("partial"), st.integers(1, 30)),
+        st.tuples(st.just("complete"), st.just(0)),
+        st.tuples(st.just("count"), st.just(0)),
+        st.tuples(st.just("prune"), st.integers(0, 40)),
+        st.tuples(st.just("truncate"), st.integers(0, 10)),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(op, min_size=1, max_size=30), st.integers(0, 1 << 30))
+    def run(ops, salt):
+        fp = str(tmp_path / f"shardId-{salt:012d}.jsonl")
+        open(fp, "w").close()
+        idx = _LineIndex()
+        n_written = 0
+        partial_open = False
+        for kind, arg in ops:
+            if kind == "append" and not partial_open:
+                with open(fp, "a") as f:
+                    for _ in range(arg):
+                        f.write(f"r{n_written}\n")
+                        n_written += 1
+            elif kind == "partial" and not partial_open:
+                with open(fp, "a") as f:
+                    f.write("x" * arg)  # unterminated tail
+                partial_open = True
+            elif kind == "complete" and partial_open:
+                with open(fp, "a") as f:
+                    f.write("!\n")
+                n_written += 1
+                partial_open = False
+            elif kind == "count":
+                assert idx.count(fp) == _count_lines(fp)
+            elif kind == "prune":
+                idx.prune(fp, arg)
+            elif kind == "truncate":
+                keep = min(arg, n_written)
+                lines = _read_lines(fp, 0, keep)
+                with open(fp, "wb") as f:
+                    f.write(b"".join(ln + b"\n" for ln in lines))
+                n_written = keep
+                partial_open = False
+        total = idx.count(fp)
+        assert total == _count_lines(fp) == (n_written if not partial_open else n_written)
+        # every possible slice via hints == cold scan
+        for start in range(0, total + 1, max(1, total // 3 or 1)):
+            bp, ln = idx.seek_hint(fp, start)
+            assert _read_lines(fp, start, total, bp, ln) == _read_lines(fp, start, total)
+        import os as _os
+        _os.remove(fp)
+
+    run()
