@@ -248,6 +248,8 @@ def nearest_centroid(vec_col, centroids: list[list[float]]):
 
         @pandas_udf("int")
         def _assign(v: pd.Series) -> pd.Series:
+            if len(v) == 0:  # np.stack raises on an empty partition batch
+                return pd.Series([], dtype="int32")
             mat = np.stack(v.to_numpy()).astype(np.float64)  # batch x dim
             return pd.Series(np.argmax(mat @ ct, axis=1).astype("int32"))
 
