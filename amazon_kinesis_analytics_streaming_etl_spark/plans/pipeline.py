@@ -100,10 +100,32 @@ def _sink_specs(cfg: JobConfig) -> list[tuple[str, Callable[[DataFrame], None]]]
 
     if cfg.has("OutputElasticsearchEndpoint"):
         endpoint = cfg.get_required("OutputElasticsearchEndpoint")
+        # the reference's three bulk-flush tunables + signing region
+        # (StreamingEtl.java:243-244, 270-280; interval arrives in MILLIS,
+        # Flink's setBulkFlushInterval contract)
+        es_region = cfg.get("ElasticsearchRegion", "us-east-1")
         max_actions = int(cfg.get("ElasticsearchBulkFlushMaxActions", "1000"))
+        raw_mb = cfg.get("ElasticsearchBulkFlushMaxSizeMb")
+        max_size_mb = float(raw_mb) if raw_mb is not None else None
+        raw_iv = cfg.get("ElasticsearchBulkFlushInterval")
+        flush_interval_s = float(raw_iv) / 1000.0 if raw_iv is not None else None
 
-        def _es(batch: DataFrame, endpoint=endpoint, max_actions=max_actions) -> None:
-            sk.es_upsert_batch(batch, endpoint, bulk_max_actions=max_actions)
+        def _es(
+            batch: DataFrame,
+            endpoint=endpoint,
+            es_region=es_region,
+            max_actions=max_actions,
+            max_size_mb=max_size_mb,
+            flush_interval_s=flush_interval_s,
+        ) -> None:
+            sk.es_upsert_batch(
+                batch,
+                endpoint,
+                bulk_max_actions=max_actions,
+                region=es_region,
+                bulk_max_size_mb=max_size_mb,
+                bulk_flush_interval_s=flush_interval_s,
+            )
 
         specs.append(("elasticsearch", _es))
 

@@ -149,10 +149,13 @@ class SigV4BulkTransport:
         secret_key: str | None = None,
         session_token: str | None = None,
         max_actions: int = 1000,
+        max_size_mb: float | None = None,
+        flush_interval_s: float | None = None,
         max_retries: int = 3,
         backoff_s: float = 1.0,
         http_send: Callable[[str, bytes, dict], tuple[int, bytes]] | None = None,
         sleep: Callable[[float], None] = time.sleep,
+        clock: Callable[[], float] = time.monotonic,
     ) -> None:
         self.endpoint = endpoint.rstrip("/")
         self.region = region
@@ -166,11 +169,21 @@ class SigV4BulkTransport:
                 "AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY env)"
             )
         self.max_actions = max_actions
+        # the reference's other two bulk-flush triggers
+        # (StreamingEtl.java:270-280): cumulative payload size and a wall
+        # interval since the last flush — whichever fires first
+        self.max_size_bytes = (
+            int(max_size_mb * 1024 * 1024) if max_size_mb else None
+        )
+        self.flush_interval_s = flush_interval_s
         self.max_retries = max_retries
         self.backoff_s = backoff_s
         self._http_send = http_send or self._urllib_send
         self._sleep = sleep
+        self._clock = clock
         self._buf: list[str] = []
+        self._buf_bytes = 0
+        self._last_flush = clock()
 
     @staticmethod
     def _urllib_send(url: str, data: bytes, headers: dict) -> tuple[int, bytes]:
@@ -183,16 +196,30 @@ class SigV4BulkTransport:
 
     def __call__(self, index: str, doc_id: str, body: str) -> None:
         # bulk "index" action: create-or-replace by id == keyed upsert (K4)
-        self._buf.append(json.dumps({"index": {"_index": index, "_id": doc_id}}))
+        action = json.dumps({"index": {"_index": index, "_id": doc_id}})
+        self._buf.append(action)
         self._buf.append(body)
-        if len(self._buf) >= 2 * self.max_actions:
+        self._buf_bytes += len(action) + len(body) + 2
+        if (
+            len(self._buf) >= 2 * self.max_actions
+            or (
+                self.max_size_bytes is not None
+                and self._buf_bytes >= self.max_size_bytes
+            )
+            or (
+                self.flush_interval_s is not None
+                and self._clock() - self._last_flush >= self.flush_interval_s
+            )
+        ):
             self.flush()
 
     def flush(self) -> None:
+        self._last_flush = self._clock()
         if not self._buf:
             return
         payload = ("\n".join(self._buf) + "\n").encode("utf-8")
         self._buf = []
+        self._buf_bytes = 0
         url = self.endpoint + "/_bulk"
         last = "no attempt"
         for attempt in range(self.max_retries + 1):

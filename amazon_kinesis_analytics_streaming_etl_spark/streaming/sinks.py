@@ -232,6 +232,8 @@ def es_upsert_batch(
     transport: Callable[[str, str, str], None] | None = None,
     bulk_max_actions: int = 1000,
     region: str | None = None,
+    bulk_max_size_mb: float | None = None,
+    bulk_flush_interval_s: float | None = None,
 ) -> None:
     """K4 — keyed upsert: index = event ``type``, doc id = ``trip_id``;
     re-delivery overwrites, so at-least-once + deterministic id =
@@ -261,7 +263,11 @@ def es_upsert_batch(
             from .es_transport import make_sigv4_transport
 
             _transport = make_sigv4_transport(
-                endpoint, region, max_actions=bulk_max_actions
+                endpoint,
+                region,
+                max_actions=bulk_max_actions,
+                max_size_mb=bulk_max_size_mb,
+                flush_interval_s=bulk_flush_interval_s,
             )
         batch = []
         for row in rows:

@@ -204,3 +204,58 @@ def test_es_upsert_production_path_needs_region(spark):
 
     with pytest.raises(ValueError, match="region"):
         sk.es_upsert_batch(parse_trip_events(df), "http://fake:9200")
+
+
+def test_bulk_auto_flushes_at_max_size_mb():
+    """Size trigger (reference ElasticsearchBulkFlushMaxSizeMb,
+    StreamingEtl.java:270-272): cumulative payload bytes force a flush
+    before max_actions is reached."""
+    sends = []
+    t = _transport(sends, [_ok(2), _ok(1)], max_actions=1000,
+                   max_size_mb=0.0002)  # ~210 bytes
+    body = '{"trip_id": 1, "pad": "' + "x" * 60 + '"}'
+    t("trip", "1", body)
+    assert len(sends) == 0
+    t("trip", "2", body)  # pushes past the byte budget -> flush
+    assert len(sends) == 1
+    t("trip", "3", body)
+    t.flush()
+    assert len(sends) == 2
+
+
+def test_bulk_auto_flushes_on_interval():
+    """Interval trigger (reference ElasticsearchBulkFlushInterval,
+    StreamingEtl.java:278-280): a record arriving after the interval
+    elapsed flushes the buffer, independent of count/size."""
+    clock = {"t": 0.0}
+    sends = []
+
+    def http_send(url, data, headers):
+        sends.append((url, data, headers))
+        return _ok(10)
+
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.es_transport import (
+        SigV4BulkTransport,
+    )
+
+    t = SigV4BulkTransport(
+        "https://search-x.us-east-1.es.amazonaws.com",
+        region="us-east-1",
+        access_key=AK,
+        secret_key=SK,
+        http_send=http_send,
+        sleep=lambda s: None,
+        flush_interval_s=5.0,
+        clock=lambda: clock["t"],
+    )
+    t("trip", "1", "{}")
+    t("trip", "2", "{}")
+    assert len(sends) == 0
+    clock["t"] = 6.0
+    t("trip", "3", "{}")  # interval elapsed -> flush includes this record
+    assert len(sends) == 1
+    # interval timer reset by the flush
+    t("trip", "4", "{}")
+    assert len(sends) == 1
+    t.flush()
+    assert len(sends) == 2
