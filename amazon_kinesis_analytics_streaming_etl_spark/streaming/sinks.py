@@ -305,11 +305,25 @@ def kinesis_put_batch(
     tests inject a fake, and ``sources.kinesis_replay.KinesisReplayClient``
     plugs in the replay-dir write model for an AWS-free S1+K5 loop.
     Runs per-partition on executors.
+
+    Failure semantics mirror the reference's ``failOnError=true``
+    producer (StreamingEtl.java:197): PutRecords reports PER-RECORD
+    failures in the response without raising (throughput-exceeded
+    records just carry an ErrorCode), so each batch's failed subset is
+    retried with backoff and the task FAILS if records remain after
+    ``max_retries`` — silently dropping them would break the
+    at-least-once contract the idempotent consumers rely on. Batches
+    respect both service limits: 500 records and the 5 MB request
+    budget.
     """
+    import time as _time
+
     from ..operators.serialize import trip_event_to_json
 
     cols = ["value"] + ([partition_key_col] if partition_key_col else [])
     payload = trip_event_to_json(events).select(*cols)
+    max_retries, backoff_s = 3, 0.2
+    max_request_bytes = 5 * 1024 * 1024
 
     def _send_partition(rows):
         if client_factory is not None:
@@ -322,17 +336,43 @@ def kinesis_put_batch(
                     "boto3 not available; pass client_factory"
                 ) from e
             client = boto3.client("kinesis", region_name=region)
-        buf = []
+
+        def put_with_retry(buf):
+            for attempt in range(max_retries + 1):
+                resp = client.put_records(StreamName=stream_name, Records=buf)
+                failed = resp.get("FailedRecordCount", 0) if resp else 0
+                if not failed:
+                    return
+                # retry ONLY the failed subset (positional response contract)
+                buf = [
+                    rec
+                    for rec, r in zip(buf, resp["Records"])
+                    if r.get("ErrorCode")
+                ]
+                if attempt < max_retries:
+                    _time.sleep(backoff_s * (2**attempt))
+            raise RuntimeError(
+                f"kinesis put_records: {len(buf)} records still failing "
+                f"after {max_retries + 1} attempts "
+                f"(first error: {resp['Records'][0].get('ErrorCode')})"
+            )
+
+        buf, buf_bytes = [], 0
         for row in rows:
             key = (
                 str(row[partition_key_col]) if partition_key_col else partition_key
             )
-            buf.append({"Data": row["value"].encode(), "PartitionKey": key})
-            if len(buf) == 500:  # Kinesis PutRecords hard limit
-                client.put_records(StreamName=stream_name, Records=buf)
-                buf = []
+            data = row["value"].encode()
+            rec_bytes = len(data) + len(key)
+            if buf and (
+                len(buf) == 500 or buf_bytes + rec_bytes > max_request_bytes
+            ):
+                put_with_retry(buf)
+                buf, buf_bytes = [], 0
+            buf.append({"Data": data, "PartitionKey": key})
+            buf_bytes += rec_bytes
         if buf:
-            client.put_records(StreamName=stream_name, Records=buf)
+            put_with_retry(buf)
 
     payload.foreachPartition(_send_partition)
 

@@ -324,3 +324,41 @@ def test_pipeline_kafka_sink_via_replay_dir(spark, tmp_path, valid_event):
     assert {p["trip_id"] for p in payloads} == {str(i) for i in range(15)}
     # P3 contract holds on the produced payloads
     assert all("payment_type" not in p and "padding" not in p for p in payloads)
+
+
+def test_kinesis_put_retries_partial_failures_then_raises(spark, tmp_path):
+    """failOnError parity (StreamingEtl.java:197): PutRecords reports
+    per-record failures WITHOUT raising; the sink must retry exactly the
+    failed subset and fail the task if records never land."""
+    import pytest
+
+    events = _events_df(spark, n=10, loc_mod=1).coalesce(1)
+    log = str(tmp_path / "calls.jsonl")
+
+    class FlakyClient:
+        """First call: last 3 records fail; retry call: all succeed."""
+
+        def put_records(self, StreamName, Records):
+            with open(log, "a") as f:
+                f.write(json.dumps({"n": len(Records)}) + "\n")
+            calls = sum(1 for _ in open(log))
+            if calls == 1:
+                recs = [{} for _ in Records]
+                for r in recs[-3:]:
+                    r["ErrorCode"] = "ProvisionedThroughputExceededException"
+                return {"FailedRecordCount": 3, "Records": recs}
+            return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+    sk.kinesis_put_batch(events, "s", client_factory=FlakyClient)
+    calls = [json.loads(l) for l in open(log)]
+    assert [c["n"] for c in calls] == [10, 3]  # retry = failed subset only
+
+    class AlwaysFailing:
+        def put_records(self, StreamName, Records):
+            return {
+                "FailedRecordCount": len(Records),
+                "Records": [{"ErrorCode": "InternalFailure"} for _ in Records],
+            }
+
+    with pytest.raises(Exception, match="still failing"):
+        sk.kinesis_put_batch(events, "s", client_factory=AlwaysFailing)
