@@ -143,17 +143,53 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("kafka-replay requires a 'path' option")
         self.topic = os.path.basename(self.path.rstrip("/"))
-        start = (options.get("startingoffsets") or "earliest").lower()
-        if start not in ("earliest", "latest"):
-            raise ValueError(f"startingOffsets must be earliest|latest, got {start}")
-        self.starting = start
+        start = (options.get("startingoffsets") or "earliest").strip()
+        self.starting_json = None
+        if start.startswith("{"):
+            # spark-sql-kafka per-partition form:
+            # {"<topic>": {"0": 23, "1": -1, "2": -2}} with the
+            # connector's sentinels -1 = latest, -2 = earliest; partitions
+            # absent from the map start from earliest (discovery rule).
+            import json
+
+            parsed = json.loads(start)
+            if self.topic not in parsed:
+                raise ValueError(
+                    f"startingOffsets JSON lacks topic {self.topic!r}: {start}"
+                )
+            self.starting_json = {
+                int(p): int(off) for p, off in parsed[self.topic].items()
+            }
+            self.starting = "json"
+        else:
+            start = start.lower()
+            if start not in ("earliest", "latest"):
+                raise ValueError(
+                    "startingOffsets must be earliest|latest|{json}, "
+                    f"got {start}"
+                )
+            self.starting = start
         self._index = _LineIndex()
 
     def initialOffset(self) -> dict:
         files = _partition_files(self.path)
         if self.starting == "earliest":
             return {str(p): 0 for p in files}
-        return {str(p): self._index.count(fp) for p, fp in files.items()}
+        if self.starting == "latest":
+            return {str(p): self._index.count(fp) for p, fp in files.items()}
+        out = {}
+        for p, fp in files.items():
+            off = self.starting_json.get(p, -2)  # absent -> earliest
+            if off == -2:
+                out[str(p)] = 0
+            elif off == -1:
+                out[str(p)] = self._index.count(fp)
+            else:
+                if off < 0:
+                    raise ValueError(f"invalid offset {off} for partition {p}")
+                # clamp like the connector's earliest-offset reset policy
+                out[str(p)] = min(off, self._index.count(fp))
+        return out
 
     def latestOffset(self) -> dict:
         return {

@@ -255,3 +255,56 @@ def test_kafka_replay_is_a_first_class_spark_sink(spark, tmp_path):
     ).mode("append").save()
     back2 = spark.read.format("kafka-replay").option("path", out).load()
     assert back2.count() == 132
+
+
+def test_starting_offsets_per_partition_json(spark, tmp_path):
+    """spark-sql-kafka parity: startingOffsets accepts the per-partition
+    JSON form with the connector's -1 (latest) / -2 (earliest) sentinels;
+    unlisted partitions start from earliest."""
+    import json
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        register_kafka_replay,
+    )
+
+    tdir = tmp_path / "t"
+    tdir.mkdir()
+    for p in range(3):
+        with open(tdir / f"partition-{p:05d}.jsonl", "w") as f:
+            for i in range(10):
+                f.write(f"p{p}-r{i}\n")
+
+    register_kafka_replay(spark)
+    offsets = json.dumps({"t": {"0": 4, "1": -1, "2": -2}})
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("kafka-replay")
+        .option("path", str(tdir))
+        .option("startingOffsets", offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS v", "partition")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.partition, r.v) for r in spark.read.parquet(out).collect()}
+    exp = {(0, f"p0-r{i}") for i in range(4, 10)}  # from offset 4
+    exp |= {(2, f"p2-r{i}") for i in range(10)}     # earliest
+    # partition 1: latest -> nothing from the pre-existing records
+    assert got == exp
+
+    # numeric offsets beyond the log clamp to latest (connector reset rule)
+    q2 = (
+        spark.readStream.format("kafka-replay")
+        .option("path", str(tdir))
+        .option("startingOffsets", json.dumps({"t": {"0": 999}}))
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
