@@ -169,33 +169,47 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
                     f"got {start}"
                 )
             self.starting = start
+        # the connector's own rate-limit option: cap records per
+        # topic-partition per trigger (pagination under processing-time
+        # triggers; under availableNow it bounds the snapshot batch)
+        cap = options.get("maxoffsetspertrigger")
+        self.max_per_trigger = int(cap) if cap else None
+        self._emitted: dict[str, int] = {}
         self._index = _LineIndex()
 
     def initialOffset(self) -> dict:
         files = _partition_files(self.path)
         if self.starting == "earliest":
-            return {str(p): 0 for p in files}
-        if self.starting == "latest":
-            return {str(p): self._index.count(fp) for p, fp in files.items()}
-        out = {}
-        for p, fp in files.items():
-            off = self.starting_json.get(p, -2)  # absent -> earliest
-            if off == -2:
-                out[str(p)] = 0
-            elif off == -1:
-                out[str(p)] = self._index.count(fp)
-            else:
-                if off < 0:
-                    raise ValueError(f"invalid offset {off} for partition {p}")
-                # clamp like the connector's earliest-offset reset policy
-                out[str(p)] = min(off, self._index.count(fp))
+            out = {str(p): 0 for p in files}
+        elif self.starting == "latest":
+            out = {str(p): self._index.count(fp) for p, fp in files.items()}
+        else:
+            out = {}
+            for p, fp in files.items():
+                off = self.starting_json.get(p, -2)  # absent -> earliest
+                if off == -2:
+                    out[str(p)] = 0
+                elif off == -1:
+                    out[str(p)] = self._index.count(fp)
+                else:
+                    if off < 0:
+                        raise ValueError(
+                            f"invalid offset {off} for partition {p}"
+                        )
+                    # clamp like the connector's offset reset policy
+                    out[str(p)] = min(off, self._index.count(fp))
+        self._emitted.update(out)
         return out
 
     def latestOffset(self) -> dict:
-        return {
-            str(p): self._index.count(fp)
-            for p, fp in _partition_files(self.path).items()
-        }
+        out = {}
+        for p, fp in _partition_files(self.path).items():
+            avail = self._index.count(fp)
+            if self.max_per_trigger is not None:
+                avail = min(avail, self._emitted.get(str(p), 0) + self.max_per_trigger)
+            out[str(p)] = avail
+        self._emitted.update(out)
+        return out
 
     def partitions(self, start: dict, end: dict):
         files = _partition_files(self.path)
@@ -215,9 +229,13 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # Release seek boundaries below each committed offset (same
-        # bounded-driver-memory contract as the Kinesis twin).
+        # bounded-driver-memory contract as the Kinesis twin); the
+        # rate-limit floor also advances so restarts resume the cap from
+        # the offset log, not from zero.
         files = _partition_files(self.path)
         for p, line in end.items():
+            if self._emitted.get(p, 0) < line:
+                self._emitted[p] = line
             fp = files.get(int(p))
             if fp:
                 self._index.prune(fp, line)

@@ -243,15 +243,37 @@ class _ReplayStreamReader(DataSourceStreamReader):
         if pos not in ("TRIM_HORIZON", "LATEST"):
             raise ValueError(f"initialPosition must be TRIM_HORIZON|LATEST, got {pos}")
         self.initial_position = pos
+        # per-trigger rate limit (the maxOffsetsPerTrigger analog; SURVEY
+        # §2A X2): each latestOffset poll advances at most N records per
+        # shard past the previous poll's answer, so trigger sizing is a
+        # knob instead of drain-everything — under availableNow the query
+        # runs multiple capped batches until it reaches the data.
+        cap = options.get("maxrecordsperbatch")
+        self.max_per_batch = int(cap) if cap else None
+        self._emitted: dict[str, int] = {}
         self._index = _LineIndex()
 
     def initialOffset(self) -> dict:
         if self.initial_position == "TRIM_HORIZON":
-            return {s: 0 for s in _shard_files(self.path)}
-        return {s: self._index.count(fp) for s, fp in _shard_files(self.path).items()}
+            out = {s: 0 for s in _shard_files(self.path)}
+        else:
+            out = {
+                s: self._index.count(fp)
+                for s, fp in _shard_files(self.path).items()
+            }
+        self._emitted.update(out)
+        return out
 
     def latestOffset(self) -> dict:
-        return {s: self._index.count(fp) for s, fp in _shard_files(self.path).items()}
+        out = {}
+        for s, fp in _shard_files(self.path).items():
+            avail = self._index.count(fp)
+            if self.max_per_batch is not None:
+                base = self._emitted.get(s, 0)
+                avail = min(avail, base + self.max_per_batch)
+            out[s] = avail
+        self._emitted.update(out)
+        return out
 
     def partitions(self, start: dict, end: dict):
         files = _shard_files(self.path)
@@ -284,9 +306,13 @@ class _ReplayStreamReader(DataSourceStreamReader):
         # Offsets live in the checkpoint offset log; the only driver
         # state is the line index, whose stale seek boundaries are
         # released here (ADVICE r5: unpruned marks grow without bound on
-        # a long-running poll loop).
+        # a long-running poll loop). The rate-limit floor also advances
+        # to the committed offsets, so a fresh driver resuming a deep
+        # checkpoint rate-limits from where the log left off, not from 0.
         files = _shard_files(self.path)
         for shard, line in end.items():
+            if self._emitted.get(shard, 0) < line:
+                self._emitted[shard] = line
             fp = files.get(shard)
             if fp:
                 self._index.prune(fp, line)

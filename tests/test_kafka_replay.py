@@ -308,3 +308,51 @@ def test_starting_offsets_per_partition_json(spark, tmp_path):
         .start()
     )
     q2.awaitTermination()
+
+
+def test_max_offsets_per_trigger_rate_limits(spark, tmp_path):
+    """maxOffsetsPerTrigger (the connector's own option name) paginates
+    the backlog under processing-time triggers."""
+    import time as _t
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        register_kafka_replay,
+    )
+
+    tdir = tmp_path / "t"
+    tdir.mkdir()
+    with open(tdir / "partition-00000.jsonl", "w") as f:
+        for i in range(30):
+            f.write(f"r{i}\n")
+
+    register_kafka_replay(spark)
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("kafka-replay")
+        .option("path", str(tdir))
+        .option("maxOffsetsPerTrigger", "10")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS v")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 30:
+                    break
+            except Exception:
+                pass
+            _t.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 30
+    batches = [
+        p["numInputRows"] for p in q.recentProgress if p.get("numInputRows", 0) > 0
+    ]
+    assert len(batches) >= 3 and max(batches) <= 10

@@ -502,3 +502,59 @@ def test_line_index_property_random_interleavings(tmp_path):
         _os.remove(fp)
 
     run()
+
+
+def test_max_records_per_batch_rate_limits_triggers(spark, tmp_path):
+    """maxRecordsPerBatch is the maxOffsetsPerTrigger analog: under a
+    processing-time trigger each micro-batch advances at most N records
+    per shard and the backlog drains through MULTIPLE capped batches.
+    (Under availableNow the cap bounds the single snapshot batch — same
+    as the JVM sources' ReadLimit with one-shot triggers.)"""
+    import time as _t
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    for s in range(2):
+        with open(d / f"shardId-{s:012d}.jsonl", "w") as f:
+            for i in range(25):
+                f.write(f"s{s}-r{i}\n")
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        register_kinesis_replay,
+    )
+
+    register_kinesis_replay(spark)
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("kinesis-replay")
+        .option("path", str(d))
+        .option("maxRecordsPerBatch", "10")
+        .load()
+        .selectExpr("CAST(data AS STRING) AS v")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 50:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            _t.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 50  # fully drained across capped triggers
+    batches = [
+        p["numInputRows"]
+        for p in q.recentProgress
+        if p.get("numInputRows", 0) > 0
+    ]
+    assert len(batches) >= 3  # 25/shard at 10/shard/batch -> >= 3 batches
+    assert max(batches) <= 20  # 2 shards x 10 cap
