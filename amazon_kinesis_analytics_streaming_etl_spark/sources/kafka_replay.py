@@ -174,6 +174,12 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
         # triggers; under availableNow it bounds the snapshot batch)
         cap = options.get("maxoffsetspertrigger")
         self.max_per_trigger = int(cap) if cap else None
+        # connector parity: when a batch spans fewer topic-partitions than
+        # minPartitions, offset ranges split into sub-slices so read
+        # parallelism is not capped by partition count (the connector's
+        # slow/fat-partition lever)
+        mp = options.get("minpartitions")
+        self.min_partitions = int(mp) if mp else None
         self._emitted: dict[str, int] = {}
         self._index = _LineIndex()
 
@@ -213,15 +219,31 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         files = _partition_files(self.path)
-        out = []
+        ranges = []
         for p, hi in end.items():
             lo = start.get(p, 0)  # new partition discovered: from earliest
             pi = int(p)
             if hi > lo and pi in files:
-                byte_pos, line_no = self._index.seek_hint(files[pi], lo)
-                out.append(
-                    _TopicSlice(pi, files[pi], lo, hi, self.topic, byte_pos, line_no)
-                )
+                ranges.append((pi, lo, hi))
+        if self.min_partitions is not None and 0 < len(ranges) < self.min_partitions:
+            # split proportionally by range size, like the connector's
+            # offset-range calculator: bigger backlogs get more slices
+            total = sum(hi - lo for _p, lo, hi in ranges)
+            split = []
+            for pi, lo, hi in ranges:
+                n = max(1, round((hi - lo) / total * self.min_partitions))
+                step = (hi - lo + n - 1) // n
+                s = lo
+                while s < hi:
+                    split.append((pi, s, min(s + step, hi)))
+                    s += step
+            ranges = split
+        out = []
+        for pi, lo, hi in ranges:
+            byte_pos, line_no = self._index.seek_hint(files[pi], lo)
+            out.append(
+                _TopicSlice(pi, files[pi], lo, hi, self.topic, byte_pos, line_no)
+            )
         return out or [_TopicSlice(-1, "", 0, 0, self.topic)]
 
     def read(self, partition: _TopicSlice):

@@ -356,3 +356,56 @@ def test_max_offsets_per_trigger_rate_limits(spark, tmp_path):
         p["numInputRows"] for p in q.recentProgress if p.get("numInputRows", 0) > 0
     ]
     assert len(batches) >= 3 and max(batches) <= 10
+
+
+def test_min_partitions_splits_offset_ranges(spark, tmp_path):
+    """minPartitions parity: a 2-partition batch splits into >= the
+    requested number of offset-range slices, records and offsets intact."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        _KafkaReplayStreamReader,
+        register_kafka_replay,
+    )
+
+    tdir = tmp_path / "t"
+    tdir.mkdir()
+    for p in range(2):
+        with open(tdir / f"partition-{p:05d}.jsonl", "w") as f:
+            for i in range(50):
+                f.write(f"p{p}-r{i}\n")
+
+    # unit: the reader's range splitter
+    r = _KafkaReplayStreamReader({"path": str(tdir), "minpartitions": "8"})
+    start = r.initialOffset()
+    end = r.latestOffset()
+    slices = r.partitions(start, end)
+    assert len(slices) >= 8
+    per_part = {}
+    for s in slices:
+        per_part.setdefault(s.partition, []).append((s.start, s.end))
+    for p, rs in per_part.items():
+        rs.sort()
+        assert rs[0][0] == 0 and rs[-1][1] == 50
+        for (a, b), (c, d) in zip(rs, rs[1:]):
+            assert b == c  # contiguous, no gap/overlap
+
+    # end-to-end: all records arrive with correct per-partition offsets
+    register_kafka_replay(spark)
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("kafka-replay")
+        .option("path", str(tdir))
+        .option("minPartitions", "8")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS v", "partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 100
+    for row in rows:
+        p, i = row.v[1], int(row.v.split("r")[1])
+        assert row.partition == int(p) and row.offset == i
