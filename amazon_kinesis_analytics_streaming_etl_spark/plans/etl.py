@@ -1,7 +1,7 @@
 """Driver-gated ETL topology queries — the reference's CORE surface under
 the same oracle bar as the relational catalog.
 
-Until round 5 the multi-sink fan-out (K8, StreamingEtl.java:106-149), the
+Until round 6 the multi-sink fan-out (K8, StreamingEtl.java:106-149), the
 batch-id replay ledger (X1, plans/pipeline.py:30-78) and the dead-letter
 split (P2, TripEventSchema.java:78-82) were pytest-only: their value is
 side effects (files written, sinks skipped, corrupt rows routed), not a

