@@ -180,6 +180,12 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
         # slow/fat-partition lever)
         mp = options.get("minpartitions")
         self.min_partitions = int(mp) if mp else None
+        # connector parity: offsets that went backwards (log truncated /
+        # rewritten below a committed position) are DATA LOSS — raise by
+        # default; failOnDataLoss=false skips the vanished range with the
+        # connector's lossy-resume semantics.
+        fodl = (options.get("failondataloss") or "true").lower()
+        self.fail_on_data_loss = fodl not in ("false", "0", "no")
         self._emitted: dict[str, int] = {}
         self._index = _LineIndex()
 
@@ -223,6 +229,15 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
         for p, hi in end.items():
             lo = start.get(p, 0)  # new partition discovered: from earliest
             pi = int(p)
+            if hi < lo:
+                if self.fail_on_data_loss:
+                    raise RuntimeError(
+                        f"data loss: partition {pi} offsets went backwards "
+                        f"({lo} committed, {hi} available) — the log was "
+                        "truncated below a committed position. Set "
+                        "failOnDataLoss=false to resume lossily."
+                    )
+                continue  # lossy resume: skip the vanished range
             if hi > lo and pi in files:
                 ranges.append((pi, lo, hi))
         if self.min_partitions is not None and 0 < len(ranges) < self.min_partitions:

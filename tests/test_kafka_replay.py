@@ -409,3 +409,29 @@ def test_min_partitions_splits_offset_ranges(spark, tmp_path):
     for row in rows:
         p, i = row.v[1], int(row.v.split("r")[1])
         assert row.partition == int(p) and row.offset == i
+
+
+def test_fail_on_data_loss_semantics(tmp_path):
+    """Offsets going backwards (log truncated below a committed position)
+    raise by default; failOnDataLoss=false resumes lossily — connector
+    parity at the reader-contract level."""
+    import pytest
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        _KafkaReplayStreamReader,
+    )
+
+    tdir = tmp_path / "t"
+    tdir.mkdir()
+    fp = tdir / "partition-00000.jsonl"
+    with open(fp, "w") as f:
+        for i in range(10):
+            f.write(f"r{i}\n")
+
+    r = _KafkaReplayStreamReader({"path": str(tdir)})
+    with pytest.raises(RuntimeError, match="data loss"):
+        r.partitions({"0": 8}, {"0": 5})  # available < committed
+
+    r2 = _KafkaReplayStreamReader({"path": str(tdir), "failondataloss": "false"})
+    slices = r2.partitions({"0": 8}, {"0": 5})
+    assert all(s.path == "" for s in slices)  # vanished range skipped
