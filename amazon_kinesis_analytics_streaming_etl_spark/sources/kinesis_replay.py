@@ -250,6 +250,11 @@ class _ReplayStreamReader(DataSourceStreamReader):
         # runs multiple capped batches until it reaches the data.
         cap = options.get("maxrecordsperbatch")
         self.max_per_batch = int(cap) if cap else None
+        # shard files are append-only by contract; offsets going backwards
+        # mean the file was truncated below a committed position — data
+        # loss, raised by default (failOnDataLoss=false resumes lossily)
+        fodl = (options.get("failondataloss") or "true").lower()
+        self.fail_on_data_loss = fodl not in ("false", "0", "no")
         self._emitted: dict[str, int] = {}
         self._index = _LineIndex()
 
@@ -281,6 +286,13 @@ class _ReplayStreamReader(DataSourceStreamReader):
         for shard, hi in end.items():
             lo = start.get(shard, 0)  # shard absent in start == newly
             # discovered (resharding): consume from its trim horizon
+            if hi < lo and self.fail_on_data_loss:
+                raise RuntimeError(
+                    f"data loss: shard {shard} offsets went backwards "
+                    f"({lo} committed, {hi} available) — the shard file "
+                    "was truncated below a committed position. Set "
+                    "failOnDataLoss=false to resume lossily."
+                )
             if hi > lo and shard in files:
                 byte_pos, line_no = self._index.seek_hint(files[shard], lo)
                 out.append(

@@ -558,3 +558,29 @@ def test_max_records_per_batch_rate_limits_triggers(spark, tmp_path):
     ]
     assert len(batches) >= 3  # 25/shard at 10/shard/batch -> >= 3 batches
     assert max(batches) <= 20  # 2 shards x 10 cap
+
+
+def test_fail_on_data_loss_semantics(tmp_path):
+    """Shard offsets going backwards raise by default;
+    failOnDataLoss=false resumes lossily (mirrors the Kafka twin)."""
+    import pytest
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        _ReplayStreamReader,
+    )
+
+    d = tmp_path / "s"
+    d.mkdir()
+    with open(d / "shardId-000000000000.jsonl", "w") as f:
+        for i in range(10):
+            f.write(f"r{i}\n")
+
+    r = _ReplayStreamReader({"path": str(d)})
+    with pytest.raises(RuntimeError, match="data loss"):
+        r.partitions({"shardId-000000000000": 8}, {"shardId-000000000000": 5})
+
+    r2 = _ReplayStreamReader({"path": str(d), "failondataloss": "false"})
+    slices = r2.partitions(
+        {"shardId-000000000000": 8}, {"shardId-000000000000": 5}
+    )
+    assert all(s.path == "" for s in slices)
