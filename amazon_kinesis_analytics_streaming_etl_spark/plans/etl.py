@@ -96,9 +96,14 @@ def parse_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload, exactly what a dead-letter consumer would do), so a split
     that got the counts right but routed the wrong rows still fails.
 
-    Scale: one narrow scan — JSON synthesis, the parse, and the validity
-    split are all whole-stage-codegen projections; the two 1-row
-    aggregates meet in a scalar cross join (whitelisted BNLJ shape)."""
+    Scale: JSON synthesis, the parse, and the validity split are all
+    whole-stage-codegen projections; the two 1-row aggregates meet in a
+    scalar cross join (whitelisted BNLJ shape). The plan scans the source
+    once per split branch — deliberate: the gate exercises
+    ``split_corrupt``'s REAL two-output contract (a production dead-letter
+    topology materializes the parsed batch once and feeds both branches
+    from cache, exactly what the fan-out pipeline does with its
+    foreachBatch persist)."""
     from ..operators.parse import split_corrupt
 
     events = load_events(spark, sf_dir)
