@@ -239,20 +239,42 @@ def _raw_operator_overrides():
     return {"dedup_minhash_lsh": raw_minhash, "sim_topk_lsh": raw_sim_lsh}
 
 
-def _bench_replay_keepup(
-    spark, model: str, n_parts: int = 16, per_part: int = 25_000
-) -> dict:
-    """Keep-up through the engine's own replay Python Data Sources:
-    ``model="kinesis"`` (sources/kinesis_replay.py, 16 shards — the
-    reference's provisioned stream width, cdk/lib/streaming-etl.ts:69-71)
-    or ``model="kafka"`` (sources/kafka_replay.py, 16 topic-partitions —
-    the symmetric S2 execution model). Records replay through parse ->
-    partitioned Parquet; shows each replay path itself clears the
-    16k rec/s shard-ceiling criterion, not just the JVM file source."""
+def _gen_replay_source(spark, model: str, d: str, n_parts: int, per_part: int) -> None:
+    """Write the synthetic shard/partition files once per model — source
+    generation is setup, not the thing being measured, so repeats reuse it."""
     import os
 
     from pyspark.sql import functions as F
 
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.streaming import (
+        synthetic_trip_event_json,
+    )
+
+    fname = _replay_fname(model)
+    total = n_parts * per_part
+    rows = spark.range(total).select(
+        (F.col("id") % n_parts).alias("part"),
+        synthetic_trip_event_json(
+            F.col("id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 86400),
+        ).alias("value"),
+    )
+    files = [open(os.path.join(d, fname(i)), "w") for i in range(n_parts)]
+    for r in rows.toLocalIterator():
+        files[r.part].write(r.value + "\n")
+    for f in files:
+        f.close()
+
+
+def _replay_fname(model: str):
+    return (
+        (lambda i: f"shardId-{i:012d}.jsonl")
+        if model == "kinesis"
+        else (lambda i: f"partition-{i:05d}.jsonl")
+    )
+
+
+def _replay_events(spark, model: str, d: str):
     from amazon_kinesis_analytics_streaming_etl_spark.operators.parse import (
         parse_trip_events,
     )
@@ -262,42 +284,36 @@ def _bench_replay_keepup(
     from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
         kinesis_replay_stream,
     )
-    from amazon_kinesis_analytics_streaming_etl_spark.sources.streaming import (
-        synthetic_trip_event_json,
-    )
+
+    if model == "kinesis":
+        return parse_trip_events(kinesis_replay_stream(spark, d), value_col="data")
+    return parse_trip_events(kafka_replay_stream(spark, d), value_col="value")
+
+
+def _bench_replay_keepup(
+    spark, model: str, src_dir: str, n_parts: int = 16, per_part: int = 25_000
+) -> dict:
+    """Keep-up through the engine's own replay Python Data Sources:
+    ``model="kinesis"`` (sources/kinesis_replay.py, 16 shards — the
+    reference's provisioned stream width, cdk/lib/streaming-etl.ts:69-71)
+    or ``model="kafka"`` (sources/kafka_replay.py, 16 topic-partitions —
+    the symmetric S2 execution model). Records replay through parse ->
+    partitioned Parquet over a PRE-GENERATED ``src_dir``; shows each
+    replay path itself clears the 16k rec/s shard-ceiling criterion, not
+    just the JVM file source."""
+    import os
+
     from amazon_kinesis_analytics_streaming_etl_spark.streaming.sinks import (
         file_sink_stream,
     )
 
-    d = tempfile.mkdtemp(prefix=f"bench_{model}src_")
     out = tempfile.mkdtemp(prefix=f"bench_{model}out_")
     ckpt = tempfile.mkdtemp(prefix=f"bench_{model}ckpt_")
     warm = tempfile.mkdtemp(prefix=f"bench_{model}warm_")
-    fname = (
-        (lambda i: f"shardId-{i:012d}.jsonl")
-        if model == "kinesis"
-        else (lambda i: f"partition-{i:05d}.jsonl")
-    )
+    fname = _replay_fname(model)
     try:
         total = n_parts * per_part
-        rows = spark.range(total).select(
-            (F.col("id") % n_parts).alias("part"),
-            synthetic_trip_event_json(
-                F.col("id"),
-                F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 86400),
-            ).alias("value"),
-        )
-        files = [open(os.path.join(d, fname(i)), "w") for i in range(n_parts)]
-        for r in rows.toLocalIterator():
-            files[r.part].write(r.value + "\n")
-        for f in files:
-            f.close()
-        if model == "kinesis":
-            raw = kinesis_replay_stream(spark, d)
-            events = parse_trip_events(raw, value_col="data")
-        else:
-            raw = kafka_replay_stream(spark, d)
-            events = parse_trip_events(raw, value_col="value")
+        events = _replay_events(spark, model, src_dir)
         # Warm the replay path before timing: the FIRST Python-data-source
         # stream in a session pays ~7s once-off (Python worker spin-up,
         # Arrow serializer + codegen, streaming committer init) that the
@@ -308,17 +324,12 @@ def _bench_replay_keepup(
         # a 1k-record replay of shard/partition 0 into throwaway dirs.
         wsrc = os.path.join(warm, "src")
         os.makedirs(wsrc)
-        with open(os.path.join(d, fname(0))) as src, open(
+        with open(os.path.join(src_dir, fname(0))) as src, open(
             os.path.join(wsrc, fname(0)), "w"
         ) as dst:
             for _ in range(1000):
                 dst.write(src.readline())
-        if model == "kinesis":
-            wraw = kinesis_replay_stream(spark, wsrc)
-            wevents = parse_trip_events(wraw, value_col="data")
-        else:
-            wraw = kafka_replay_stream(spark, wsrc)
-            wevents = parse_trip_events(wraw, value_col="value")
+        wevents = _replay_events(spark, model, wsrc)
         wq = (
             file_sink_stream(wevents, os.path.join(warm, "out"),
                              os.path.join(warm, "ckpt"), parquet=True)
@@ -343,7 +354,7 @@ def _bench_replay_keepup(
             "keepup": rate >= 16_000,
         }
     finally:
-        for dd in (d, out, ckpt, warm):
+        for dd in (out, ckpt, warm):
             shutil.rmtree(dd, ignore_errors=True)
 
 
@@ -418,8 +429,16 @@ def main() -> None:
         # 1k-record warm-up doesn't fully warm the partitioned-write path,
         # so a single-shot replay mixes ~20-30% residual cold-start into a
         # SUSTAINED-throughput criterion (measured 85k/118k/109k rec/s
-        # across three back-to-back runs). Per-run rates ride along.
-        runs = [_bench_replay_keepup(spark, model) for _ in range(repeats)]
+        # across three back-to-back runs). Per-run rates ride along. The
+        # source files generate once per model; only the replay is timed.
+        src = tempfile.mkdtemp(prefix=f"bench_{model}src_")
+        try:
+            _gen_replay_source(spark, model, src, 16, 25_000)
+            runs = [
+                _bench_replay_keepup(spark, model, src) for _ in range(repeats)
+            ]
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
         runs.sort(key=lambda r: r["recs_per_sec"])
         med = dict(runs[len(runs) // 2])
         med["runs_rec_per_sec"] = [r["recs_per_sec"] for r in runs]
