@@ -296,8 +296,16 @@ class _KafkaReplayBatchReader(DataSourceReader):
 
 
 class KafkaReplayDataSource(DataSource):
-    """``spark.read/readStream.format("kafka-replay").option("path", dir)``
-    with optional ``startingOffsets`` (earliest default, latest)."""
+    """``spark.read/readStream.format("kafka-replay").option("path", dir)``.
+
+    Read options mirror spark-sql-kafka: ``startingOffsets`` (earliest
+    default | latest | per-partition JSON with -1/-2 sentinels),
+    ``maxOffsetsPerTrigger`` (per-partition per-trigger cap),
+    ``minPartitions`` (split fat offset ranges into sub-slices),
+    ``failOnDataLoss`` (true default). Write options (the sink side):
+    ``topic`` (defaults to the path's basename), ``numPartitions`` (16);
+    rows carry ``value`` and optional ``key`` (murmur2 default-partitioner
+    routing; keyless rows round-robin)."""
 
     @classmethod
     def name(cls) -> str:

@@ -351,8 +351,16 @@ class _ReplayBatchReader(DataSourceReader):
 
 
 class KinesisReplayDataSource(DataSource):
-    """``spark.read/readStream.format("kinesis-replay").option("path", dir)``
-    with optional ``initialPosition`` (TRIM_HORIZON default, LATEST)."""
+    """``spark.read/readStream.format("kinesis-replay").option("path", dir)``.
+
+    Read options: ``initialPosition`` (TRIM_HORIZON default | LATEST),
+    ``maxRecordsPerBatch`` (per-shard per-trigger cap — the
+    maxOffsetsPerTrigger analog), ``failOnDataLoss`` (true default:
+    raise when shard offsets go backwards). Write options (the sink
+    side, ``writeStream``/``df.write``): ``stream`` (defaults to the
+    path's basename), ``numShards`` (16), ``partitionKey`` (fixed-key
+    default "0", the reference's; rows may instead carry a
+    ``partitionKey`` column)."""
 
     @classmethod
     def name(cls) -> str:
