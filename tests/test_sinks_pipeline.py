@@ -362,3 +362,45 @@ def test_kinesis_put_retries_partial_failures_then_raises(spark, tmp_path):
 
     with pytest.raises(Exception, match="still failing"):
         sk.kinesis_put_batch(events, "s", client_factory=AlwaysFailing)
+
+
+def test_fanout_per_sink_isolation_and_partial_replay(spark, tmp_path, valid_event):
+    """X1 failure semantics: one sink failing mid-batch doesn't poison the
+    others — their ledger commits survive, the batch raises, and the
+    replay re-delivers ONLY to the failed sink."""
+    import pytest
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import (
+        BatchLedger,
+        Pipeline,
+    )
+
+    batch = spark.createDataFrame([(1,), (2,), (3,)], ["x"])
+    ledger = BatchLedger(str(tmp_path / "ledger"))
+    calls = {"a": 0, "flaky": 0, "b": 0}
+
+    def sink_a(df):
+        calls["a"] += df.count()
+
+    def sink_flaky(df):
+        calls["flaky"] += 1
+        if calls["flaky"] == 1:
+            raise RuntimeError("endpoint down")
+
+    def sink_b(df):
+        calls["b"] += df.count()
+
+    pipe = Pipeline(spark=spark, cfg=None)
+    specs = [("a", sink_a), ("flaky", sink_flaky), ("b", sink_b)]
+    fb = pipe._foreach_batch(specs, ledger)
+
+    with pytest.raises(RuntimeError, match="flaky"):
+        fb(batch, 0)
+    assert calls == {"a": 3, "flaky": 1, "b": 3}  # isolation: b still ran
+    assert ledger.committed("a", 0) and ledger.committed("b", 0)
+    assert not ledger.committed("flaky", 0)
+
+    # replay of batch 0: committed sinks skipped, failed sink retried
+    fb(batch, 0)
+    assert calls == {"a": 3, "flaky": 2, "b": 3}
+    assert ledger.committed("flaky", 0)
