@@ -584,3 +584,21 @@ def test_fail_on_data_loss_semantics(tmp_path):
         {"shardId-000000000000": 8}, {"shardId-000000000000": 5}
     )
     assert all(s.path == "" for s in slices)
+
+
+def test_native_sink_commit_and_abort_markers(tmp_path):
+    """Writer protocol unit: commit/abort record per-batch audit markers
+    with summed row counts (None task messages tolerated)."""
+    import json
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        _KinesisReplayWriter,
+        _PutCommit,
+    )
+
+    w = _KinesisReplayWriter({"path": str(tmp_path / "s")})
+    w.commit([_PutCommit(rows=7), None, _PutCommit(rows=5)], 3)
+    w.abort([_PutCommit(rows=2), None], 4)
+    commits = tmp_path / "s" / "_commits"
+    assert json.loads((commits / "batch-3").read_text()) == {"rows": 12}
+    assert json.loads((commits / "aborted-4").read_text()) == {"rows": 2}
