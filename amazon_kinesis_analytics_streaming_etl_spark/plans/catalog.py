@@ -50,6 +50,7 @@ _STALE_R6 = [
     "serialize_projection_contract",
     "file_sink_json_rows",
     "kafka_sink_roundtrip",
+    "hybrid_rrf_retrieval",
     # oldest driver signal (round 1), staleness rotation
     "agg_grouping_sets",
     "agg_having",

@@ -145,17 +145,10 @@ def _bm25_oracle() -> str:
     """
 
 
-@register("bm25_retrieval", _bm25_oracle())
-def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 documents for the fixed query {spark, vector, merge}
-    (k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)).
-
-    Plan: NO token explode — per-term frequencies are narrow
-    ``size(filter(tokens, ...))`` array ops inside the scan's codegen
-    stage; corpus stats (N, avgdl, per-term df) are ONE 1-row aggregate
-    broadcast back; the final top-10 is a TakeOrdered. At 100 TB this is
-    a single pass over the corpus plus a scalar broadcast — the shape
-    an inverted index would only beat at much lower selectivity."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus (doc_id, bm25) scores for the fixed query — the
+    single-pass + scalar-broadcast plan ``bm25_retrieval`` documents;
+    shared with the hybrid RRF fusion below."""
     # NB: a 2-arg lambda in F.filter means (element, index) — capture the
     # term via a closure factory, not a default arg.
     def _eq(term: str):
@@ -194,9 +187,22 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
         ).otherwise(0.0)
         score = term if score is None else score + term
+    return d.crossJoin(s).select("doc_id", F.round(score, 6).alias("bm25"))
+
+
+@register("bm25_retrieval", _bm25_oracle())
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the fixed query {spark, vector, merge}
+    (k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)).
+
+    Plan: NO token explode — per-term frequencies are narrow
+    ``size(filter(tokens, ...))`` array ops inside the scan's codegen
+    stage; corpus stats (N, avgdl, per-term df) are ONE 1-row aggregate
+    broadcast back; the final top-10 is a TakeOrdered. At 100 TB this is
+    a single pass over the corpus plus a scalar broadcast — the shape
+    an inverted index would only beat at much lower selectivity."""
     return (
-        d.crossJoin(s)
-        .select("doc_id", F.round(score, 6).alias("bm25"))
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
@@ -257,3 +263,104 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM _lex_docs d, LATERAL chunk_doc(d.doc_id, d.text) c "
         "ORDER BY c.doc_id, c.chunk_idx"
     )
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: BM25 (+) embedding cosine via reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+
+
+def _rrf_oracle() -> str:
+    # the BM25 CTE chain is _bm25_oracle() minus its final SELECT
+    base = _bm25_oracle()
+    cte = base[: base.rindex("SELECT doc_id")]
+    return f"""{cte}
+    , lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY round({_rrf_score_sql()}, 4) DESC,
+                                doc_id) AS r_lex
+      FROM d, s
+    ), sem AS (
+      SELECT b.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY round(list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+               ), 4) DESC, b.vec_id) AS r_sem
+      FROM embeddings b,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    )
+    SELECT lex.doc_id,
+           CAST(lex.r_lex AS BIGINT) AS rank_lex,
+           CAST(sem.r_sem AS BIGINT) AS rank_sem,
+           round(1.0 / ({_RRF_K} + lex.r_lex) + 1.0 / ({_RRF_K} + sem.r_sem), 9)
+             AS rrf
+    FROM lex JOIN sem USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+def _rrf_score_sql() -> str:
+    """The BM25 score expression exactly as _bm25_oracle builds it."""
+    return "\n             + ".join(
+        f"CASE WHEN tf{i} > 0 THEN ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+        f" * tf{i} * ({_K1} + 1)"
+        f" / (tf{i} + {_K1} * (1 - {_B} + {_B} * dl / avgdl)) ELSE 0 END"
+        for i in range(len(_BM25_TERMS))
+    )
+
+
+@register("hybrid_rrf_retrieval", _rrf_oracle())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-signal retrieval fused by reciprocal ranks: every document is
+    ranked by BM25 for the fixed lexical query AND by embedding cosine
+    to the fixed query vector, then fused as
+    rrf = 1/(60+r_lex) + 1/(60+r_sem) (Cormack et al. 2009 — the
+    training-data curation workhorse: near-dup candidate generation and
+    decontamination retrieval both want lexical AND semantic evidence,
+    and RRF needs no score calibration between the two).
+
+    Scale shape: each signal is the single-pass plan its own operator
+    uses (BM25: narrow per-term array ops + 1-row stats broadcast;
+    cosine: narrow scan vs a literal query vector), and both GLOBAL
+    rankings run through ``operators/scale.global_rank`` — range
+    partition + per-partition prefix counts + broadcast offsets — never
+    a single-partition ORDER BY window. The fusion join keys on doc_id
+    (co-partitioned shuffle), top-10 by TakeOrdered. Rank inputs are
+    rounded to 4 dp so the orderings (and hence the integer ranks) are
+    engine-portable; ties break by id."""
+    from ..functions.vectors import cosine
+    from ..operators.scale import global_rank
+
+    lex = _bm25_scored(spark, sf_dir).select(
+        "doc_id", (-F.round(F.col("bm25"), 4)).alias("_neg_lex")
+    )
+    lex_r = global_rank(lex, ["_neg_lex", "doc_id"], rank_col="rank_lex").drop(
+        "_neg_lex"
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    sem = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        (-F.round(cosine(F.col("embedding"), F.lit(qvec)), 4)).alias("_neg_sem"),
+    )
+    sem_r = global_rank(sem, ["_neg_sem", "doc_id"], rank_col="rank_sem").drop(
+        "_neg_sem"
+    )
+
+    fused = lex_r.join(sem_r, "doc_id").select(
+        "doc_id",
+        F.col("rank_lex").cast("long"),
+        F.col("rank_sem").cast("long"),
+        F.round(
+            1.0 / (_RRF_K + F.col("rank_lex"))
+            + 1.0 / (_RRF_K + F.col("rank_sem")),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
