@@ -173,44 +173,53 @@ def write_file_sink_batch_idempotent(
     # ~8 py4j gateway round-trips per file (list-iterator calls, qualify,
     # mkdirs, rename), which measured ~7 s for a 265-dir batch vs <0.1 s
     # of actual local renames. Remote schemes (hdfs/s3a) keep the Hadoop
-    # FileSystem protocol — same one-way-move resume semantics either way.
-    staging_local = staging
+    # FileSystem protocol — same one-way-move resume semantics either way
+    # (the Hadoop path is unit-tested against the local FS, which speaks
+    # the same API).
     if fs.getUri().getScheme() == "file":
-        import os as _os
-
-        if staging_local.startswith("file:"):
-            staging_local = staging_local[len("file:"):]
-        base = path.rstrip("/")
-        if base.startswith("file:"):
-            base = base[len("file:"):]
-        for dirpath, _dirs, files in _os.walk(staging_local):
-            rel_dir = _os.path.relpath(dirpath, staging_local)
-            for name in files:
-                if name.startswith(("_", ".")):
-                    continue
-                dest_dir = (
-                    base if rel_dir == "." else _os.path.join(base, rel_dir)
-                )
-                _os.makedirs(dest_dir, exist_ok=True)
-                _os.replace(
-                    _os.path.join(dirpath, name), _os.path.join(dest_dir, name)
-                )
-    else:  # pragma: no cover - exercised on HDFS/S3A deployments
-        staging_uri = fs.makeQualified(HPath(staging)).toUri().getPath()
-        it = fs.listFiles(HPath(staging), True)
-        while it.hasNext():
-            f = it.next().getPath()
-            if f.getName().startswith(("_", ".")):
-                continue
-            rel = fs.makeQualified(f).toUri().getPath()[len(staging_uri) + 1 :]
-            dest = HPath(f"{path.rstrip('/')}/{rel}")
-            fs.mkdirs(dest.getParent())
-            fs.rename(f, dest)
+        _publish_staged_local(staging, path)
+    else:  # pragma: no cover - scheme seen on HDFS/S3A deployments
+        _publish_staged_hadoop(jvm, fs, staging, path)
 
     def cleanup() -> None:
         fs.delete(HPath(staging), True)
 
     return cleanup
+
+
+def _publish_staged_local(staging: str, path: str) -> None:
+    """One-way move of staged data files into place, pure Python."""
+    import os as _os
+
+    staging_local = staging[len("file:"):] if staging.startswith("file:") else staging
+    base = path.rstrip("/")
+    if base.startswith("file:"):
+        base = base[len("file:"):]
+    for dirpath, _dirs, files in _os.walk(staging_local):
+        rel_dir = _os.path.relpath(dirpath, staging_local)
+        for name in files:
+            if name.startswith(("_", ".")):
+                continue
+            dest_dir = base if rel_dir == "." else _os.path.join(base, rel_dir)
+            _os.makedirs(dest_dir, exist_ok=True)
+            _os.replace(
+                _os.path.join(dirpath, name), _os.path.join(dest_dir, name)
+            )
+
+
+def _publish_staged_hadoop(jvm, fs, staging: str, path: str) -> None:
+    """Same one-way move through the Hadoop FileSystem API (hdfs/s3a)."""
+    HPath = jvm.org.apache.hadoop.fs.Path
+    staging_uri = fs.makeQualified(HPath(staging)).toUri().getPath()
+    it = fs.listFiles(HPath(staging), True)
+    while it.hasNext():
+        f = it.next().getPath()
+        if f.getName().startswith(("_", ".")):
+            continue
+        rel = fs.makeQualified(f).toUri().getPath()[len(staging_uri) + 1 :]
+        dest = HPath(f"{path.rstrip('/')}/{rel}")
+        fs.mkdirs(dest.getParent())
+        fs.rename(f, dest)
 
 
 def file_sink_stream(

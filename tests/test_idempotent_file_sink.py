@@ -151,3 +151,55 @@ def test_pipeline_config_rolling_cap(spark, tmp_path):
     ]).run_available_now()
     files = glob.glob(f"{out}/job_start=*/pickup_location=001/year=2018/month=11/*.parquet")
     assert len(files) == 3  # 30 rows / 10-record cap
+
+
+def test_hadoop_publish_path_equivalent_to_local(spark, tmp_path):
+    """The Hadoop-API publish (the hdfs/s3a branch) moves exactly the
+    same files to the same places as the local fast path — unit-tested
+    against the local FileSystem, which speaks the same API."""
+    import os
+
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.sinks import (
+        _hadoop_fs,
+        _publish_staged_hadoop,
+        _publish_staged_local,
+    )
+
+    def stage(base):
+        staging = os.path.join(base, "_staging", "batch-0")
+        for part in ("pickup_location=001/year=2024/month=01",
+                     "pickup_location=002/year=2024/month=02"):
+            d = os.path.join(staging, part)
+            os.makedirs(d)
+            with open(os.path.join(d, "part-0000.parquet"), "w") as f:
+                f.write(part)
+        open(os.path.join(staging, "_STAGED"), "w").close()
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+        return staging
+
+    def published(base):
+        out = {}
+        for dirpath, _d, files in os.walk(base):
+            if "_staging" in dirpath:
+                continue
+            for n in files:
+                fp = os.path.join(dirpath, n)
+                out[os.path.relpath(fp, base)] = open(fp).read()
+        return out
+
+    a = str(tmp_path / "local"); os.makedirs(a)
+    sa = stage(a)
+    _publish_staged_local(sa, a)
+
+    b = str(tmp_path / "hadoop"); os.makedirs(b)
+    sb = stage(b)
+    df = spark.range(1)
+    jvm, fs = _hadoop_fs(df, b)
+    _publish_staged_hadoop(jvm, fs, sb, b)
+
+    assert published(a) == published(b)
+    assert len(published(a)) == 2  # markers/_SUCCESS never published
+    # staging retains only markers after either publish
+    for s in (sa, sb):
+        left = [f for _, _, fs_ in os.walk(s) for f in fs_]
+        assert sorted(left) == ["_STAGED", "_SUCCESS"]
