@@ -306,3 +306,44 @@ def test_zorder_layout_skips_files_on_both_columns(spark, tmp_path):
 
     # row preservation
     assert spark.read.parquet(zdir).count() == li.count()
+
+
+def test_global_cumsum_property_random_frames(spark):
+    """Property: the range-partitioned distributed cumsum equals a pandas
+    groupless cumsum under the same total order, for random values, key
+    collisions, and partition counts."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        global_cumsum,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 20), st.integers(1, 9)),  # (key, value)
+            min_size=1,
+            max_size=80,
+        ),
+        st.integers(2, 6),  # n_parts
+    )
+    def run(rows, n_parts):
+        pdf = pd.DataFrame(rows, columns=["k", "v"]).reset_index()
+        df = spark.createDataFrame(pdf)  # index breaks key ties
+        got = (
+            global_cumsum(
+                df, ["k", "index"], "v", cumsum_col="cs", n_parts=n_parts
+            )
+            .orderBy("k", "index")
+            .select("k", "index", "cs")
+            .collect()
+        )
+        ref = pdf.sort_values(["k", "index"]).assign(
+            cs=lambda d: d["v"].cumsum()
+        )
+        assert [(r.k, r["index"], r.cs) for r in got] == list(
+            ref[["k", "index", "cs"]].itertuples(index=False, name=None)
+        )
+
+    run()
