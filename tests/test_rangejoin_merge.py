@@ -206,3 +206,56 @@ def test_interval_join_property(spark, data):
         if lo_us <= (rt - lt) / dt.timedelta(microseconds=1) <= hi_us
     )
     assert got == want
+
+
+def test_merge_changes_property_random_changesets(spark):
+    """Property: merge_changes equals a sequential dict replay of the
+    changeset (latest seq per key wins; D deletes, I/U upsert) for random
+    snapshots and random op streams, both broadcast and shuffle paths."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.merge import (
+        merge_changes,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 15), st.integers(0, 99)),
+                 min_size=0, max_size=25, unique_by=lambda t: t[0]),
+        st.lists(st.tuples(st.integers(0, 15),
+                           st.sampled_from(["I", "U", "D"]),
+                           st.integers(0, 99)),
+                 min_size=1, max_size=25),
+        st.booleans(),
+    )
+    def run(snap_rows, ops, broadcast):
+        snap_pdf = pd.DataFrame(snap_rows or [(999, 0)], columns=["k", "val"])
+        if not snap_rows:
+            snap_pdf = snap_pdf.iloc[0:0]
+        # changeset: seq = position; latest per key wins
+        ch_rows = [(k, v, op, i) for i, (k, op, v) in enumerate(ops)]
+        # sequential reference replay
+        state = dict(snap_pdf.itertuples(index=False, name=None))
+        latest = {}
+        for k, v, op, seq in ch_rows:
+            latest[k] = (v, op, seq)
+        for k, (v, op, _seq) in latest.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = v
+
+        snap = spark.createDataFrame(
+            snap_pdf if len(snap_pdf) else [(0, 0)], ["k", "val"]
+        )
+        if not len(snap_pdf):
+            snap = snap.where("k < 0")
+        changes = spark.createDataFrame(ch_rows, ["k", "val", "op", "seq"])
+        got = merge_changes(
+            snap, changes, key_cols=["k"], seq_col="seq",
+            broadcast_changes=broadcast,
+        ).collect()
+        assert {(r.k, r.val) for r in got} == set(state.items())
+
+    run()
