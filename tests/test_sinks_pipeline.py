@@ -404,3 +404,51 @@ def test_fanout_per_sink_isolation_and_partial_replay(spark, tmp_path, valid_eve
     fb(batch, 0)
     assert calls == {"a": 3, "flaky": 2, "b": 3}
     assert ledger.committed("flaky", 0)
+
+
+def test_es_sink_spec_wires_all_reference_tunables():
+    """Config-glue parity (the round-6 bug class: ElasticsearchRegion was
+    read nowhere): every reference ES parameter reaches the sink closure —
+    region, max actions, max size (MB), and the interval converted from
+    the reference's milliseconds to seconds."""
+    import inspect
+
+    from amazon_kinesis_analytics_streaming_etl_spark.config import (
+        from_args_and_properties,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import (
+        _sink_specs,
+    )
+
+    cfg = from_args_and_properties([
+        "--OutputElasticsearchEndpoint", "https://search-x.example",
+        "--ElasticsearchRegion", "eu-west-1",
+        "--ElasticsearchBulkFlushMaxActions", "77",
+        "--ElasticsearchBulkFlushMaxSizeMb", "2.5",
+        "--ElasticsearchBulkFlushInterval", "1500",
+    ])
+    specs = dict(_sink_specs(cfg))
+    es = specs["elasticsearch"]
+    bound = {
+        k: v.default
+        for k, v in inspect.signature(es).parameters.items()
+        if v.default is not inspect.Parameter.empty
+    }
+    assert bound["endpoint"] == "https://search-x.example"
+    assert bound["es_region"] == "eu-west-1"
+    assert bound["max_actions"] == 77
+    assert bound["max_size_mb"] == 2.5
+    assert bound["flush_interval_s"] == 1.5  # reference millis -> seconds
+
+    # defaults when the optional tunables are absent
+    cfg2 = from_args_and_properties(
+        ["--OutputElasticsearchEndpoint", "https://y"]
+    )
+    es2 = dict(_sink_specs(cfg2))["elasticsearch"]
+    bound2 = {
+        k: v.default
+        for k, v in inspect.signature(es2).parameters.items()
+        if v.default is not inspect.Parameter.empty
+    }
+    assert bound2["max_actions"] == 1000
+    assert bound2["max_size_mb"] is None and bound2["flush_interval_s"] is None
