@@ -452,3 +452,30 @@ def test_es_sink_spec_wires_all_reference_tunables():
     }
     assert bound2["max_actions"] == 1000
     assert bound2["max_size_mb"] is None and bound2["flush_interval_s"] is None
+
+
+def test_package_main_runs_the_job(spark, tmp_path, valid_event):
+    """Runnable-job parity (StreamingEtl.main): python -m <package> with
+    the reference's parameter names runs the pipeline end to end;
+    --AvailableNow true drains and exits 0."""
+    import json
+
+    from amazon_kinesis_analytics_streaming_etl_spark.__main__ import main
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "in.jsonl", "w") as f:
+        for i in range(12):
+            f.write(json.dumps(dict(valid_event, trip_id=i)) + "\n")
+    out = tmp_path / "out"
+
+    rc = main([
+        "--InputFilePath", str(src),
+        "--OutputBucket", str(out),
+        "--ParquetConversion", "true",
+        "--CheckpointLocation", str(tmp_path / "ckpt"),
+        "--AvailableNow", "true",
+    ])
+    assert rc == 0
+    back = spark.read.option("recursiveFileLookup", "true").parquet(str(out))
+    assert back.count() == 12
