@@ -171,7 +171,12 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
             self.starting = start
         # the connector's own rate-limit option: cap records per
         # topic-partition per trigger (pagination under processing-time
-        # triggers; under availableNow it bounds the snapshot batch)
+        # triggers). CAUTION (ADVICE r6): do NOT combine with
+        # Trigger.AvailableNow — its wrapper snapshots the capped
+        # latestOffset() once as the fixed drain target, so the query
+        # drains at most one cap's worth and terminates with data left
+        # behind; the Python DataSource API has no
+        # SupportsTriggerAvailableNow hook to paginate past the snapshot.
         cap = options.get("maxoffsetspertrigger")
         self.max_per_trigger = int(cap) if cap else None
         # connector parity: when a batch spans fewer topic-partitions than
@@ -229,11 +234,23 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
         for p, hi in end.items():
             lo = start.get(p, 0)  # new partition discovered: from earliest
             pi = int(p)
+            # Restart floor (ADVICE r6): on a fresh driver with
+            # maxOffsetsPerTrigger set, the first latestOffset() runs
+            # before any commit() re-seeds `_emitted`, so it can answer
+            # min(count, 0 + cap) < the committed start — a cap artifact,
+            # not data loss. Seed the floor from the committed start so
+            # the next poll advances from the offset log, and only raise
+            # when the log really shrank below the committed position.
+            if self._emitted.get(p, 0) < lo:
+                self._emitted[p] = lo
             if hi < lo:
+                avail = self._index.count(files[pi]) if pi in files else 0
+                if avail >= lo:
+                    continue  # rate-limit artifact: treat as hi == lo
                 if self.fail_on_data_loss:
                     raise RuntimeError(
                         f"data loss: partition {pi} offsets went backwards "
-                        f"({lo} committed, {hi} available) — the log was "
+                        f"({lo} committed, {avail} available) — the log was "
                         "truncated below a committed position. Set "
                         "failOnDataLoss=false to resume lossily."
                     )
@@ -300,7 +317,9 @@ class KafkaReplayDataSource(DataSource):
 
     Read options mirror spark-sql-kafka: ``startingOffsets`` (earliest
     default | latest | per-partition JSON with -1/-2 sentinels),
-    ``maxOffsetsPerTrigger`` (per-partition per-trigger cap),
+    ``maxOffsetsPerTrigger`` (per-partition per-trigger cap; do not
+    combine with Trigger.AvailableNow — the snapshot drains one cap's
+    worth only, see the stream-reader note),
     ``minPartitions`` (split fat offset ranges into sub-slices),
     ``failOnDataLoss`` (true default). Write options (the sink side):
     ``topic`` (defaults to the path's basename), ``numPartitions`` (16);

@@ -246,8 +246,15 @@ class _ReplayStreamReader(DataSourceStreamReader):
         # per-trigger rate limit (the maxOffsetsPerTrigger analog; SURVEY
         # §2A X2): each latestOffset poll advances at most N records per
         # shard past the previous poll's answer, so trigger sizing is a
-        # knob instead of drain-everything — under availableNow the query
-        # runs multiple capped batches until it reaches the data.
+        # knob instead of drain-everything. CAUTION (ADVICE r6): do NOT
+        # combine the cap with Trigger.AvailableNow — Spark's AvailableNow
+        # wrapper snapshots latestOffset() ONCE as the fixed drain target,
+        # so a capped query drains at most one cap's worth of records and
+        # terminates "successfully" with data left behind. The Python
+        # DataSource API (pyspark 4.1.2) exposes no
+        # SupportsTriggerAvailableNow hook to paginate toward an uncapped
+        # prepare-time snapshot, so the cap is a processingTime/continuous
+        # knob only; batch/backfill drains must leave it unset.
         cap = options.get("maxrecordsperbatch")
         self.max_per_batch = int(cap) if cap else None
         # shard files are append-only by contract; offsets going backwards
@@ -286,13 +293,29 @@ class _ReplayStreamReader(DataSourceStreamReader):
         for shard, hi in end.items():
             lo = start.get(shard, 0)  # shard absent in start == newly
             # discovered (resharding): consume from its trim horizon
-            if hi < lo and self.fail_on_data_loss:
-                raise RuntimeError(
-                    f"data loss: shard {shard} offsets went backwards "
-                    f"({lo} committed, {hi} available) — the shard file "
-                    "was truncated below a committed position. Set "
-                    "failOnDataLoss=false to resume lossily."
-                )
+            # Restart floor (ADVICE r6): a fresh driver's first
+            # latestOffset() runs before any commit() re-seeds the
+            # rate-limit floor, so with maxRecordsPerBatch set it can
+            # answer min(count, 0 + cap) < the committed start. That is a
+            # cap artifact, not data loss — the shard file still holds the
+            # committed range. Seed the floor from the committed start so
+            # the next poll advances from the offset log, and distinguish
+            # artifact (file still has >= lo records: emit nothing this
+            # batch) from real truncation (file shrank below lo: raise).
+            if self._emitted.get(shard, 0) < lo:
+                self._emitted[shard] = lo
+            if hi < lo:
+                avail = self._index.count(files[shard]) if shard in files else 0
+                if avail >= lo:
+                    continue  # rate-limit artifact: treat as hi == lo
+                if self.fail_on_data_loss:
+                    raise RuntimeError(
+                        f"data loss: shard {shard} offsets went backwards "
+                        f"({lo} committed, {avail} available) — the shard "
+                        "file was truncated below a committed position. Set "
+                        "failOnDataLoss=false to resume lossily."
+                    )
+                continue  # lossy resume: skip the vanished range
             if hi > lo and shard in files:
                 byte_pos, line_no = self._index.seek_hint(files[shard], lo)
                 out.append(
@@ -355,7 +378,9 @@ class KinesisReplayDataSource(DataSource):
 
     Read options: ``initialPosition`` (TRIM_HORIZON default | LATEST),
     ``maxRecordsPerBatch`` (per-shard per-trigger cap — the
-    maxOffsetsPerTrigger analog), ``failOnDataLoss`` (true default:
+    maxOffsetsPerTrigger analog; do not combine with
+    Trigger.AvailableNow — the snapshot drains one cap's worth only,
+    see the stream-reader note), ``failOnDataLoss`` (true default:
     raise when shard offsets go backwards). Write options (the sink
     side, ``writeStream``/``df.write``): ``stream`` (defaults to the
     path's basename), ``numShards`` (16), ``partitionKey`` (fixed-key

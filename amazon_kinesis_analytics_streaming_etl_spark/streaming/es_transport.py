@@ -171,7 +171,13 @@ class SigV4BulkTransport:
         self.max_actions = max_actions
         # the reference's other two bulk-flush triggers
         # (StreamingEtl.java:270-280): cumulative payload size and a wall
-        # interval since the last flush — whichever fires first
+        # interval since the last flush — whichever fires first. NOTE
+        # (ADVICE r6): unlike Flink's setBulkFlushInterval (a background
+        # timer that flushes with no new input), the interval here is
+        # evaluated on document ARRIVAL — an idle buffer is never flushed
+        # by time alone. That staleness is bounded in practice because
+        # es_upsert_batch calls flush() at the end of every micro-batch
+        # partition, so a partial buffer lives at most one trigger.
         self.max_size_bytes = (
             int(max_size_mb * 1024 * 1024) if max_size_mb else None
         )

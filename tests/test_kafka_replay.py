@@ -411,6 +411,58 @@ def test_min_partitions_splits_offset_ranges(spark, tmp_path):
         assert row.partition == int(p) and row.offset == i
 
 
+def test_restart_with_cap_resumes_from_checkpoint(spark, tmp_path):
+    """End-to-end ADVICE-r6 regression: drain uncapped, append, restart
+    WITH maxOffsetsPerTrigger from the same checkpoint — no spurious
+    data-loss failure, exactly the appended delta delivered."""
+    import time as _t
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        register_kafka_replay,
+    )
+
+    d = str(tmp_path / "topic")
+    os.makedirs(d)
+    _produce(d, 0, [f"r{i}" for i in range(20)])
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    assert _drain(spark, d, ckpt, out).count() == 20  # commit offset 20
+
+    _produce(d, 0, ["x0", "x1", "x2", "x3", "x4"], append=True)
+    register_kafka_replay(spark)
+    q = (
+        spark.readStream.format("kafka-replay")
+        .option("path", d)
+        .option("maxOffsetsPerTrigger", "2")  # capped restart: floor empty
+        .load()
+        .selectExpr(
+            "topic", "partition", "offset", "CAST(value AS STRING) AS payload"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if q.exception() is not None:
+                break
+            try:
+                if spark.read.parquet(out).count() >= 25:
+                    break
+            except Exception:
+                pass
+            _t.sleep(0.5)
+        assert q.exception() is None  # pre-fix: spurious data-loss error
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 25
+    assert {"x0", "x1", "x2", "x3", "x4"} <= {r.payload for r in got.collect()}
+
+
 def test_fail_on_data_loss_semantics(tmp_path):
     """Offsets going backwards (log truncated below a committed position)
     raise by default; failOnDataLoss=false resumes lossily — connector
@@ -425,13 +477,38 @@ def test_fail_on_data_loss_semantics(tmp_path):
     tdir.mkdir()
     fp = tdir / "partition-00000.jsonl"
     with open(fp, "w") as f:
-        for i in range(10):
+        for i in range(5):  # truncated: fewer than the 8 committed
             f.write(f"r{i}\n")
 
     r = _KafkaReplayStreamReader({"path": str(tdir)})
     with pytest.raises(RuntimeError, match="data loss"):
-        r.partitions({"0": 8}, {"0": 5})  # available < committed
+        r.partitions({"0": 8}, {"0": 5})  # log really shrank below 8
 
     r2 = _KafkaReplayStreamReader({"path": str(tdir), "failondataloss": "false"})
     slices = r2.partitions({"0": 8}, {"0": 5})
     assert all(s.path == "" for s in slices)  # vanished range skipped
+
+
+def test_rate_limit_restart_floor_not_data_loss(tmp_path):
+    """ADVICE r6: a fresh driver's first capped latestOffset() can fall
+    below the committed start (floor not yet re-seeded). With the log
+    intact that is an empty batch that re-seeds the floor, not data
+    loss."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        _KafkaReplayStreamReader,
+    )
+
+    tdir = tmp_path / "t"
+    tdir.mkdir()
+    with open(tdir / "partition-00000.jsonl", "w") as f:
+        for i in range(10):
+            f.write(f"r{i}\n")
+
+    r = _KafkaReplayStreamReader(
+        {"path": str(tdir), "maxoffsetspertrigger": "1"}
+    )
+    end = r.latestOffset()
+    assert end["0"] == 1
+    slices = r.partitions({"0": 8}, end)
+    assert all(s.path == "" for s in slices)  # empty batch, no raise
+    assert r.latestOffset()["0"] == 9  # floor re-seeded from commit

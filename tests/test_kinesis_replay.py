@@ -561,8 +561,9 @@ def test_max_records_per_batch_rate_limits_triggers(spark, tmp_path):
 
 
 def test_fail_on_data_loss_semantics(tmp_path):
-    """Shard offsets going backwards raise by default;
-    failOnDataLoss=false resumes lossily (mirrors the Kafka twin)."""
+    """Shard offsets going backwards AND the file really truncated below
+    the committed position raise by default; failOnDataLoss=false resumes
+    lossily (mirrors the Kafka twin)."""
     import pytest
 
     from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
@@ -571,19 +572,102 @@ def test_fail_on_data_loss_semantics(tmp_path):
 
     d = tmp_path / "s"
     d.mkdir()
-    with open(d / "shardId-000000000000.jsonl", "w") as f:
-        for i in range(10):
+    shard = "shardId-000000000000"
+    with open(d / f"{shard}.jsonl", "w") as f:
+        for i in range(5):  # truncated: fewer than the 8 committed
             f.write(f"r{i}\n")
 
     r = _ReplayStreamReader({"path": str(d)})
     with pytest.raises(RuntimeError, match="data loss"):
-        r.partitions({"shardId-000000000000": 8}, {"shardId-000000000000": 5})
+        r.partitions({shard: 8}, {shard: 5})
 
     r2 = _ReplayStreamReader({"path": str(d), "failondataloss": "false"})
-    slices = r2.partitions(
-        {"shardId-000000000000": 8}, {"shardId-000000000000": 5}
-    )
+    slices = r2.partitions({shard: 8}, {shard: 5})
     assert all(s.path == "" for s in slices)
+
+
+def test_rate_limit_restart_floor_not_data_loss(tmp_path):
+    """ADVICE r6: on restart, the first capped latestOffset() runs before
+    commit() re-seeds the rate-limit floor and can answer below the
+    committed start. That must read as an empty batch that re-seeds the
+    floor — not as data loss — because the shard file still holds the
+    committed range."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        _ReplayStreamReader,
+    )
+
+    d = tmp_path / "s"
+    d.mkdir()
+    shard = "shardId-000000000000"
+    with open(d / f"{shard}.jsonl", "w") as f:
+        for i in range(10):
+            f.write(f"r{i}\n")
+
+    # fresh reader (restart): floor is empty, cap=1 → latestOffset=1 < 8
+    r = _ReplayStreamReader({"path": str(d), "maxrecordsperbatch": "1"})
+    end = r.latestOffset()
+    assert end[shard] == 1
+    slices = r.partitions({shard: 8}, end)
+    assert all(s.path == "" for s in slices)  # empty batch, no raise
+    # floor re-seeded from the committed start: next poll advances from 8
+    assert r.latestOffset()[shard] == 9
+
+
+def test_restart_with_cap_resumes_from_checkpoint(spark, tmp_path):
+    """End-to-end ADVICE-r6 regression: drain uncapped, append, then
+    restart the query WITH maxRecordsPerBatch from the same checkpoint.
+    The fresh driver must not raise a spurious data-loss error and must
+    deliver exactly the appended delta (no re-reads, no gaps)."""
+    import time as _t
+
+    d = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    os.makedirs(d)
+    _write_shard(d, 0, [f"r{i}" for i in range(20)])
+    assert _drain(spark, d, ckpt, out).count() == 20  # commit offset 20
+
+    _write_shard(d, 0, ["x0", "x1", "x2", "x3", "x4"], append=True)
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        register_kinesis_replay,
+    )
+
+    register_kinesis_replay(spark)
+    q = (
+        spark.readStream.format("kinesis-replay")
+        .option("path", d)
+        .option("maxRecordsPerBatch", "2")  # capped restart: floor empty
+        .load()
+        .select(
+            "shardId",
+            "sequenceNumber",
+            F.col("data").cast("string").alias("payload"),
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if q.exception() is not None:
+                break
+            try:
+                if spark.read.parquet(out).count() >= 25:
+                    break
+            except Exception:
+                pass
+            _t.sleep(0.5)
+        assert q.exception() is None  # pre-fix: spurious data-loss error
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 25  # exactly the delta, exactly once
+    payloads = {r.payload for r in got.collect()}
+    assert {"x0", "x1", "x2", "x3", "x4"} <= payloads
 
 
 def test_native_sink_commit_and_abort_markers(tmp_path):
