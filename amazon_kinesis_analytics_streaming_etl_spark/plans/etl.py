@@ -655,7 +655,7 @@ def kafka_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.serialize import trip_event_to_json
     from ..sources.kafka_replay import (
         KafkaReplayProducer,
-        murmur2_32,
+        murmur2_32_batch,
         register_kafka_replay,
     )
 
@@ -682,13 +682,18 @@ def kafka_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         val = F.col("value").cast("string")
         tid = F.get_json_object(val, "$.trip_id").cast("long")
 
-        # executor-side murmur2 re-derivation from the payload's own key
+        # executor-side murmur2 re-derivation from the payload's own key —
+        # whole-batch numpy (murmur2_32_batch), no per-row Python lambda,
+        # so the gate carries the same scale posture as the producer model
         from pyspark.sql.functions import pandas_udf
 
         def _expected_partition(keys: pd.Series) -> pd.Series:
-            return keys.map(
-                lambda k: (murmur2_32(str(k).encode()) & 0x7FFFFFFF) % 16
-            ).astype("int32")
+            import numpy as np
+
+            encoded = [str(k).encode() for k in keys]
+            h = murmur2_32_batch(encoded)
+            part = (h & np.uint32(0x7FFFFFFF)) % np.uint32(16)
+            return pd.Series(part.astype("int32"), index=keys.index)
 
         exp_part = pandas_udf(_expected_partition, "int")
 

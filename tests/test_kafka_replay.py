@@ -161,6 +161,26 @@ def test_murmur2_matches_kafka_published_vectors():
         assert murmur2_32(key) == signed & 0xFFFFFFFF, key
 
 
+def test_murmur2_batch_matches_scalar():
+    """The numpy whole-batch murmur2 (the gates' vectorized routing
+    re-derivation) is bit-identical to the scalar reference across the
+    published vectors, every length class 0..20, and random bytes."""
+    import random
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        murmur2_32,
+        murmur2_32_batch,
+    )
+
+    rng = random.Random(7)
+    keys = [b"21", b"foobar", b"a-little-bit-long-string", b""]
+    keys += [bytes(rng.randrange(256) for _ in range(n)) for n in range(21)]
+    keys += [str(rng.randrange(10**9)).encode() for _ in range(200)]
+    got = murmur2_32_batch(keys)
+    assert list(got) == [murmur2_32(k) for k in keys]
+    assert list(murmur2_32_batch([])) == []
+
+
 def test_kafka_write_model_routing_and_append(tmp_path, spark):
     """Producer routes by toPositive(murmur2) % N, appends whole lines,
     and what it wrote reads back identically through the replay source."""
