@@ -15,15 +15,30 @@ corrupt) DataFrames instead of silently dropping — the corrupt branch is a
 first-class dead-letter output (an engine improvement; the valid keep-set is
 identical to the reference's).
 
-Strictness note: the reference's Jackson ``asInt()`` coerces non-numeric
-text to 0; this engine pins the stricter behavior (non-numeric text in a
-numeric field -> corrupt) per FIXTURES.md §A.5.
+Coercion pins (FIXTURES.md §A.5):
+
+- Quoted NUMERIC text in a numeric field coerces to the number, exactly
+  like Jackson's ``asInt/asLong/asDouble`` on a textual node
+  (TripEventSchema.java:57-77 reads every field through those coercing
+  accessors). Concretely: the P3 output contract itself emits
+  ``trip_id`` as a quoted string (TripEventSchema.java:96-138), so
+  records shaped like the engine's own output keep their ids when fed
+  back through P1 instead of silently collapsing to the 0 default.
+- NON-numeric text in a numeric field stays corrupt (stricter than
+  Jackson, which coerces it to 0/0.0) — pinned by tests.
+
+Realized by parsing into an all-string-leaf struct and ``try_cast``-ing
+each field to its target type (``try_to_timestamp`` for the two
+timestamps, same pinned grammar): string->number casts coerce quoted
+numerics, fail to NULL on garbage regardless of ANSI mode, and the whole
+projection stays inside whole-stage codegen.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
 from ..schemas import TRIP_EVENT_REQUIRED_FIELDS, TRIP_EVENT_SCHEMA
 
@@ -46,15 +61,44 @@ TIMESTAMP_FORMAT = "yyyy-MM-dd['T'HH:mm[:ss[.SSSSSSSSS]]][XXX]"
 
 PARSE_OPTIONS = {"mode": "PERMISSIVE", "timestampFormat": TIMESTAMP_FORMAT}
 
+#: All-string-leaf twin of TRIP_EVENT_SCHEMA: from_json captures every
+#: scalar token's text; the typed projection below applies the coercion
+#: pins field-by-field.
+_STRING_SCHEMA = StructType(
+    [StructField(f.name, StringType()) for f in TRIP_EVENT_SCHEMA.fields]
+)
+
+
+def _typed(strings: Column, field: StructField) -> Column:
+    c = strings.getField(field.name)
+    if isinstance(field.dataType, TimestampType):
+        return F.try_to_timestamp(c, F.lit(TIMESTAMP_FORMAT))
+    if isinstance(field.dataType, StringType):
+        return c
+    return c.try_cast(field.dataType)
+
 
 def parse_trip_events_raw(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Attach a parsed ``event`` struct column to a DataFrame of raw
     JSON payloads (string or binary ``value_col``). Works identically on
     batch and streaming DataFrames.
+
+    Malformed JSON -> null struct (PERMISSIVE); per-field conversion
+    failures -> null field (``try_cast`` / ``try_to_timestamp``, never a
+    throw even under ANSI). Quoted numerics coerce like Jackson's
+    ``as*()`` accessors — so e.g. the quoted ``trip_id`` that P3 emits
+    keeps its value instead of collapsing to the 0 default.
     """
     payload = F.col(value_col).cast("string")
-    parsed = F.from_json(payload, TRIP_EVENT_SCHEMA, PARSE_OPTIONS)
-    return raw.withColumn(PARSED_COL, parsed)
+    strings = F.from_json(payload, _STRING_SCHEMA, {"mode": "PERMISSIVE"})
+    event = F.when(
+        strings.isNull(), F.lit(None).cast(TRIP_EVENT_SCHEMA)
+    ).otherwise(
+        F.struct(
+            *[_typed(strings, f).alias(f.name) for f in TRIP_EVENT_SCHEMA.fields]
+        )
+    )
+    return raw.withColumn(PARSED_COL, event)
 
 
 def _is_valid(event: Column) -> Column:

@@ -73,6 +73,29 @@ def test_non_numeric_text_is_corrupt_not_coerced(spark, valid_event):
     assert valid.count() == 0 and corrupt.count() == 1
 
 
+def test_quoted_numeric_text_coerces_like_jackson(spark, valid_event):
+    """FIXTURES.md §A.5: quoted NUMERIC text coerces to the number, like
+    Jackson's as*() accessors — so the quoted trip_id that P3 itself
+    emits keeps its value when fed back through P1 instead of collapsing
+    to the 0 default."""
+    valid_event["trip_id"] = "9000001"
+    valid_event["vendor_id"] = "2"
+    valid_event["fare_amount"] = "10.5"
+    out = parse_trip_events(_raw_df(spark, [json.dumps(valid_event)])).collect()
+    assert len(out) == 1
+    assert out[0].trip_id == 9000001
+    assert out[0].vendor_id == 2
+    assert out[0].fare_amount == 10.5
+
+
+def test_unparseable_trip_id_defaults_to_zero_like_jackson(spark, valid_event):
+    # Jackson asLong(0) on unparseable text -> default 0, record kept
+    # (trip_id is an optional field); required fields stay strict.
+    valid_event["trip_id"] = "garbage"
+    out = parse_trip_events(_raw_df(spark, [json.dumps(valid_event)])).collect()
+    assert len(out) == 1 and out[0].trip_id == 0
+
+
 def test_output_json_projection_18_fields_order_and_codecs(spark, valid_event):
     # TripEventSchema.java:96-138: 18 fields, fixed order, epoch millis,
     # quoted trip_id/type, payment_type+padding omitted.
@@ -99,6 +122,11 @@ def test_roundtrip_parse_serialize_parse(spark, valid_event):
         if k in ("pickup_datetime", "dropoff_datetime", "trip_id", "type"):
             continue
         assert obj[k] == valid_event[k], k
+    # the QUOTED trip_id P3 emits coerces back to its long value when a
+    # producer feeds such records into P1 (timestamps are epoch-millis in
+    # P3 output — a consumer contract, not the P1 input grammar — so only
+    # the scalar fields are round-trippable, same as the reference)
+    assert obj["trip_id"] == str(valid_event["trip_id"])
 
 
 def test_timestamp_grammar_matches_joda_iso(spark, valid_event):
@@ -135,3 +163,191 @@ def test_timestamp_grammar_matches_joda_iso(spark, valid_event):
     valid, corrupt = split_corrupt(df)
     assert valid.count() == len(accepted)
     assert corrupt.count() == len(rejected)
+
+
+# ---------------------------------------------------------------------------
+# Property test (VERDICT r6 #6): hypothesis-generated TripEvent JSON with
+# randomized field order, missing/null/coerced fields, unicode padding, and
+# boundary timestamps, checked against a pure-Python reference decode of
+# the pinned semantics (FIXTURES.md §A.5 + the Joda timestamp grammar).
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_INT_FIELDS = [
+    "vendor_id",
+    "passenger_count",
+    "ratecode_id",
+    "pickup_location_id",
+    "dropoff_location_id",
+    "payment_type",
+]
+_DOUBLE_FIELDS = [
+    "trip_distance",
+    "fare_amount",
+    "extra",
+    "mta_tax",
+    "tip_amount",
+    "tolls_amount",
+    "improvement_surcharge",
+    "total_amount",
+]
+_SCHEMA_ORDER = [
+    "vendor_id", "pickup_datetime", "dropoff_datetime", "passenger_count",
+    "trip_distance", "ratecode_id", "store_and_fwd_flag",
+    "pickup_location_id", "dropoff_location_id", "payment_type",
+    "fare_amount", "extra", "mta_tax", "tip_amount", "tolls_amount",
+    "improvement_surcharge", "total_amount", "trip_id", "type", "padding",
+]
+_MISSING = object()
+_CORRUPT = object()
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+)
+_i32 = st.one_of(
+    st.sampled_from([0, 1, -1, 2147483647, -2147483648]),
+    st.integers(-2147483648, 2147483647),
+)
+_i64 = st.one_of(
+    st.sampled_from([0, 1, 2**63 - 1, -(2**63)]),
+    st.integers(-(2**63), 2**63 - 1),
+)
+_dbl = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+def _draw_timestamp(draw):
+    """(json_text, expected_epoch_micros | _CORRUPT) for one timestamp."""
+    kind = draw(st.sampled_from(["iso", "iso", "iso", "space", "null", "missing"]))
+    if kind == "missing":
+        return _MISSING, _CORRUPT
+    if kind == "null":
+        return None, _CORRUPT
+    if kind == "space":
+        return "2018-11-23 20:30:14", _CORRUPT  # Joda rejects; so do we
+    y = draw(st.integers(1900, 2100))
+    mo = draw(st.integers(1, 12))
+    d = draw(st.integers(1, 28))
+    text = f"{y:04d}-{mo:02d}-{d:02d}"
+    h = mi = s = micros = 0
+    offset_min = 0
+    if draw(st.booleans()):  # optional 'T' time
+        h, mi = draw(st.integers(0, 23)), draw(st.integers(0, 59))
+        text += f"T{h:02d}:{mi:02d}"
+        if draw(st.booleans()):  # optional seconds
+            s = draw(st.integers(0, 59))
+            text += f":{s:02d}"
+            ndigits = draw(st.integers(0, 9))
+            if ndigits:  # optional fraction, 1-9 digits, micros kept
+                frac = "".join(
+                    str(draw(st.integers(0, 9))) for _ in range(ndigits)
+                )
+                text += f".{frac}"
+                micros = int(frac[:6].ljust(6, "0"))
+        if draw(st.booleans()):  # optional zone offset
+            if draw(st.booleans()):
+                text += "Z"
+            else:
+                offset_min = draw(st.integers(-14 * 60, 14 * 60))
+                sign = "+" if offset_min >= 0 else "-"
+                text += f"{sign}{abs(offset_min) // 60:02d}:{abs(offset_min) % 60:02d}"
+    tz = _dt.timezone(_dt.timedelta(minutes=offset_min))
+    base = _dt.datetime(y, mo, d, h, mi, s, tzinfo=tz)
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return text, int((base - epoch).total_seconds()) * 1_000_000 + micros
+
+
+def _draw_record(draw):
+    """(json_line, expected_tuple_or_None). None == corrupt split."""
+    rec: dict = {}
+    exp: dict = {}
+
+    def put(name, json_val, expected):
+        if json_val is not _MISSING:
+            rec[name] = json_val
+        exp[name] = expected
+
+    for f in _INT_FIELDS:
+        kind = draw(st.sampled_from(["num", "num", "quoted", "null", "missing", "text"]))
+        if kind == "num":
+            v = draw(_i32)
+            put(f, v, v)
+        elif kind == "quoted":
+            v = draw(_i32)
+            put(f, str(v), v)  # Jackson asInt coercion
+        elif kind == "text":
+            put(f, "abc", _CORRUPT)  # pinned stricter-than-Jackson
+        else:
+            put(f, None if kind == "null" else _MISSING, _CORRUPT)
+    for f in _DOUBLE_FIELDS:
+        kind = draw(st.sampled_from(["num", "num", "num", "quoted", "int", "missing"]))
+        if kind == "missing":
+            put(f, _MISSING, _CORRUPT)
+        elif kind == "int":
+            v = draw(_i32)
+            put(f, v, float(v))
+        else:
+            v = draw(_dbl)
+            put(f, str(v) if kind == "quoted" else v, v)
+    for f in ("store_and_fwd_flag", "type"):
+        kind = draw(st.sampled_from(["text", "text", "text", "null", "missing"]))
+        if kind == "text":
+            v = draw(_text)
+            put(f, v, v)
+        else:
+            put(f, None if kind == "null" else _MISSING, _CORRUPT)
+    kind = draw(st.sampled_from(["num", "quoted", "garbage", "null", "missing"]))
+    if kind in ("num", "quoted"):
+        v = draw(_i64)
+        put("trip_id", str(v) if kind == "quoted" else v, v)
+    else:  # unparseable/absent -> Jackson asLong(0) default, record kept
+        put("trip_id", None if kind == "null" else (_MISSING if kind == "missing" else "garbage"), 0)
+    kind = draw(st.sampled_from(["text", "null", "missing"]))
+    v = draw(_text) if kind == "text" else None
+    put("padding", _MISSING if kind == "missing" else v, v if v is not None else "")
+    for f in ("pickup_datetime", "dropoff_datetime"):
+        jv, ev = _draw_timestamp(draw)
+        put(f, jv, ev)
+
+    # randomized field order (the reference reads by name; order-free)
+    names = [n for n in rec]
+    order = draw(st.permutations(names))
+    line = json.dumps({n: rec[n] for n in order})
+    if any(exp[n] is _CORRUPT for n in _SCHEMA_ORDER):
+        return line, None
+    return line, tuple(exp[n] for n in _SCHEMA_ORDER)
+
+
+@given(data=st.data())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_parse_property_matches_reference_decode(spark, data):
+    from pyspark.sql import functions as F
+
+    records = [
+        _draw_record(data.draw) for _ in range(data.draw(st.integers(3, 8)))
+    ]
+    df = _raw_df(spark, [line for line, _ in records])
+    valid, corrupt = split_corrupt(df)
+    cols = [
+        F.unix_micros(F.col(n)).alias(n)
+        if n in ("pickup_datetime", "dropoff_datetime")
+        else F.col(n)
+        for n in _SCHEMA_ORDER
+    ]
+    got_valid = sorted(
+        tuple(r) for r in valid.select(*cols).collect()
+    )
+    want_valid = sorted(e for _, e in records if e is not None)
+    assert got_valid == want_valid
+    got_corrupt = sorted(r.raw_payload for r in corrupt.collect())
+    want_corrupt = sorted(line for line, e in records if e is None)
+    assert got_corrupt == want_corrupt
