@@ -422,8 +422,14 @@ def sketch_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment-overlap query a full count-distinct would re-shuffle the
     corpus for. One scan builds both sketches (conditional aggs); the
     exact twin (one groupBy + flag rollup) rides the same driver check
-    within a 5% envelope (below the 4096 nominal entries the sketch is
-    in exact mode, so the envelope is slack, not load-bearing).
+    within a 5%-of-UNION envelope. The envelope is relative to the union
+    cardinality, not each result: theta set-operation error scales with
+    |A∪B|/θ (the retained-sample universe), so a small difference set
+    carved from two large sketches can be off by far more than 5% of
+    itself while the sketch is behaving exactly to spec (measured at
+    sf0.1: union 14981 → θ≈0.27, diff exact 523 vs est 571 — 9.2% of
+    the diff, 0.32% of the union; sf0.01 sits below the 4096 nominal
+    entries, exact mode, zero error).
     """
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     sk = o.agg(
@@ -450,7 +456,11 @@ def sketch_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ok(e, x):
-        return F.abs(e.cast("double") - x) <= F.greatest(F.lit(2.0), 0.05 * x)
+        # slack is 5% of the UNION for every set expression — the error
+        # scale of theta set algebra (see docstring), not 5% of x
+        return F.abs(e.cast("double") - x) <= F.greatest(
+            F.lit(2.0), 0.05 * F.col("union_exact")
+        )
 
     j = exact.crossJoin(est)  # 1-row x 1-row scalar gate join
     return j.select(

@@ -188,7 +188,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gapfill_hourly",
     """
     WITH b AS (
-      SELECT event_type, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
+      SELECT event_type, date_trunc('hour', ts) AS h, round(CAST(CAST(avg(value) AS REAL) AS DOUBLE), 4) AS v
       FROM events GROUP BY 1, 2
     ), bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -221,11 +221,20 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (type, hour)); the spine is types x hours — bounded, built from a
     1-row min/max aggregate via `sequence`+`explode` (the crossJoin is
     the whitelisted 1-row-broadcast pattern); the spine-to-agg join and
-    forward-fill window both run on aggregated (not raw) cardinality."""
+    forward-fill window both run on aggregated (not raw) cardinality.
+
+    Float determinism (sf0.1 sweep, round 7): both engines squash the
+    hourly avg through float32 before the 4-dp round. Double summation
+    order differs across engines by ~1 ulp; when the exact mean sits on
+    a 4th-decimal boundary (58.47375 did at sf0.1) that ulp decides the
+    rounded digit. float32 granularity (~4e-6 at these magnitudes)
+    swamps the ulp spread, so both engines round the identical value.
+    Applied to the whole hourly-avg family (gapfill/resample/ewma/
+    rolling-median), which shares this aggregate."""
     ev = load_events(spark, sf_dir)
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .agg(F.round(F.avg("value"), 4).alias("v"))
+        .agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -631,7 +640,7 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resample_interpolate",
     """
     WITH obs AS (
-      SELECT event_type, date_trunc('hour', ts) AS pt, round(avg(value), 4) AS v
+      SELECT event_type, date_trunc('hour', ts) AS pt, round(CAST(CAST(avg(value) AS REAL) AS DOUBLE), 4) AS v
       FROM events GROUP BY 1, 2
     ), bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -693,7 +702,7 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -876,7 +885,7 @@ _EWMA_SPAN = 24  # hours of history per point
     "ewma_hourly",
     f"""
     WITH obs AS (
-      SELECT event_type, date_trunc('hour', ts) AS pt, round(avg(value), 4) AS v
+      SELECT event_type, date_trunc('hour', ts) AS pt, round(CAST(CAST(avg(value) AS REAL) AS DOUBLE), 4) AS v
       FROM events GROUP BY 1, 2
     ), lw AS (
       SELECT event_type, pt, v,
@@ -916,7 +925,7 @@ def ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("pt")
@@ -1046,7 +1055,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_median_hourly",
     f"""
     WITH obs AS (
-      SELECT event_type, date_trunc('hour', ts) AS pt, round(avg(value), 4) AS v
+      SELECT event_type, date_trunc('hour', ts) AS pt, round(CAST(CAST(avg(value) AS REAL) AS DOUBLE), 4) AS v
       FROM events GROUP BY 1, 2
     ), lw AS (
       SELECT event_type, pt, v,
@@ -1078,7 +1087,7 @@ def rolling_median_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("pt")

@@ -217,11 +217,11 @@ def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
     )
     SELECT CAST(dim AS INT) AS dim,
-           round(avg(v) + 0.000001, 4) AS mean_v,
+           round(avg(v) + 0.000001, 4) + 0.0 AS mean_v,
            round(sqrt(greatest(avg(v * v) - avg(v) ** 2, 0)) + 0.000001, 4)
-             AS std_v,
-           round(min(v), 4) AS min_v,
-           round(max(v), 4) AS max_v,
+             + 0.0 AS std_v,
+           round(min(v), 4) + 0.0 AS min_v,
+           round(max(v), 4) + 0.0 AS max_v,
            CAST(sum(CASE WHEN abs(v) < 0.000001 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_near_zero
     FROM d GROUP BY dim ORDER BY dim
@@ -247,10 +247,13 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy(F.col("dim").cast("int").alias("dim"))
         .agg(
-            F.round(mean + F.lit(0.000001), 4).alias("mean_v"),
-            F.round(F.sqrt(var) + F.lit(0.000001), 4).alias("std_v"),
-            F.round(F.min("v"), 4).alias("min_v"),
-            F.round(F.max("v"), 4).alias("max_v"),
+            # + 0.0 after each round: IEEE -0.0 + 0.0 == +0.0, so a mean
+            # that rounds to zero from below hashes identically in both
+            # engines (sf0.1 sweep, round 7: Spark kept the -0.0)
+            (F.round(mean + F.lit(0.000001), 4) + F.lit(0.0)).alias("mean_v"),
+            (F.round(F.sqrt(var) + F.lit(0.000001), 4) + F.lit(0.0)).alias("std_v"),
+            (F.round(F.min("v"), 4) + F.lit(0.0)).alias("min_v"),
+            (F.round(F.max("v"), 4) + F.lit(0.0)).alias("max_v"),
             F.sum(F.when(F.abs("v") < 0.000001, 1).otherwise(0))
             .cast("long")
             .alias("n_near_zero"),
