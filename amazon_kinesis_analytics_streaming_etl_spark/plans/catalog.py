@@ -29,65 +29,66 @@ from .relational import ORACLES, QUERIES
 # Tier 0: always-on canary — cheap, high-signal TPC-H shapes.
 _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 
-# Tier 1 rotates by signal AGE each round. Round-5 window (CORRECTNESS_r05,
-# 50 entries) covered the canary + all 38 round-5 additions + the first 9
-# r1-stale names (filter_predicates..agg_cube). Round 6 therefore
-# front-loads: (a) queries NEW this round (never driver-checked), then
-# (b) the 36 remaining queries whose only driver green is round 1
-# (agg_grouping_sets..curation_sample — the judge's r5 full sweep
-# re-proved them, but the driver artifact should too). Everything past
-# the window falls through to family order (tpch first — its last driver
-# check was r2/r3 except the canary).
-_STALE_R6 = [
-    # new in round 6 — never checked yet
+# Tier 1 rotates by signal AGE each round. Round-6 window (CORRECTNESS_r06,
+# 50 entries) covered the canary + the 11 round-6 additions + the 36
+# round-1-stale names, leaving the 33 round-3 signals as the oldest.
+# Round 7 therefore front-loads: (a) every query whose CODE changed this
+# round and so needs a fresh driver green — the parse-transiting ETL
+# family (P1 quoted-numeric coercion rework), the murmur2-vectorized
+# Kafka roundtrip, and the six sf0.1-sweep fixes (hourly-avg float32
+# squash, theta union-relative gate, -0.0 normalization) — then (b) ALL
+# 33 queries whose last driver check is round 3 (there is no older
+# signal left). 3 + 14 + 33 = 50 = the window.
+_STALE_R7 = [
+    # code changed in round 7 — re-prove the fixes
     "parse_dead_letter",
+    "serialize_projection_contract",
     "pipeline_fanout_replay",
-    "sketch_theta_audience",
-    "sketch_cms_freq",
     "kinesis_sink_roundtrip",
+    "kafka_sink_roundtrip",
     "es_upsert_idempotent",
     "file_sink_partition_layout",
-    "serialize_projection_contract",
     "file_sink_json_rows",
-    "kafka_sink_roundtrip",
-    "hybrid_rrf_retrieval",
-    # oldest driver signal (round 1), staleness rotation
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_count_distinct",
-    "agg_percentiles",
-    "agg_stats",
-    "agg_corr_covar",
-    "window_rank_family",
-    "window_rank_dense",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_topk_per_group",
-    "topk_global",
-    "set_union",
-    "set_union_by_name",
-    "set_intersect",
-    "set_intersect_all",
-    "set_except",
-    "set_except_all",
-    "scalar_math",
-    "scalar_string",
-    "scalar_datetime",
-    "scalar_conditional",
-    "scalar_intervals",
-    "json_extract_props",
-    "semi_structured_arrays",
-    "explode_tokens",
-    "posexplode_tokens",
-    "hof_array_ops",
-    "map_roundtrip",
-    "unpivot_metrics",
-    "sql_subqueries",
-    "asof_join_events",
-    "time_bucket_rollup",
-    "sessionize_events",
-    "salted_agg_events",
-    "curation_sample",
+    "gapfill_hourly",
+    "resample_interpolate",
+    "ewma_hourly",
+    "rolling_median_hourly",
+    "embedding_dim_stats",
+    "sketch_theta_audience",
+    # oldest driver signal (round 3) — the complete set
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_part_promotion",
+    "q21_waiting_orders",
+    "q22_sales_opportunity",
+    "cdc_merge_customers",
+    "agg_approx_quantiles",
+    "histogram_extendedprice",
+    "profile_columns",
+    "text_top_ngrams",
+    "text_repetition",
+    "decontam_overlap",
+    "curation_filter_reasons",
+    "embedding_norm_stats",
+    "tfidf_top_keywords",
+    "bm25_retrieval",
+    "udtf_chunk_documents",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_levenshtein",
+    "dedup_clusters",
+    "dedup_embedding",
+    "sim_topk_bruteforce",
 ]
 
 # Family priority by defining module for the already-green tail.
@@ -108,12 +109,12 @@ _FAMILY_PRIORITY = {
 
 def _reorder() -> None:
     names = list(QUERIES)
-    unknown = (set(_CANARY) | set(_STALE_R6)) - set(names)
+    unknown = (set(_CANARY) | set(_STALE_R7)) - set(names)
     if unknown:  # a typo here silently strands a query past the window
         raise ValueError(f"catalog priority lists name unknown queries: {unknown}")
     original_pos = {n: i for i, n in enumerate(names)}
     canary_pos = {n: i for i, n in enumerate(_CANARY)}
-    stale_pos = {n: i for i, n in enumerate(_STALE_R6)}
+    stale_pos = {n: i for i, n in enumerate(_STALE_R7)}
 
     def key(name: str) -> tuple[int, int]:
         if name in canary_pos:

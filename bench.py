@@ -22,6 +22,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The first 30 entries (through stream_static_enrich) are the COMMON-30:
+# the suite as of round 4, unchanged since, and the series every round's
+# drift analysis compares against. Later additions append AFTER them (and
+# execute after them), and the contract line reports "common30_total"
+# separately from the full-suite total so suite growth can never silently
+# shift the comparable number (VERDICT r6 #1).
+COMMON30_COUNT = 30
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -472,6 +480,9 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "common30_total": round(
+                    sum(timings[n] for n in HEADLINE[:COMMON30_COUNT]), 3
+                ),
                 "queries": timings,
                 "sf": sf_val,
                 "etl": etl,
