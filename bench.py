@@ -412,10 +412,17 @@ def main() -> None:
     # comparable round-over-round; per-run spreads go out under "runs" so
     # a noisy host is visible rather than silently absorbed.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # SPARK_GRAFT_BENCH_SUBSET=common30 runs ONLY the round-4-era suite
+    # (drift A/B experiments: common-30 alone vs embedded in the full
+    # suite); SPARK_GRAFT_BENCH_QUERIES_ONLY=1 skips the ETL/streaming/
+    # replay/gate sections for quick query-only comparisons.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "")
+    headline = HEADLINE[:COMMON30_COUNT] if subset == "common30" else HEADLINE
+    queries_only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES_ONLY") == "1"
     overrides = _raw_operator_overrides()
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = overrides.get(name) or QUERIES[name]
         runs = []
         for _ in range(repeats):
@@ -428,9 +435,9 @@ def main() -> None:
         timings[name] = round(runs[len(runs) // 2], 3)
         spreads[name] = [round(x, 3) for x in runs]
 
-    gates = bench_gate_costs(spark, sf_dir)
-    etl = bench_etl_throughput(spark)
-    streaming = bench_streaming_keepup(spark)
+    gates = {} if queries_only else bench_gate_costs(spark, sf_dir)
+    etl = {} if queries_only else bench_etl_throughput(spark)
+    streaming = {} if queries_only else bench_streaming_keepup(spark)
 
     def replay_median(model: str) -> dict:
         # Same median-of-repeats discipline as the headline queries: the
@@ -452,8 +459,8 @@ def main() -> None:
         med["runs_rec_per_sec"] = [r["recs_per_sec"] for r in runs]
         return med
 
-    kinesis_replay = replay_median("kinesis")
-    kafka_replay = replay_median("kafka")
+    kinesis_replay = {} if queries_only else replay_median("kinesis")
+    kafka_replay = {} if queries_only else replay_median("kafka")
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
