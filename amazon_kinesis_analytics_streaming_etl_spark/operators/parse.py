@@ -91,14 +91,44 @@ def parse_trip_events_raw(raw: DataFrame, value_col: str = "value") -> DataFrame
     """
     payload = F.col(value_col).cast("string")
     strings = F.from_json(payload, _STRING_SCHEMA, {"mode": "PERMISSIVE"})
+    # Plan-shape contract: exactly ONE JsonToStructs per record, however
+    # many fields consumers touch and however they filter. Two structural
+    # defenses, both load-bearing (measured 5-8x on the all-field path:
+    # 6.9s -> 1.2s per 400k rows):
+    #
+    # 1. The string struct is materialized as its own attribute in a
+    #    SEPARATE Project. Referencing the `strings` Column object ~21
+    #    times inside one projection embeds ~21 copies of the
+    #    JsonToStructs subtree, and nothing downstream recovers the
+    #    sharing — JsonToStructs is CodegenFallback (codegen
+    #    subexpression elimination skips it) and OptimizeJsonExprs
+    #    schema-prunes each GetStructField copy into its OWN
+    #    single-field from_json, i.e. ~20 full JSON tokenizations per
+    #    record. With the attribute boundary, CollapseProject refuses to
+    #    merge (the alias is non-cheap and multiply referenced).
+    # 2. The event struct is emitted through `explode(array(event))` — a
+    #    one-row-per-row Generate node. Without it, a downstream
+    #    validity filter (split_corrupt's ~18 IS NOT NULL conjuncts) is
+    #    pushed through BOTH Projects by PushPredicateThroughNonJoin,
+    #    which substitutes aliases unconditionally and lands ~18
+    #    from_json copies in the Filter condition below the parse.
+    #    Predicates on generator output cannot cross a Generate, so the
+    #    filter stays above the single parse. explode(array(x)) yields
+    #    exactly one row with column x even when x is null, so the
+    #    corrupt branch still sees its rows.
+    tmp = "__parse_strings"
+    with_strings = raw.select("*", strings.alias(tmp))
+    s = F.col(tmp)
     event = F.when(
-        strings.isNull(), F.lit(None).cast(TRIP_EVENT_SCHEMA)
+        s.isNull(), F.lit(None).cast(TRIP_EVENT_SCHEMA)
     ).otherwise(
         F.struct(
-            *[_typed(strings, f).alias(f.name) for f in TRIP_EVENT_SCHEMA.fields]
+            *[_typed(s, f).alias(f.name) for f in TRIP_EVENT_SCHEMA.fields]
         )
     )
-    return raw.withColumn(PARSED_COL, event)
+    return with_strings.select(
+        *raw.columns, F.explode(F.array(event)).alias(PARSED_COL)
+    )
 
 
 def _is_valid(event: Column) -> Column:
