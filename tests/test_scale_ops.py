@@ -347,3 +347,37 @@ def test_global_cumsum_property_random_frames(spark):
         )
 
     run()
+
+
+def test_quantile_bucket_binary_search_matches_searchsorted(spark):
+    """_with_bucket_col's O(bits)-per-row binary search must equal the
+    definitional bucket id — count of boundaries <= value, capped at
+    2^bits - 1 (numpy searchsorted side='right') — including exact
+    boundary hits, duplicated boundaries, NaN (top bucket), and NULL
+    (bucket 0)."""
+    import numpy as np
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        _with_bucket_col,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [rng.normal(0, 100, 2000), rng.choice([0.0, 1.0], 100), [np.nan] * 3]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    for bits in (3, 5, 8):
+        bounds = sorted(rng.normal(0, 100, (1 << bits) - 1).tolist())
+        bounds[1] = bounds[0]  # duplicated boundary (skew)
+        got = _with_bucket_col(df, "v", bounds, bits, "b").toPandas()
+        exp = np.minimum(
+            np.searchsorted(np.array(bounds), got["v"].to_numpy(), side="right"),
+            (1 << bits) - 1,
+        )
+        assert (got["b"].to_numpy() == exp).all(), f"bits={bits}"
+    nulls = spark.createDataFrame([(None,), (5.0,)], "v double")
+    got = {
+        r.v: r.b
+        for r in _with_bucket_col(nulls, "v", [1.0, 2.0, 3.0], 2, "b").collect()
+    }
+    assert got[None] == 0 and got[5.0] == 3
