@@ -1518,8 +1518,18 @@ def json_variant_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.from_json("props", "k INT").alias("raw"),
         )
     )
-    v = F.parse_json(doc)
-    ex = ev.select(
+    # The variant binary materializes as its OWN attribute before the
+    # extractions: referencing the parse_json Column object three times
+    # in one projection would embed three copies of the whole
+    # parse_json(to_json(struct(from_json(props)))) chain — CodegenFallback
+    # expressions are never deduplicated by codegen subexpression
+    # elimination, so each record would be parsed three times.
+    # CollapseProject keeps the boundary (non-cheap alias, multiply
+    # referenced), so the plan holds exactly ONE parse per record — the
+    # variant win the docstring advertises.
+    parsed = ev.select(F.parse_json(doc).alias("__variant"))
+    v = F.col("__variant")
+    ex = parsed.select(
         F.variant_get(v, "$.t", "string").alias("t"),
         F.variant_get(v, "$.m.val", "double").alias("val"),
         F.variant_get(v, "$.raw.k", "int").alias("k"),

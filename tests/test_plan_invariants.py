@@ -146,3 +146,40 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_json_parse_evaluates_once_per_record(spark):
+    """CodegenFallback JSON parsers (JsonToStructs, VariantExpressionEval)
+    are never deduplicated by codegen subexpression elimination, and
+    OptimizeJsonExprs/pushdown can multiply an inlined reference into one
+    full tokenization per consumer — a silent O(n_fields) slowdown on the
+    hottest paths (the r7 parse regression: ~38 from_json per record).
+    Pin the single-parse plan contract for every JSON-parsing entry
+    point: at most ONE from_json occurrence per source JSON column in
+    the optimized plan."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.parse import (
+        parse_trip_events,
+        split_corrupt,
+    )
+
+    raw = spark.createDataFrame([("{}",)], "value string")
+    for label, df in (
+        ("parse_trip_events", parse_trip_events(raw)),
+        ("split_corrupt.valid", split_corrupt(raw)[0]),
+        ("split_corrupt.corrupt", split_corrupt(raw)[1]),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n = plan.count("from_json")
+        assert n <= 1, f"{label}: {n} from_json in plan (must be 1)"
+
+    qs = _batch_queries()
+    plan = (
+        qs["json_variant_typed"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # one from_json (the nested props field) and one variant parse
+    assert plan.count("from_json") <= 1, plan
