@@ -1,9 +1,15 @@
 """Vector math over ``array<float>`` columns — pure JVM expressions.
 
-Built on ``zip_with`` / ``aggregate`` higher-order functions so the hot
-path stays inside whole-stage codegen (no Python). Used by the similarity
-and embedding-dedup operators. At 100 TB these expressions scale linearly
-per-row with no shuffle; shuffles only appear in the surrounding join/topk.
+Built on ``zip_with`` / ``aggregate`` higher-order functions: JVM-side
+(no Python serialization), but note HOFs are evaluated INTERPRETED per
+element — lambda expressions never enter whole-stage codegen. That
+constant is fine for per-ROW linear work (norms, quantization, per-doc
+scoring: one O(dim) pass per row, dwarfed by scan I/O), and wrong for
+per-PAIR hot loops — quadratic verification twins go through a numpy
+gram matrix on a bounded collect (plans/llm._exact_cos_pairs), and any
+production pair path is LSH/bucket-bounded before cosine runs. At
+100 TB these expressions scale linearly per-row with no shuffle;
+shuffles only appear in the surrounding join/topk.
 """
 
 from __future__ import annotations

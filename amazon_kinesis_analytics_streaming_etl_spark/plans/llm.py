@@ -575,25 +575,50 @@ def _exact_cos_pairs(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
     """Gate-scale exact twin: all cos>=threshold pairs, sampled down to
-    the md5 slice when SPARK_GRAFT_GATE_SAMPLE_MOD > 1 (an all-pairs join
-    is verification-side only — sampling shrinks it by mod^2)."""
-    from ..functions.vectors import cosine
+    the md5 slice when SPARK_GRAFT_GATE_SAMPLE_MOD > 1.
 
-    base = _emb(spark, sf_dir).select(
-        F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
-    )
+    Computed as a numpy gram matrix over a bounded collect, NOT a
+    distributed self-join: the twin is the verification harness, bounded
+    at gate scale by contract (the guard below), and the quadratic pair
+    set it materializes is exactly one matrix product driver-side
+    (2000x2000 cosines in milliseconds) where the self-join form spent
+    ~140s/sweep interpreting per-element array lambdas across 2M
+    BroadcastNestedLoopJoin pairs. The operators under test stay fully
+    distributed; only their exact mirror runs here. Rounding replicates
+    Spark/DuckDB ROUND (half away from zero) so the cross-engine
+    exact_pairs count is bit-stable; zero-norm vectors drop out (NULL
+    cosine semantics -> NaN here, which fails the >= filter)."""
+    import numpy as np
+
+    base = _emb(spark, sf_dir).select("vec_id", "embedding")
     mod = _gate_sample_mod()
     if mod > 1:
-        base = base.where(_md5_sampled(F.col("_id"), mod))
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+        base = base.where(_md5_sampled(F.col("vec_id"), mod))
+    rows = base.collect()
+    n = len(rows)
+    if n > 20_000:  # ~3 GB of float64 gram matrix; the twin is gate-scale
+        raise ValueError(
+            f"_exact_cos_pairs is a gate-scale verification twin ({n} "
+            "vectors collected; cap 20000). Set SPARK_GRAFT_GATE_SAMPLE_MOD "
+            "or use the distributed operators for production pair-finding."
         )
-        .where(F.col("cos_sim") >= threshold)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    denom = np.outer(nrm, nrm)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        C = np.where(denom != 0.0, (M @ M.T) / denom, np.nan)
+    Cr = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+    iu, ju = np.triu_indices(n, k=1)
+    keep = Cr[iu, ju] >= threshold  # NaN (zero-norm) fails, as NULL did
+    ia, ib = ids[iu[keep]], ids[ju[keep]]
+    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+    sims = Cr[iu[keep], ju[keep]]
+    import pandas as pd
+
+    out = pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims})
+    return spark.createDataFrame(
+        out, schema="id_a long, id_b long, cos_sim double"
     )
 
 
