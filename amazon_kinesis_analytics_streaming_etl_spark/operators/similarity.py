@@ -17,6 +17,8 @@ scoring loop).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -508,3 +510,109 @@ def pq_topk(
         F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ann_recall_eval(
+    df: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    query_pred=None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Index-quality evaluation: recall@k and nDCG@k of the sign-bit LSH
+    ranking against the exact cosine ranking, batched over a panel of
+    query vectors — the monitoring op that tells you whether an ANN
+    index is still good enough to serve before you rebuild it.
+
+    ``query_pred`` selects the query panel (default: every 50th id — a
+    deterministic ~2% sample). Returns one row per query:
+    ``(qid, recall_at_k, ndcg_at_k, n_candidates)``.
+
+    Plan shape (scale posture): ONE pass over the corpus per evaluation —
+    the bounded query panel broadcasts into a BroadcastNestedLoopJoin
+    (Q x N scoring, the ground-truth ranking is inherently linear in N
+    per query; that is what makes this an EVAL harness with a bounded
+    panel, not a serving path). Both the exact and the LSH ranking come
+    from the same joined relation: rank windows partitioned by query id,
+    the LSH ranking ranked only within ``probe_hamming`` of the query
+    signature (multi-probe candidacy from a bit_count on the packed
+    signatures — no second scan, no per-query driver loop). Relevance
+    for nDCG is binary membership in the exact top-k, so IDCG is the
+    closed-form sum 1/log2(r+1) and every metric is a per-query O(k)
+    aggregate.
+    """
+    if query_pred is None:
+        query_pred = (F.col(id_col) % 50) == 0
+    sig = sign_bits(F.col(vec_col), planes)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        sig.alias("_sig"),
+    )
+    queries = (
+        df.where(query_pred)
+        .select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qv"),
+            sig.alias("_qsig"),
+        )
+    )
+    joined = base.crossJoin(F.broadcast(queries)).where(
+        F.col("_id") != F.col("_qid")
+    )
+    scored = joined.select(
+        "_qid",
+        "_id",
+        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("_cos"),
+        (
+            F.bit_count(
+                F.col("_sig").bitwiseXOR(F.col("_qsig"))
+            )
+            <= F.lit(probe_hamming)
+        ).alias("_cand"),
+    )
+    from pyspark.sql import Window
+
+    w_exact = Window.partitionBy("_qid").orderBy(
+        F.col("_cos").desc(), F.col("_id").asc()
+    )
+    w_approx = Window.partitionBy("_qid", "_cand").orderBy(
+        F.col("_cos").desc(), F.col("_id").asc()
+    )
+    ranked = scored.select(
+        "_qid",
+        "_id",
+        "_cand",
+        F.row_number().over(w_exact).alias("_xrank"),
+        F.row_number().over(w_approx).alias("_arank"),
+    )
+    idcg = sum(1.0 / math.log2(r + 1) for r in range(1, k + 1))
+    per_q = ranked.groupBy(F.col("_qid").alias("qid")).agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("_xrank") <= k)
+                    & F.col("_cand")
+                    & (F.col("_arank") <= k),
+                    1,
+                ).otherwise(0)
+            ).cast("double")
+            / F.lit(float(k))
+        ).alias("recall_at_k"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("_xrank") <= k)
+                    & F.col("_cand")
+                    & (F.col("_arank") <= k),
+                    F.lit(1.0)
+                    / F.log2(F.col("_arank").cast("double") + F.lit(1.0)),
+                ).otherwise(F.lit(0.0))
+            )
+            / F.lit(idcg)
+        ).alias("ndcg_at_k"),
+        F.sum(F.when(F.col("_cand"), 1).otherwise(0)).alias("n_candidates"),
+    )
+    return per_q

@@ -34,13 +34,21 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # round-1-stale names, leaving the 33 round-3 signals as the oldest.
 # Round 7 therefore front-loads: (a) every query whose CODE changed this
 # round and so needs a fresh driver green — the parse-transiting ETL
-# family (P1 quoted-numeric coercion rework), the murmur2-vectorized
-# Kafka roundtrip, and the six sf0.1-sweep fixes (hourly-avg float32
-# squash, theta union-relative gate, -0.0 normalization) — then (b) ALL
-# 33 queries whose last driver check is round 3 (there is no older
-# signal left). 3 + 14 + 33 = 50 = the window.
+# family (P1 quoted-numeric coercion rework + the single-tokenization
+# plan fix), the murmur2-vectorized Kafka roundtrip, the six
+# sf0.1-sweep fixes (hourly-avg float32 squash, theta union-relative
+# gate, -0.0 normalization), the late-round-7 plan/perf fixes
+# (variant single-parse, O(bits) Z-order bucketing, numpy exact-cosine
+# twin) and the new ann_quality_eval — then (b) the oldest round-3
+# signals in age order; the ~5 that now fall past the ~50 budget are
+# the oldest again next round and lead the r8 window.
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
+    "ann_quality_eval",
+    "json_variant_typed",
+    "layout_zorder_stats",
+    "dedup_embedding_lsh",
+    "dedup_embedding_multitable",
     "parse_dead_letter",
     "serialize_projection_contract",
     "pipeline_fanout_replay",

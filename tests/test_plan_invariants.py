@@ -36,6 +36,9 @@ SCALAR_THRESHOLD_QUERIES = {
     "text_lm_bigram_score",
     # etl: valid x corrupt 1-row summary aggregates (dead-letter split).
     "parse_dead_letter",
+    # ANN eval: the bounded ~2% query panel broadcasts into the QxN
+    # ground-truth scoring pass (linear in N per query by design).
+    "ann_quality_eval",
     # sketches: exact-twin x estimate 1-row scalar gate joins.
     "sketch_theta_audience",
     # approx-vs-exact gate queries: crossJoins of 1-row summary aggregates

@@ -380,3 +380,73 @@ def test_stateful_running_totals_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_ann_recall_eval_matches_numpy_reference(spark):
+    """ann_recall_eval's recall@k / nDCG@k must equal a from-scratch
+    numpy computation of the same definitions: exact ranking by
+    (rounded cosine desc, id asc) excluding self; LSH candidacy =
+    signature Hamming distance <= probe_hamming; approx ranking among
+    candidates only; binary relevance = membership in the exact top-k;
+    IDCG = sum 1/log2(r+1)."""
+    import math
+
+    import numpy as np
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.similarity import (
+        ann_recall_eval,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim, k, nbits = 120, 16, 5, 6
+    M = rng.normal(size=(n, dim))
+    planes = rng.normal(size=(nbits, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.qid: (r.recall_at_k, r.ndcg_at_k, r.n_candidates)
+        for r in ann_recall_eval(
+            df,
+            [[float(x) for x in p] for p in planes],
+            k=k,
+            query_pred=(F.col("vec_id") % 10) == 0,
+            probe_hamming=1,
+        ).collect()
+    }
+
+    # numpy reference over the float32-roundtripped vectors (the table
+    # stores array<float>)
+    Mf = M.astype(np.float32).astype(np.float64)
+    nrm = np.linalg.norm(Mf, axis=1)
+    C = (Mf @ Mf.T) / np.outer(nrm, nrm)
+    Cr = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+    sigs = ((Mf @ planes.astype(np.float32).astype(np.float64).T) >= 0) @ (
+        1 << np.arange(nbits)
+    )
+    idcg = sum(1.0 / math.log2(r + 1) for r in range(1, k + 1))
+    for q in range(0, n, 10):
+        order = sorted(
+            (i for i in range(n) if i != q), key=lambda i: (-Cr[q, i], i)
+        )
+        exact = set(order[:k])
+        cand = [
+            i
+            for i in order
+            if bin(int(sigs[q]) ^ int(sigs[i])).count("1") <= 1
+        ]
+        approx = cand[:k]
+        recall = len(exact & set(approx)) / k
+        ndcg = (
+            sum(
+                1.0 / math.log2(r + 2)
+                for r, i in enumerate(approx)
+                if i in exact
+            )
+            / idcg
+        )
+        g_recall, g_ndcg, g_cands = got[q]
+        assert abs(g_recall - recall) < 1e-9, (q, g_recall, recall)
+        assert abs(g_ndcg - ndcg) < 1e-9, (q, g_ndcg, ndcg)
+        assert g_cands == len(cand), (q, g_cands, len(cand))
