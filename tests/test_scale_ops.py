@@ -381,3 +381,78 @@ def test_quantile_bucket_binary_search_matches_searchsorted(spark):
         for r in _with_bucket_col(nulls, "v", [1.0, 2.0, 3.0], 2, "b").collect()
     }
     assert got[None] == 0 and got[5.0] == 3
+
+
+def test_salted_ops_equivalence_property(spark):
+    """Hypothesis: for arbitrary key/value multisets (hot keys, NULL
+    values, negative keys, duplicate right rows) salted_agg equals the
+    plain groupBy and salted_join equals the plain join for every
+    left-preserving how — salting must be a pure physical rewrite."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        salted_agg,
+        salted_join,
+    )
+
+    keys = st.integers(min_value=-3, max_value=3)
+    vals = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        left=st.lists(st.tuples(keys, vals), min_size=0, max_size=40),
+        right=st.lists(st.tuples(keys, vals), min_size=0, max_size=8),
+        n_salts=st.sampled_from([1, 3, 16]),
+    )
+    def run(left, right, n_salts):
+        ldf = spark.createDataFrame(left, "k int, v int") if left else (
+            spark.createDataFrame([], "k int, v int")
+        )
+        rdf = spark.createDataFrame(right, "k int, w int") if right else (
+            spark.createDataFrame([], "k int, w int")
+        )
+        got = {
+            (r.k, r.sum_v, r.count_v, r.avg_v)
+            for r in salted_agg(
+                ldf,
+                ["k"],
+                [("v", "sum"), ("v", "count"), ("v", "avg")],
+                n_salts=n_salts,
+            )
+            .select(
+                "k",
+                "sum_v",
+                "count_v",
+                F.round("avg_v", 9).alias("avg_v"),
+            )
+            .collect()
+        }
+        want = {
+            (r.k, r.sum_v, r.count_v, r.avg_v)
+            for r in ldf.groupBy("k")
+            .agg(
+                F.sum("v").alias("sum_v"),
+                F.count("v").alias("count_v"),
+                F.round(F.avg("v"), 9).alias("avg_v"),
+            )
+            .collect()
+        }
+        assert got == want
+
+        def norm(rows):  # None-safe canonical multiset ordering
+            return sorted(
+                (tuple(r) for r in rows),
+                key=lambda t: tuple((x is None, x) for x in t),
+            )
+
+        for how in ("inner", "left", "left_semi", "left_anti"):
+            gj = norm(salted_join(ldf, rdf, "k", n_salts=n_salts, how=how).collect())
+            wj = norm(ldf.join(rdf, "k", how).collect())
+            assert gj == wj, (how, n_salts)
+
+    run()
