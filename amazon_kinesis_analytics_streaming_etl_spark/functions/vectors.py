@@ -37,7 +37,19 @@ def norm(a: Column | str) -> Column:
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL-safe on zero-norm vectors (returns NULL)."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
-    denom = norm(a) * norm(b)
+    return cosine_from_norms(a, b, norm(a), norm(b))
+
+
+def cosine_from_norms(
+    a: Column, b: Column, nrm_a: Column, nrm_b: Column
+) -> Column:
+    """``cosine`` with the two L2 norms supplied by the caller — for
+    pair self-joins that precompute ``norm`` per ROW before the join
+    (bit-identical to :func:`cosine`: same fold expressions, same float
+    order, just evaluated once per row instead of once per pair). The
+    zero-norm -> NULL contract lives HERE so the per-pair and
+    norms-precomputed forms cannot drift."""
+    denom = nrm_a * nrm_b
     return F.when(denom != 0.0, dot(a, b) / denom)
 
 

@@ -595,12 +595,11 @@ def embedding_near_dup_pairs(
     recall matters). The true all-pairs form requires the explicit
     ``allow_all_pairs=True`` opt-in.
     """
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import cosine_from_norms, norm
 
     # L2 norm precomputed per ROW before the self-join — bit-identical to
-    # evaluating cosine() per pair (same fold expression, same float
-    # order) while dropping the per-pair interpreted HOF element evals
-    # ~40% (norms are the quadratic path's fixed tax otherwise)
+    # evaluating cosine() per pair (see cosine_from_norms) while dropping
+    # the per-pair interpreted HOF element evals ~40%
     cols = [
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -616,8 +615,9 @@ def embedding_near_dup_pairs(
     cond = F.col("a._id") < F.col("b._id")
     if block_col is not None:
         cond = cond & (F.col("a._blk") == F.col("b._blk"))
-    den = F.col("a._nrm") * F.col("b._nrm")
-    cos_pair = F.when(den != 0.0, dot(F.col("a._v"), F.col("b._v")) / den)
+    cos_pair = cosine_from_norms(
+        F.col("a._v"), F.col("b._v"), F.col("a._nrm"), F.col("b._nrm")
+    )
     pairs = a.join(b, cond).select(
         F.col("a._id").alias("id_a"),
         F.col("b._id").alias("id_b"),

@@ -59,8 +59,6 @@ PARSED_COL = "event"
 #: reference's producers emit.
 TIMESTAMP_FORMAT = "yyyy-MM-dd['T'HH:mm[:ss[.SSSSSSSSS]]][XXX]"
 
-PARSE_OPTIONS = {"mode": "PERMISSIVE", "timestampFormat": TIMESTAMP_FORMAT}
-
 #: All-string-leaf twin of TRIP_EVENT_SCHEMA: from_json captures every
 #: scalar token's text; the typed projection below applies the coercion
 #: pins field-by-field.

@@ -337,10 +337,9 @@ def topk_pairs_per_group(
     from pyspark.sql import Window
 
     # L2 norms precompute per ROW before the self-join (bit-identical to
-    # the per-pair form: same fold expression, same float order, just
-    # evaluated once per row instead of once per pair — interpreted HOF
-    # element evals per pair drop ~40%)
-    from ..functions.vectors import dot, norm
+    # the per-pair form, see cosine_from_norms — interpreted HOF element
+    # evals per pair drop ~40%)
+    from ..functions.vectors import cosine_from_norms, norm
 
     base = df.select(
         F.col(group_col).alias("grp"),
@@ -349,8 +348,9 @@ def topk_pairs_per_group(
         norm(F.col(vec_col)).alias("_nrm"),
     )
     a, b = base.alias("a"), base.alias("b")
-    den = F.col("a._nrm") * F.col("b._nrm")
-    cos_pair = F.when(den != 0.0, dot(F.col("a._v"), F.col("b._v")) / den)
+    cos_pair = cosine_from_norms(
+        F.col("a._v"), F.col("b._v"), F.col("a._nrm"), F.col("b._nrm")
+    )
     pairs = a.join(
         b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a._id") < F.col("b._id"))
     ).select(
@@ -539,7 +539,11 @@ def ann_recall_eval(
 
     ``query_pred`` selects the query panel (default: every 50th id — a
     deterministic ~2% sample). Returns one row per query:
-    ``(qid, recall_at_k, ndcg_at_k, n_candidates)``.
+    ``(qid, recall_at_k, ndcg_at_k, n_candidates, exact_topk_id_sum)``
+    — the last is the id-sum of the query's exact top-k, an
+    oracle-crossable fingerprint of the ground-truth ranking, computed
+    in the SAME pass (gates must not re-run the Q x N scoring to get a
+    checkable exact side).
 
     Plan shape (scale posture): ONE pass over the corpus per evaluation —
     the bounded query panel broadcasts into a BroadcastNestedLoopJoin
@@ -625,5 +629,8 @@ def ann_recall_eval(
             / F.lit(idcg)
         ).alias("ndcg_at_k"),
         F.sum(F.when(F.col("_cand"), 1).otherwise(0)).alias("n_candidates"),
+        F.sum(F.when(F.col("_xrank") <= k, F.col("_id")))
+        .cast("long")
+        .alias("exact_topk_id_sum"),
     )
     return per_q

@@ -585,8 +585,13 @@ def _exact_cos_pairs(
     ~140s/sweep interpreting per-element array lambdas across 2M
     BroadcastNestedLoopJoin pairs. The operators under test stay fully
     distributed; only their exact mirror runs here. Rounding replicates
-    Spark/DuckDB ROUND (half away from zero) so the cross-engine
-    exact_pairs count is bit-stable; zero-norm vectors drop out (NULL
+    Spark/DuckDB ROUND (half away from zero); the cross-engine float
+    story is the same class as the previous distributed form's — BLAS
+    summation order and the *1e6+0.5 emulation can each differ from an
+    engine's sequential fold by ~1 ulp, so a cosine sitting exactly on
+    a six-decimal threshold boundary could in principle land
+    differently (the prior Spark fold had the same exposure vs DuckDB's
+    fold; green at sf0.001/0.01/0.1). Zero-norm vectors drop out (NULL
     cosine semantics -> NaN here, which fails the >= filter)."""
     import numpy as np
 
@@ -596,6 +601,11 @@ def _exact_cos_pairs(
         base = base.where(_md5_sampled(F.col("vec_id"), mod))
     rows = base.collect()
     n = len(rows)
+    if n < 2:  # empty/degenerate slice -> no pairs (np.array([]) is 1-D;
+        # norm(axis=1) would raise AxisError before any pair forms)
+        return spark.createDataFrame(
+            [], schema="id_a long, id_b long, cos_sim double"
+        )
     if n > 20_000:  # ~3 GB of float64 gram matrix; the twin is gate-scale
         raise ValueError(
             f"_exact_cos_pairs is a gate-scale verification twin ({n} "
@@ -1257,34 +1267,16 @@ def ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.10): single-table 8-bit LSH at this dimensionality is a
     low-recall index — which is precisely what this operator exists to
     make visible."""
-    from pyspark.sql import Window
-
-    from ..functions.vectors import cosine
     from ..operators.similarity import ann_recall_eval
 
     emb = _emb(spark, sf_dir)
+    # ONE Q x N pass: the per-query frame carries the oracle-crossable
+    # exact-top-10 id-sum alongside the approx metrics, so the gate
+    # never re-runs the ground-truth scoring for its exact side.
     per_q = ann_recall_eval(emb, LSH_PLANES, k=10, probe_hamming=1)
-    metrics = per_q.agg(
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("exact_topk_id_sum").cast("long").alias("exact_topk_id_sum"),
         (F.avg("recall_at_k") >= F.lit(0.05)).alias("recall_ok"),
         (F.avg("ndcg_at_k") >= F.lit(0.10)).alias("ndcg_ok"),
     )
-    # oracle-crossable exact side: same Q x N ranking shape as the eval
-    base = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
-    qs = emb.where((F.col("vec_id") % 50) == 0).select(
-        F.col("vec_id").alias("_qid"), F.col("embedding").alias("_qv")
-    )
-    j = base.crossJoin(F.broadcast(qs)).where(F.col("_id") != F.col("_qid"))
-    w = Window.partitionBy("_qid").orderBy(
-        F.round(cosine(F.col("_v"), F.col("_qv")), 6).desc(),
-        F.col("_id").asc(),
-    )
-    ranked = j.select(
-        "_qid", "_id", F.row_number().over(w).alias("_rnk")
-    )
-    exact_side = ranked.agg(
-        F.countDistinct("_qid").cast("long").alias("n_queries"),
-        F.sum(F.when(F.col("_rnk") <= 10, F.col("_id")))
-        .cast("long")
-        .alias("exact_topk_id_sum"),
-    )
-    return exact_side.crossJoin(metrics)

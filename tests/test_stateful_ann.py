@@ -406,7 +406,7 @@ def test_ann_recall_eval_matches_numpy_reference(spark):
         "vec_id long, embedding array<float>",
     )
     got = {
-        r.qid: (r.recall_at_k, r.ndcg_at_k, r.n_candidates)
+        r.qid: (r.recall_at_k, r.ndcg_at_k, r.n_candidates, r.exact_topk_id_sum)
         for r in ann_recall_eval(
             df,
             [[float(x) for x in p] for p in planes],
@@ -446,7 +446,8 @@ def test_ann_recall_eval_matches_numpy_reference(spark):
             )
             / idcg
         )
-        g_recall, g_ndcg, g_cands = got[q]
+        g_recall, g_ndcg, g_cands, g_idsum = got[q]
         assert abs(g_recall - recall) < 1e-9, (q, g_recall, recall)
         assert abs(g_ndcg - ndcg) < 1e-9, (q, g_ndcg, ndcg)
         assert g_cands == len(cand), (q, g_cands, len(cand))
+        assert g_idsum == sum(exact), (q, g_idsum, sum(exact))
