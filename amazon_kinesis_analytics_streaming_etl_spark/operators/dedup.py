@@ -461,6 +461,95 @@ def dup_clusters(
     return labels.select(F_.col("id").alias("doc_id"), F_.col("comp").alias("cluster_id"))
 
 
+def dup_clusters_alternating(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the designated SCALE path for :func:`dup_clusters`.
+
+    Same contract as ``dup_clusters``: (doc_id, cluster_id) with
+    cluster_id = min doc id in the component, covering every id that
+    appears in ``pairs``. The difference is convergence: min-label
+    propagation needs O(diameter) rounds — fine for dup graphs (short
+    chains), pathological for adversarial inputs (one 10^6-node chain
+    = 10^6 shuffles). Alternating stars converge in O(log^2 n) rounds
+    on ANY graph by rewiring edges toward component minima:
+
+    - large-star(u): every neighbor v > u re-points to
+      m = min(N(u) + {u}) — emitted per-edge after a groupBy(u).agg(min)
+      + join-back, so neighborhoods are never collected into arrays and
+      a high-degree hub costs a wide join, not a wide row.
+    - small-star(u): over hi->lo directed edges, every smaller neighbor
+      (and u itself) re-points to m = min of the smaller neighborhood.
+
+    At the fixed point the edge set is a forest of stars (leaf ->
+    component min); roots are the ids never appearing on the hi side.
+    Each half-round is one groupBy shuffle + one hash join;
+    localCheckpoint truncates lineage per round, and the fixed point is
+    detected with two left-anti probes (edge sets are compared, not
+    collected). Raises RuntimeError if max_iter rounds don't converge
+    (log^2-bounded: 50 covers any conceivable graph) rather than return
+    a wrong labeling.
+    """
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    nodes = (
+        fwd.select(F.col("u").alias("id"))
+        .union(rev.select(F.col("u").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical directed hi -> lo, self-loops dropped
+    e = fwd.union(rev).where(F.col("u") > F.col("v")).distinct().localCheckpoint()
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the undirected view: (v, m) for every v > u
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = und.groupBy("u").agg(F.min("v").alias("_mnv"))
+        mn = mn.select("u", F.least(F.col("u"), F.col("_mnv")).alias("m"))
+        # v > u >= m, so the emitted (v, m) is already hi->lo and loop-free
+        ls = (
+            und.join(mn, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over hi->lo: every smaller neighbor and u re-point to
+        # the smaller-neighborhood min (v >= m always; v == m self-loop
+        # dropped), output stays canonical
+        mn2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            ls.join(mn2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mn2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        same = (
+            new_e.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
+            and e.join(new_e, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        e = new_e
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"alternating-star CC did not converge in {max_iter} rounds "
+            "(log^2-bounded; this indicates a bug, not a hard graph)"
+        )
+    leaves = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = nodes.join(
+        e.select(F.col("u").alias("id")).distinct(), "id", "left_anti"
+    ).select(F.col("id").alias("doc_id"), F.col("id").alias("cluster_id"))
+    return leaves.unionByName(roots)
+
+
 # --- SimHash ----------------------------------------------------------------
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

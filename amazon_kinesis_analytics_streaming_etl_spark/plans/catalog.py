@@ -44,6 +44,10 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # the oldest again next round and lead the r8 window.
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
+    "dedup_clusters_scale",  # new: alternating-star CC scale path
+    "dedup_clusters",
+    "dedup_embedding",
+    "sim_topk_pairs_per_label",
     "ann_quality_eval",
     "json_variant_typed",
     "layout_zorder_stats",

@@ -246,9 +246,10 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    """
+# Shared by dedup_clusters and dedup_clusters_scale: both compute the
+# same (doc_id, cluster_id) labeling, so one recursive-CTE oracle serves
+# the plain and the alternating-star implementations.
+_CC_ORACLE = """
     WITH RECURSIVE sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -279,8 +280,10 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.id
     )
     SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id
-    """,
-)
+    """
+
+
+@register("dedup_clusters", _CC_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> connected components -> (doc_id, cluster_id):
     the keep-one-per-cluster curation step. Spark side is iterative
@@ -288,6 +291,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same components with a recursive CTE."""
     pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
     return dup_clusters(pairs)
+
+
+@register("dedup_clusters_scale", _CC_ORACLE)
+def dedup_clusters_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same labeling as ``dedup_clusters``, computed by the alternating
+    large-star/small-star algorithm (Kiveris et al. 2014) — O(log^2 n)
+    rounds on any graph vs min-label's O(diameter), the form that holds
+    when a 100 TB corpus's dup graph contains long chains (boilerplate
+    that drifts gradually across crawls chains thousands of docs). The
+    two implementations share one oracle because their contract is
+    identical; equivalence is also property-tested directly
+    (tests/test_dedup_similarity.py)."""
+    from ..operators.dedup import dup_clusters_alternating
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+    return dup_clusters_alternating(pairs)
 
 
 # Shared DuckDB CTE: exact word-3-shingle Jaccard>=0.5 pair set (the

@@ -176,6 +176,107 @@ def test_dup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def _union_find_labels(edges):
+    """Pure-Python reference: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_graph(name):
+    import random
+
+    if name == "path200":
+        # diameter 200: min-label propagation would need ~200 rounds;
+        # alternating stars must land inside the log^2 cap below
+        return [(i, i + 1) for i in range(200)]
+    if name == "cliques":
+        return [
+            (a, b)
+            for base in (0, 100, 200)
+            for a in range(base, base + 10)
+            for b in range(a + 1, base + 10)
+        ]
+    if name == "star":
+        return [(0, i) for i in range(1, 64)]
+    if name == "random_sparse":
+        rng = random.Random(7)
+        return [
+            tuple(sorted(rng.sample(range(500), 2))) for _ in range(300)
+        ]
+    if name == "random_dense":
+        rng = random.Random(11)
+        return [tuple(sorted(rng.sample(range(60), 2))) for _ in range(400)]
+    raise ValueError(name)
+
+
+@pytest.mark.parametrize(
+    "graph", ["path200", "cliques", "star", "random_sparse", "random_dense"]
+)
+def test_alternating_star_cc_matches_union_find(spark, graph):
+    """dup_clusters_alternating (large-star/small-star, the scale path)
+    labels every component with its min id on shapes chosen to break
+    naive propagation — including a diameter-200 path under a 12-round
+    cap, the O(log^2 n) convergence the algorithm is FOR."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        dup_clusters_alternating,
+    )
+
+    edges = _cc_graph(graph)
+    expected = _union_find_labels(edges)
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    out = dup_clusters_alternating(pairs, max_iter=12).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == expected
+    assert len(out) == len(got)  # exactly one row per node
+
+
+def test_alternating_star_cc_agrees_with_min_label_propagation(spark):
+    """The two CC implementations are interchangeable on the same random
+    pair set (the plain form is the small-diameter default; the
+    alternating form is the documented 100 TB path)."""
+    import random
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_alternating,
+    )
+
+    rng = random.Random(3)
+    edges = [tuple(sorted(rng.sample(range(120), 2))) for _ in range(90)]
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    plain = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    alt = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters_alternating(pairs).collect()
+    }
+    assert alt == plain
+
+
+def test_alternating_star_cc_empty_input(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        dup_clusters_alternating,
+    )
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters_alternating(pairs).count() == 0
+
+
 # --- storage hygiene --------------------------------------------------------
 
 
