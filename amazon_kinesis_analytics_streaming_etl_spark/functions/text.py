@@ -170,19 +170,14 @@ def rolling_hashes(text: Column | str, window: int = 8) -> Column:
     )
 
 
-def shingle_hashes(text: Column | str, k: int = 3) -> Column:
-    """Distinct word-k-shingle hashes as array<bigint> — the linear-time
-    signature used by the dedup operators.
-
-    Built with ``zip_with`` chains so every array expression is evaluated
-    a constant number of times per row (a naive
-    ``transform(sequence, i -> hash(slice(toks, i, k)))`` re-evaluates the
-    token array per shingle — O(tokens^2) per document, catastrophic on
-    long documents). Shingle hash = xxhash64 chained over the k token
-    hashes; distinct triples map to distinct hashes w.h.p., so Jaccard on
-    these equals Jaccard on string shingles (modulo ~2^-64 collisions).
-    """
-    toks = whitespace_tokens(F.lower(_c(text)))
+def _token_hash_chain(toks: Column, k: int) -> Column:
+    """Positional k-window hashes over a token array: element i = chained
+    xxhash64 of tokens [i, i+k); output length = max(n-k+1, 0), order
+    preserved. Built with ``zip_with`` chains so every array expression
+    is evaluated a constant number of times per row (a naive
+    ``transform(sequence, i -> hash(slice(toks, i, k)))`` re-evaluates
+    the token array per window — O(tokens^2) per document, catastrophic
+    on long documents)."""
     n = F.size(toks)
     h1 = F.transform(toks, lambda t: F.xxhash64(t))
     h = h1
@@ -195,7 +190,30 @@ def shingle_hashes(text: Column | str, k: int = 3) -> Column:
             lambda acc, nxt: F.xxhash64(acc, nxt),
         )
     valid_len = F.greatest(n - F.lit(k - 1), F.lit(0))
-    return F.array_distinct(F.slice(h, 1, valid_len))
+    return F.slice(h, 1, valid_len)
+
+
+def shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """Distinct word-k-shingle hashes as array<bigint> — the linear-time
+    signature used by the dedup operators.
+
+    Shingle hash = xxhash64 chained over the k token hashes
+    (:func:`_token_hash_chain`); distinct triples map to distinct hashes
+    w.h.p., so Jaccard on these equals Jaccard on string shingles
+    (modulo ~2^-64 collisions).
+    """
+    toks = whitespace_tokens(F.lower(_c(text)))
+    return F.array_distinct(_token_hash_chain(toks, k))
+
+
+def span_hashes(text: Column | str, k: int = 5) -> Column:
+    """POSITIONAL k-token span hashes (non-distinct, document order):
+    element i fingerprints tokens [i, i+k). The substring-dedup primitive
+    — repeated spans keep every occurrence and its position, so coverage
+    ("which tokens sit inside a span that repeats?") stays computable,
+    which ``shingle_hashes``'s set semantics deliberately discards."""
+    toks = whitespace_tokens(F.lower(_c(text)))
+    return _token_hash_chain(toks, k)
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:

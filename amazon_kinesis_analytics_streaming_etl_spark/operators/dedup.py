@@ -461,6 +461,88 @@ def dup_clusters(
     return labels.select(F_.col("id").alias("doc_id"), F_.col("comp").alias("cluster_id"))
 
 
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+    eager: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication metric (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, the fraction of its tokens covered by at least one k-token
+    span that occurs >= min_count times in the corpus (including
+    self-repeats — boilerplate repeated within one page counts, as in the
+    paper's suffix-array formulation). Returns one row per input doc:
+    ``(doc_id, n_tokens, covered_tokens, dup_span_frac)``.
+
+    Spark-first plan instead of a suffix array: positional span hashes
+    per row (JVM zip_with chain, linear in tokens) -> global span-hash
+    count (one hash-keyed shuffle with map-side partial agg) -> hash join
+    back to positions -> per-doc interval union. The union of equal-length
+    intervals is a single lead() window per doc: a span at position p
+    covers [p, p+k); sorted by p, its net contribution is
+    min(k, next_p - p) — no per-token explode, no arrays collected.
+    Shuffles are keyed by span hash then doc id; nothing is broadcast or
+    collected, so the plan is corpus-size-bounded end to end.
+
+    ``eager`` (default) materializes the per-doc result and releases the
+    cached span table (the storage contract of the pair operators).
+    Unlike those, this result is one row per DOCUMENT, not a filtered
+    pair set — at full corpus scale pass ``eager=False`` and write the
+    result straight to storage instead of checkpointing it, then
+    unpersist via the returned plan's ``_cached`` attribute.
+    """
+    from ..functions.text import span_hashes, token_count
+
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        token_count(F.col(text_col)).alias("_n"),
+        span_hashes(F.col(text_col), k).alias("_spans"),
+    ).persist()
+    pos = docs.select(
+        "_id", F.posexplode("_spans").alias("_pos", "_h")
+    )
+    dup = (
+        pos.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    hits = pos.join(dup, "_h").select("_id", "_pos")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    contrib = F.least(
+        F.lit(k),
+        F.coalesce(F.lead("_pos").over(w), F.col("_pos") + k) - F.col("_pos"),
+    )
+    cov = (
+        hits.select("_id", contrib.alias("_cv"))
+        .groupBy("_id")
+        .agg(F.sum("_cv").cast("long").alias("covered_tokens"))
+    )
+    out = (
+        docs.select("_id", "_n")
+        .join(cov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias("covered_tokens"),
+            F.when(
+                F.col("_n") > 0,
+                F.coalesce(F.col("covered_tokens"), F.lit(0))
+                / F.col("_n").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_frac"),
+        )
+    )
+    if not eager:
+        out._cached = docs  # caller releases after its own materialization
+        return out
+    return _checkpoint_released(out, [docs])
+
+
 def dup_clusters_alternating(
     pairs: DataFrame,
     id_a: str = "id_a",

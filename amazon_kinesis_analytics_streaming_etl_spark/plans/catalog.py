@@ -45,6 +45,7 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
     "dedup_clusters_scale",  # new: alternating-star CC scale path
+    "dedup_span_coverage",  # new: exact-substring dup metric (Lee 2021)
     "dedup_clusters",
     "dedup_embedding",
     "sim_topk_pairs_per_label",
@@ -98,8 +99,6 @@ _STALE_R7 = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_levenshtein",
-    "dedup_clusters",
-    "dedup_embedding",
     "sim_topk_bruteforce",
 ]
 

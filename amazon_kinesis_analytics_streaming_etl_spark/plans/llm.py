@@ -309,6 +309,74 @@ def dedup_clusters_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters_alternating(pairs)
 
 
+@register(
+    "dedup_span_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, source, t, len(t) AS n_tok FROM toks),
+    sp AS (
+      SELECT doc_id, pos, array_to_string(t[pos:pos+4], ' ') AS span
+      FROM (
+        SELECT doc_id, t, unnest(range(1, n_tok - 3)) AS pos
+        FROM sized WHERE n_tok >= 5
+      )
+    ),
+    dup AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+    cv AS (
+      SELECT doc_id,
+             least(5, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                               pos + 5) - pos) AS c
+      FROM sp JOIN dup USING (span)
+    ),
+    cov AS (SELECT doc_id, sum(c) AS covered FROM cv GROUP BY doc_id),
+    per_doc AS (
+      SELECT s.source, s.n_tok, coalesce(c.covered, 0) AS covered,
+             CASE WHEN s.n_tok > 0
+                  THEN coalesce(c.covered, 0) * 1.0 / s.n_tok
+                  ELSE 0.0 END AS frac
+      FROM sized s LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT source,
+           count(*)                                            AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)                          AS total_tokens,
+           CAST(sum(covered) AS BIGINT)                        AS dup_covered_tokens,
+           round(avg(frac), 4)                                 AS avg_dup_frac,
+           CAST(sum(CASE WHEN frac >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS n_heavy_dup
+    FROM per_doc GROUP BY source
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit (Lee et al. 2021) rolled up per
+    source: how many of each source's tokens sit inside a 5-token span
+    that repeats anywhere in the corpus, and how many docs are >= 20%
+    duplicated span mass (the strip-or-drop curation candidates). The
+    Spark side fingerprints spans with positional xxhash64 chains and
+    unions equal-length intervals with one lead() window per doc
+    (operators/dedup.py duplicated_span_stats); the oracle re-derives
+    coverage from the literal span STRINGS — equal strings iff equal
+    hashes w.h.p., the same crossing assumption as the Jaccard family."""
+    from ..operators.dedup import duplicated_span_stats
+
+    d = _docs(spark, sf_dir)
+    stats = duplicated_span_stats(d, k=5, min_count=2)
+    per_doc = stats.join(d.select("doc_id", "source"), "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("covered_tokens").alias("dup_covered_tokens"),
+        F.round(F.avg("dup_span_frac"), 4).alias("avg_dup_frac"),
+        F.sum(F.when(F.col("dup_span_frac") >= 0.2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_heavy_dup"),
+    )
+
+
 # Shared DuckDB CTE: exact word-3-shingle Jaccard>=0.5 pair set (the
 # twin the approximate dedup gates measure recall against).
 _EXACT_JACCARD_PAIRS_CTE = """

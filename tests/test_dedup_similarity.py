@@ -268,6 +268,91 @@ def test_alternating_star_cc_agrees_with_min_label_propagation(spark):
     assert alt == plain
 
 
+def _span_coverage_reference(docs, k, min_count):
+    """Pure-Python twin of duplicated_span_stats: positional k-gram
+    strings -> global counts -> per-doc covered-token interval union."""
+    from collections import Counter
+
+    toks = {i: t.strip().lower().split() if t.strip() else [] for i, t in docs}
+    counts = Counter(
+        " ".join(t[p : p + k])
+        for t in toks.values()
+        for p in range(len(t) - k + 1)
+    )
+    out = {}
+    for i, t in toks.items():
+        covered = set()
+        for p in range(len(t) - k + 1):
+            if counts[" ".join(t[p : p + k])] >= min_count:
+                covered.update(range(p, p + k))
+        n = len(t)
+        out[i] = (n, len(covered), len(covered) / n if n else 0.0)
+    return out
+
+
+def test_duplicated_span_stats_matches_python_reference(spark):
+    """Planted shared boilerplate, a within-doc self-repeat, a unique doc,
+    a short (<k tokens) doc, and an empty doc — per-doc token counts,
+    covered counts, and fractions all match the reference exactly."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    boiler = "subscribe to our newsletter for the latest updates"
+    docs = [
+        (0, f"alpha beta gamma delta {boiler} epsilon zeta"),
+        (1, f"{boiler} one two three four five six seven"),
+        (2, "totally unique words nothing repeated anywhere in this corpus"),
+        (3, "ping pong ping pong ping pong ping pong"),  # self-repeat
+        (4, "too few tokens"),
+        (5, "   "),
+    ]
+    k, mc = 4, 2
+    expected = _span_coverage_reference(docs, k, mc)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["dup_span_frac"])
+        for r in duplicated_span_stats(df, k=k, min_count=mc).collect()
+    }
+    assert set(got) == set(expected)
+    for i, (n, cov, frac) in expected.items():
+        assert got[i][0] == n, i
+        assert got[i][1] == cov, i
+        assert got[i][2] == pytest.approx(frac, abs=1e-12), i
+    # the boilerplate pair is flagged, the unique doc is clean, the
+    # self-repeating doc is ~fully covered
+    assert got[2][1] == 0
+    assert got[3][2] == 1.0
+
+
+def test_duplicated_span_stats_random_corpus(spark):
+    """Seeded random corpus from a tiny vocabulary (forces organic span
+    collisions): exact agreement with the reference on every doc."""
+    import random
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{j}" for j in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(60)
+    ]
+    k, mc = 3, 2
+    expected = _span_coverage_reference(docs, k, mc)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["dup_span_frac"])
+        for r in duplicated_span_stats(df, k=k, min_count=mc).collect()
+    }
+    assert got == {
+        i: (n, cov, pytest.approx(frac, abs=1e-12))
+        for i, (n, cov, frac) in expected.items()
+    }
+
+
 def test_alternating_star_cc_empty_input(spark):
     from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
         dup_clusters_alternating,
@@ -286,7 +371,7 @@ def _n_persistent(spark) -> int:
 
 @pytest.mark.parametrize(
     "op",
-    ["ngram", "minhash", "simhash", "embedding_multitable"],
+    ["ngram", "minhash", "simhash", "embedding_multitable", "span_coverage"],
 )
 def test_pair_operators_release_cached_intermediates(spark, op):
     """The pair operators persist signature/shingle tables internally; the
@@ -301,6 +386,12 @@ def test_pair_operators_release_cached_intermediates(spark, op):
         res = minhash_near_dup_pairs(docs, threshold=0.5)
     elif op == "simhash":
         res = simhash_near_dup_pairs(docs, max_hamming=10)
+    elif op == "span_coverage":
+        from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+            duplicated_span_stats,
+        )
+
+        res = duplicated_span_stats(docs, k=3)
     else:
         from amazon_kinesis_analytics_streaming_etl_spark.functions.vectors import (
             lsh_tables,
