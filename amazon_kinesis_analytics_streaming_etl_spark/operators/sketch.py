@@ -123,3 +123,156 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
         return exact.localCheckpoint(eager=True)
     finally:
         merged.unpersist()
+
+
+# --- t-digest (mergeable quantiles) -----------------------------------------
+#
+# Dunning & Ertl, "Computing extremely accurate quantiles using
+# t-digests" (2019). The quantile tier of the sketch family: HLL =
+# distinct, theta = set algebra, CMS = per-key counts, Misra-Gries = top
+# keys, t-digest = any quantile. Spark exposes no re-aggregatable
+# quantile binary (approx_percentile's intermediate state is not a user
+# surface), so at 100 TB "store per-slice summaries, answer any coarser
+# percentile later WITHOUT rescanning raw" needs this operator.
+#
+# Centroids are (mean, weight) pairs kept small by the k1 scale function
+# k(q) = delta/(2pi) * asin(2q-1): fine near the tails, coarse in the
+# middle, so tail quantiles stay accurate at O(delta) memory. Digests
+# merge by concatenating centroid streams and re-compressing — the
+# merge is associative enough that rank error stays O(1/delta) after
+# any rollup tree (the property the gate checks).
+
+
+def _td_compress(means, weights, delta: float):
+    """One merge-compress pass: sort by mean, greedily coalesce neighbors
+    while the k1 size bound allows. Returns (means, weights) numpy arrays
+    with O(delta) length. Deterministic for a fixed input order (stable
+    sort breaks mean ties by position)."""
+    import numpy as np
+
+    if len(means) == 0:
+        return np.array([]), np.array([])
+    order = np.argsort(means, kind="stable")
+    means, weights = np.asarray(means, dtype=float)[order], np.asarray(
+        weights, dtype=float
+    )[order]
+    W = float(weights.sum())
+
+    def k(q):
+        return delta / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
+
+    def k_inv(y):
+        return (np.sin(np.clip(y, k(0.0), k(1.0)) * 2.0 * np.pi / delta) + 1.0) / 2.0
+
+    out_m, out_w = [], []
+    cur_m, cur_w = means[0], weights[0]
+    emitted = 0.0
+    qlim = k_inv(k(0.0) + 1.0)
+    for m, w in zip(means[1:], weights[1:]):
+        if (emitted + cur_w + w) / W <= qlim:
+            cur_m += (m - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            emitted += cur_w
+            qlim = k_inv(k(emitted / W) + 1.0)
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.array(out_m), np.array(out_w)
+
+
+def _td_quantile(means, weights, q: float) -> float:
+    """Estimate the q-quantile from a compressed digest: each centroid's
+    mass is centered at its mean (half-weight convention); linear
+    interpolation between adjacent centroid means, clamped to the
+    outermost means."""
+    import numpy as np
+
+    if len(means) == 0:
+        return float("nan")
+    W = float(weights.sum())
+    target = q * W
+    cum = np.cumsum(weights) - weights / 2.0
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(cum, target) - 1)
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(means[i] + frac * (means[i + 1] - means[i]))
+
+
+def tdigest_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    delta: float = 200.0,
+) -> DataFrame:
+    """Scan #1 (the only pass over raw data): one digest per group per
+    Arrow batch via ``mapInPandas`` — no shuffle, memory O(delta) per
+    group per batch, NULL values dropped (SQL percentile semantics).
+    Emits (group..., td_means array<double>, td_weights array<double>,
+    td_n bigint); td_n carries the exact non-null count (sum of weights,
+    kept integral so counts cross engines exactly)."""
+    cols = group_cols + [value_col]
+    schema = ", ".join(
+        [f"`{c}` string" for c in group_cols]
+        + ["td_means array<double>", "td_weights array<double>", "td_n bigint"]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows: list[tuple] = []
+            for key, grp in pdf.groupby(group_cols, dropna=False, sort=True):
+                vals = grp[value_col].dropna().to_numpy(dtype=float)
+                if len(vals) == 0:
+                    continue
+                m, w = _td_compress(vals, [1.0] * len(vals), delta)
+                key = key if isinstance(key, tuple) else (key,)
+                rows.append(
+                    tuple(str(kk) for kk in key)
+                    + (list(m), list(w), int(len(vals)))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=group_cols + ["td_means", "td_weights", "td_n"]
+                )
+
+    return df.select(*cols).mapInPandas(build, schema=schema)
+
+
+def tdigest_rollup(
+    partials: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    delta: float = 200.0,
+) -> DataFrame:
+    """Merge partial digests up to ``group_cols`` (any PREFIX of the
+    partial's grouping — the rollup) and estimate ``quantiles``. One
+    shuffle keyed by the output group; each task touches only centroid
+    arrays (O(delta) per input digest), never raw values. Output:
+    (group..., n, est_q50-style columns ``est_p<percent>``)."""
+    est_cols = [f"est_p{int(round(q * 100)):02d}" for q in quantiles]
+    schema = ", ".join(
+        [f"`{c}` string" for c in group_cols]
+        + ["n bigint"]
+        + [f"{c} double" for c in est_cols]
+    )
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        means = np.concatenate(list(pdf["td_means"])) if len(pdf) else np.array([])
+        weights = (
+            np.concatenate(list(pdf["td_weights"])) if len(pdf) else np.array([])
+        )
+        n = int(pdf["td_n"].sum())
+        m, w = _td_compress(means, weights, delta)
+        ests = [_td_quantile(m, w, q) for q in quantiles]
+        return pd.DataFrame([tuple(key) + (n, *ests)], columns=group_cols + ["n"] + est_cols)
+
+    return partials.groupBy(*group_cols).applyInPandas(merge, schema=schema)

@@ -539,3 +539,64 @@ def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select(
         *[f"u{u}_exact" for u in users], bounds.alias("bounds_ok")
     )
+
+
+@register(
+    "sketch_tdigest_rollup",
+    """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT)               AS n,
+           round(quantile_cont(value, 0.50), 4)       AS exact_p50,
+           round(quantile_cont(value, 0.95), 4)       AS exact_p95,
+           TRUE                                       AS p50_ok,
+           TRUE                                       AS p95_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sketch_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE tier (t-digest, Dunning & Ertl) — the sketch
+    family's missing classic: store per-(event_type, hour) digests,
+    answer any coarser percentile later by merging centroids, never
+    rescanning raw events. Spark exposes no re-aggregatable quantile
+    binary, so this is operators/sketch.py's own merging digest:
+    partials via one narrow mapInPandas scan (O(delta) memory per
+    group per batch), hourly -> per-type rollup via one centroid-array
+    shuffle.
+
+    Gate: the digest's exact row count crosses engines (sum of centroid
+    weights stays integral through every merge), and the estimated
+    p50/p95 land inside the exact [q45,q55] / [q93,q97] value windows —
+    ±5% RANK slack against a measured ~1e-4 rank error at delta=200, so
+    the booleans are deterministic despite merge-order-dependent
+    centroid layouts. Exact side computed distributed
+    (percentile == quantile_cont, the agg_percentiles parity)."""
+    from ..operators.sketch import tdigest_partials, tdigest_rollup
+
+    events = load_events(spark, sf_dir).withColumn(
+        "hour", F.date_format("ts", "yyyy-MM-dd HH")
+    )
+    partials = tdigest_partials(
+        events, "value", ["event_type", "hour"], delta=200.0
+    )
+    rolled = tdigest_rollup(partials, ["event_type"], [0.50, 0.95], delta=200.0)
+    exact = load_events(spark, sf_dir).groupBy("event_type").agg(
+        F.count("value").cast("long").alias("n_exact"),
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("exact_p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("exact_p95"),
+        F.percentile("value", F.lit(0.45)).alias("_q45"),
+        F.percentile("value", F.lit(0.55)).alias("_q55"),
+        F.percentile("value", F.lit(0.93)).alias("_q93"),
+        F.percentile("value", F.lit(0.97)).alias("_q97"),
+    )
+    j = rolled.join(exact, "event_type")
+    return j.select(
+        "event_type",
+        # n from the DIGEST (not the exact side): proves weight
+        # conservation through the rollup, hash-checked vs the oracle
+        F.col("n"),
+        "exact_p50",
+        "exact_p95",
+        ((F.col("est_p50") >= F.col("_q45")) & (F.col("est_p50") <= F.col("_q55"))).alias("p50_ok"),
+        ((F.col("est_p95") >= F.col("_q93")) & (F.col("est_p95") <= F.col("_q97"))).alias("p95_ok"),
+    )

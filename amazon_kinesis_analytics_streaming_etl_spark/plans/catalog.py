@@ -46,6 +46,7 @@ _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
     "dedup_clusters_scale",  # new: alternating-star CC scale path
     "dedup_span_coverage",  # new: exact-substring dup metric (Lee 2021)
+    "sketch_tdigest_rollup",  # new: mergeable quantile tier
     "dedup_clusters",
     "dedup_embedding",
     "sim_topk_pairs_per_label",

@@ -144,3 +144,86 @@ def test_heavy_hitters_null_keys_count_into_threshold(spark):
     # exactly 'heavy' qualifies, counted exactly
     got = {(r.key, r.cnt) for r in heavy_hitters(df, "key", 4).collect()}
     assert got == {("heavy", 300)}
+
+
+# --- t-digest ---------------------------------------------------------------
+
+
+def test_tdigest_compress_quantile_accuracy():
+    """Pure-function tier: rank error < 1% at delta=200 on smooth and
+    heavy-tailed data, and merging 16 shard digests loses nothing
+    measurable vs digesting directly."""
+    import numpy as np
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.sketch import (
+        _td_compress,
+        _td_quantile,
+    )
+
+    rng = np.random.default_rng(5)
+    for vals in (rng.uniform(0, 100, 100_000), rng.lognormal(0, 2, 100_000)):
+        m, w = _td_compress(vals, np.ones(len(vals)), 200.0)
+        assert len(m) <= 4 * 200  # O(delta) centroids
+        assert w.sum() == len(vals)  # weight conservation
+        for q in (0.01, 0.5, 0.95, 0.99):
+            est = _td_quantile(m, w, q)
+            rank = float((vals < est).mean())
+            assert abs(rank - q) < 0.01, (q, rank)
+    vals = rng.lognormal(0, 2, 160_000)
+    parts = [_td_compress(s, np.ones(len(s)), 200.0) for s in np.split(vals, 16)]
+    mm = np.concatenate([p[0] for p in parts])
+    ww = np.concatenate([p[1] for p in parts])
+    m2, w2 = _td_compress(mm, ww, 200.0)
+    assert w2.sum() == len(vals)
+    for q in (0.5, 0.95, 0.99):
+        rank = float((vals < _td_quantile(m2, w2, q)).mean())
+        assert abs(rank - q) < 0.01
+
+
+def test_tdigest_spark_rollup_matches_numpy_quantiles(spark):
+    """End-to-end through the Spark operators: per-(grp,sub) partials,
+    rolled up to grp — estimates within 1% rank error of numpy's exact
+    quantiles, exact n per group, and NULL values excluded like SQL
+    percentile."""
+    import numpy as np
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.sketch import (
+        tdigest_partials,
+        tdigest_rollup,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    data = {"a": [], "b": []}
+    for grp, mu in (("a", 0.0), ("b", 3.0)):
+        for sub in range(4):
+            vals = rng.lognormal(mu, 1.0, 5000)
+            data[grp].extend(vals)
+            rows += [(grp, str(sub), float(v)) for v in vals]
+    rows.append(("a", "0", None))  # NULL must not count or crash
+    df = spark.createDataFrame(rows, "grp string, sub string, value double")
+    partials = tdigest_partials(df, "value", ["grp", "sub"], delta=200.0)
+    out = {
+        r["grp"]: r
+        for r in tdigest_rollup(
+            partials, ["grp"], [0.5, 0.95], delta=200.0
+        ).collect()
+    }
+    for grp in ("a", "b"):
+        vals = np.array(data[grp])
+        assert out[grp]["n"] == len(vals)
+        for q, col in ((0.5, "est_p50"), (0.95, "est_p95")):
+            rank = float((vals < out[grp][col]).mean())
+            assert abs(rank - q) < 0.01, (grp, q, rank)
+
+
+def test_tdigest_rollup_gate_query(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.advanced import (
+        sketch_tdigest_rollup,
+    )
+
+    rows = sketch_tdigest_rollup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["p50_ok"] and r["p95_ok"], r
+        assert r["n"] > 0
