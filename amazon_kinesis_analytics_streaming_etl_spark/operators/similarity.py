@@ -146,6 +146,51 @@ def lsh_topk_multitable(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _ivf_probe_candidates(
+    df: DataFrame,
+    query_vec: list[float],
+    nlist: int,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]] | None,
+) -> DataFrame:
+    """Coarse-quantizer restriction shared by ``ivf_topk`` and
+    ``ivfpq_topk``: rank centroids for the query driver-side (nlist small
+    vectors — no cluster work), then keep only rows whose nearest
+    centroid is in the probe set. The assignment is the SAME argmax rule
+    the trainer uses (``nearest_centroid``: dots against one
+    pre-normalized nested-array literal; one literal node, not
+    nlist x dim lit nodes, which made analysis/codegen ~3x slower at
+    nlist=16, dim=64). ``centroids`` defaults to the embeddings of the
+    first ``nlist`` ids — deterministic and adequate for plan-shape
+    testing; production passes k-means centroids."""
+    if centroids is None:
+        rows = (
+            df.orderBy(F.col(id_col).asc())
+            .limit(nlist)
+            .select(vec_col)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[0]] for r in rows]
+
+    def _cos(a, b):
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    probe_ids = sorted(
+        range(len(centroids)), key=lambda i: -_cos(query_vec, centroids[i])
+    )[:nprobe]
+    assigned = nearest_centroid(F.col(vec_col), centroids)
+    return (
+        df.withColumn("_list", assigned)
+        .where(F.col("_list").isin([int(p) for p in probe_ids]))
+        .drop("_list")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -166,34 +211,8 @@ def ivf_topk(
     fraction ~= nprobe/nlist; the assignment pass is one broadcast of
     nlist small vectors, no shuffle.
     """
-    if centroids is None:
-        rows = (
-            df.orderBy(F.col(id_col).asc())
-            .limit(nlist)
-            .select(vec_col)
-            .collect()
-        )
-        centroids = [[float(x) for x in r[0]] for r in rows]
-
-    # Driver-side: rank centroids for the query, pick probe set.
-    def _cos(a, b):
-        dot_ = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return dot_ / (na * nb) if na and nb else 0.0
-
-    probe_ids = sorted(
-        range(len(centroids)), key=lambda i: -_cos(query_vec, centroids[i])
-    )[:nprobe]
-
-    # Executor-side: assign each vector to its nearest centroid — the
-    # SAME argmax rule the trainer uses (``nearest_centroid``: dots
-    # against one pre-normalized nested-array literal; one literal node,
-    # not nlist x dim lit nodes, which made analysis/codegen ~3x slower
-    # at nlist=16, dim=64).
-    assigned = nearest_centroid(F.col(vec_col), centroids)
-    cand = df.withColumn("_list", assigned).where(
-        F.col("_list").isin([int(p) for p in probe_ids])
+    cand = _ivf_probe_candidates(
+        df, query_vec, nlist, nprobe, vec_col, id_col, centroids
     )
     scored = cand.select(
         F.col(id_col),
@@ -521,6 +540,45 @@ def pq_topk(
         F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ composite (the FAISS ``IVFx,PQy`` index expressed as a
+    plan): the coarse quantizer restricts the scan to ``nprobe`` of
+    ``nlist`` inverted lists, PQ-ADC scores ONLY those rows (m table
+    lookups each), and the k x ``refine`` shortlist is exact re-ranked.
+    A literal composition of :func:`_ivf_probe_candidates` and
+    :func:`pq_topk` — at 100 TB the two knobs multiply independently:
+    nprobe/nlist bounds the fraction of ROWS touched, PQ bounds the
+    BYTES per row touched (m bytes vs D floats), so a 4/64-probe m=8
+    index reads ~0.2% of the data a brute-force cosine scan would.
+    Codebooks should be trained on the SAME corpus distribution
+    (per-cell residual codebooks are the next refinement; plain-vector
+    codebooks keep the oracle crossable and cost a constant recall
+    factor the gate absorbs)."""
+    cand = _ivf_probe_candidates(
+        df, query_vec, nlist, nprobe, vec_col, id_col, centroids
+    )
+    return pq_topk(
+        cand,
+        query_vec,
+        codebooks,
+        k=k,
+        refine=refine,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
 
 
 def ann_recall_eval(

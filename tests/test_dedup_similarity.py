@@ -555,3 +555,31 @@ def test_trained_model_cache_skips_retraining(spark, monkeypatch):
         assert calls["n"] == 2
     finally:
         llm._TRAINED_MODELS.clear()
+
+
+def test_ivfpq_composite_finds_self_and_true_scores(spark):
+    """IVF-PQ composite: the query vector's own id survives both the cell
+    restriction and the ADC shortlist (it is in the best-ranked cell and
+    ADC scores it near 1); every returned score equals the exact cosine
+    (the re-rank contract); overlap with the exact top-10 stays high."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_train_centroids,
+        ivfpq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    cents = ivf_train_centroids(emb, nlist=8, iters=2)
+    cbs = pq_train_codebooks(emb, m=8, ksub=16, iters=2)
+    got = ivfpq_topk(
+        emb, q, cbs, k=10, nlist=8, nprobe=4, refine=8, centroids=cents
+    ).collect()
+    assert got[0].vec_id == 0 and got[0].cos_sim == pytest.approx(1.0, abs=1e-6)
+    exact = brute_force_topk(emb, q, k=200).collect()
+    exact_scores = {r.vec_id: r.cos_sim for r in exact}
+    for r in got:
+        assert r.cos_sim == pytest.approx(exact_scores[r.vec_id], abs=1e-6)
+    top10 = {r.vec_id for r in exact[:10]}
+    assert len({r.vec_id for r in got} & top10) >= 5
