@@ -48,6 +48,7 @@ _STALE_R7 = [
     "dedup_span_coverage",  # new: exact-substring dup metric (Lee 2021)
     "sketch_tdigest_rollup",  # new: mergeable quantile tier
     "sim_topk_ivfpq",  # new: IVF-PQ composite ANN
+    "stream_tdigest_percentiles",  # new: streaming quantile monitor
     "dedup_clusters",
     "dedup_embedding",
     "sim_topk_pairs_per_label",

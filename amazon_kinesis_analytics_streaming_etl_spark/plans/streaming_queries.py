@@ -499,3 +499,58 @@ def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", "event_id"), 2).alias("last_value"),
     )
     return snap.orderBy("user_id")
+
+
+@register(
+    "stream_tdigest_percentiles",
+    """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT)         AS n,
+           round(quantile_cont(value, 0.50), 4) AS exact_p50,
+           round(quantile_cont(value, 0.95), 4) AS exact_p95,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_tdigest_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key quantile monitor (streaming/stateful.py
+    streaming_percentiles_per_key): per-event_type t-digest state,
+    re-compressed to O(delta) centroids every micro-batch — the
+    latency-dashboard shape where exact per-window percentiles would
+    buffer the whole stream. Final snapshot per key (highest-n row, n is
+    monotone) gated like sketch_tdigest_rollup: digest n crosses engines
+    exactly, est p50/p95 land inside the exact [q45,q55]/[q93,q97]
+    windows computed batch-side."""
+    from ..schemas import load_events
+    from ..streaming.stateful import streaming_percentiles_per_key
+
+    plan = streaming_percentiles_per_key(_events_stream(spark, sf_dir))
+    out = replay_to_memory(spark, plan, output_mode="append")
+    last = out.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max_by("est_p50", "n").alias("est_p50"),
+        F.max_by("est_p95", "n").alias("est_p95"),
+    )
+    exact = load_events(spark, sf_dir).groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("exact_p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("exact_p95"),
+        F.percentile("value", F.lit(0.45)).alias("_q45"),
+        F.percentile("value", F.lit(0.55)).alias("_q55"),
+        F.percentile("value", F.lit(0.93)).alias("_q93"),
+        F.percentile("value", F.lit(0.97)).alias("_q97"),
+    )
+    j = last.join(exact, "event_type")
+    return j.select(
+        "event_type",
+        "n",
+        "exact_p50",
+        "exact_p95",
+        (
+            (F.col("est_p50") >= F.col("_q45")) & (F.col("est_p50") <= F.col("_q55"))
+        ).alias("p50_ok"),
+        (
+            (F.col("est_p95") >= F.col("_q93")) & (F.col("est_p95") <= F.col("_q97"))
+        ).alias("p95_ok"),
+    )

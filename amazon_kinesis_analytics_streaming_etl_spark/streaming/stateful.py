@@ -126,6 +126,87 @@ def streaming_topk_per_key(
     )
 
 
+PERCENTILES_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("est_p50", DoubleType()),
+        StructField("est_p95", DoubleType()),
+    ]
+)
+
+_TDIGEST_STATE = StructType(
+    [
+        StructField("means", ArrayType(DoubleType())),
+        StructField("weights", ArrayType(DoubleType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _tdigest_fn_factory(delta: float, quantiles: tuple):
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.sketch import _td_compress, _td_quantile
+
+        means, weights, n = state.get if state.exists else ([], [], 0)
+        m, w = np.asarray(means, dtype=float), np.asarray(weights, dtype=float)
+        for pdf in pdfs:
+            vals = pdf["value"].dropna().to_numpy(dtype=float)
+            if len(vals):
+                # fold the batch in and re-compress: state stays O(delta)
+                # no matter how long the stream runs
+                m = np.concatenate([m, vals])
+                w = np.concatenate([w, np.ones(len(vals))])
+                m, w = _td_compress(m, w, delta)
+                n += len(vals)
+        # plain-float lists: numpy scalars would reach the JVM state-store
+        # unpickler as unconstructible ClassDicts
+        state.update(([float(x) for x in m], [float(x) for x in w], int(n)))
+        ests = [_td_quantile(m, w, q) for q in quantiles]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [int(n)],
+                "est_p50": [ests[0]],
+                "est_p95": [ests[1]],
+            }
+        )
+
+    return _fn
+
+
+def streaming_percentiles_per_key(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    delta: float = 200.0,
+) -> DataFrame:
+    """Per-key running quantile monitor: state = one merging t-digest
+    (operators/sketch.py) per key, re-compressed every micro-batch so
+    state is O(delta) centroids forever — the streaming twin of
+    ``sketch_tdigest_rollup`` and the latency-percentile dashboard shape
+    (a per-window exact percentile would buffer every value; percentile
+    state must be a mergeable sketch to stream at 100 TB). Each batch
+    appends the key's latest (n, est_p50, est_p95) snapshot; consumers
+    take the row with the highest n per key (monotone, idempotent)."""
+    sel = stream.select(
+        stream[key_col].alias("event_type"), stream[value_col].alias("value")
+    )
+    return sel.groupBy("event_type").applyInPandasWithState(
+        _tdigest_fn_factory(delta, (0.50, 0.95)),
+        outputStructType=PERCENTILES_OUTPUT,
+        stateStructType=_TDIGEST_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class _RunningTotalsProcessor:
     """StatefulProcessor for the transformWithStateInPandas (state v2)
     twin of running_totals_per_key: typed ValueState in the state store

@@ -451,3 +451,66 @@ def test_ann_recall_eval_matches_numpy_reference(spark):
         assert abs(g_ndcg - ndcg) < 1e-9, (q, g_ndcg, ndcg)
         assert g_cands == len(cand), (q, g_cands, len(cand))
         assert g_idsum == sum(exact), (q, g_idsum, sum(exact))
+
+
+def test_streaming_tdigest_state_accumulates_and_stays_bounded(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: the per-key digest
+    carries across the restart (final n covers both batches; estimated
+    median reflects the UNION of values, which batch-2-only state could
+    not produce), state round-trips through the JVM state store
+    (plain-float contract), and estimates stay within 2% rank error of
+    the exact union."""
+    import numpy as np
+
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.stateful import (
+        streaming_percentiles_per_key,
+    )
+
+    p = str(tmp_path / "ev")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(p)
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rng = np.random.default_rng(3)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+            .format("parquet")
+            .load(p + "/part*")
+        )
+        q = (
+            streaming_percentiles_per_key(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: low values; batch 2: high values — the union's median sits
+    # between the two batch medians, so state loss is detectable
+    vals1 = rng.uniform(0.0, 10.0, 400)
+    vals2 = rng.uniform(90.0, 100.0, 400)
+    df1 = spark.createDataFrame(
+        [_ev(i, t0, 7, float(v)) for i, v in enumerate(vals1)],
+        TESTDATA_SCHEMAS["events"],
+    )
+    df1.coalesce(1).write.mode("append").parquet(p)
+    run_once()
+    df2 = spark.createDataFrame(
+        [_ev(1000 + i, t0, 7, float(v)) for i, v in enumerate(vals2)],
+        TESTDATA_SCHEMAS["events"],
+    )
+    df2.coalesce(1).write.mode("append").parquet(p)
+    run_once()
+
+    rows = spark.read.parquet(sink).collect()
+    final = max((r for r in rows if r.event_type == "click"), key=lambda r: r.n)
+    union = np.concatenate([vals1, vals2])
+    assert final.n == len(union)
+    for est, q in ((final.est_p50, 0.5), (final.est_p95, 0.95)):
+        rank = float((union < est).mean())
+        assert abs(rank - q) < 0.02, (q, rank, est)
