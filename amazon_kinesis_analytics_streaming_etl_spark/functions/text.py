@@ -230,6 +230,12 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     corpus shingle pass at sf0.1). Same trap documented for
     ``shingle_hashes`` below.
     """
+    return F.array_distinct(_span_string_chain(text, k))
+
+
+def _span_string_chain(text: Column | str, k: int) -> Column:
+    """Positional word k-shingle STRINGS (non-distinct, document order) —
+    the chain shared by ``word_shingles`` and the md5-valued span ops."""
     toks = whitespace_tokens(F.lower(_c(text)))
     n = F.size(toks)
     sh = toks
@@ -242,6 +248,61 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         )
     valid_len = F.greatest(n - F.lit(k - 1), F.lit(0))
-    return F.when(n >= k, F.array_distinct(F.slice(sh, 1, valid_len))).otherwise(
+    return F.when(n >= k, F.slice(sh, 1, valid_len)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def span_md5(text: Column | str, k: int = 5) -> Column:
+    """Positional k-token span md5 hex digests (array<string>): the
+    CROSS-ENGINE-reproducible twin of ``span_hashes`` — DuckDB's
+    ``md5(span_string)`` yields byte-identical hex, so operators whose
+    SELECTION depends on hash VALUES (winnowing's min-per-window), not
+    only on hash equality, stay oracle-crossable."""
+    return F.transform(_span_string_chain(text, k), lambda s: F.md5(s))
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 5, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): the distinct minima of every
+    sliding window of ``w`` consecutive k-gram hashes. Guarantees: any
+    substring match of >= k + w - 1 tokens shares >= 1 fingerprint
+    (no-miss), and density is O(2/(w+1)) — a position-robust signature
+    whose size the caller controls, unlike the full span set. The
+    fingerprint VALUE set is tie-rule-independent (rightmost-min only
+    changes selected positions, not selected values), which is the part
+    an overlap detector consumes.
+
+    Sliding-window min in O(log w) array passes via the sparse-table
+    doubling trick (m_2p[i] = least(m_p[i], m_p[i+p]); final combine at
+    offset w-p) — each pass is one zip_with over the whole hash array,
+    never a per-window slice (that would be O(n*w) element evals).
+    Docs with 0 < spans < w emit the single min of what exists; empty
+    docs emit an empty array."""
+    h = span_md5(text, k)
+    n = F.size(h)
+    m = h
+    p = 1
+    while p * 2 <= w:
+        m = F.zip_with(
+            m,
+            F.slice(m, p + 1, F.greatest(n - p, F.lit(0))),
+            lambda a, b: F.least(a, b),
+        )
+        p *= 2
+    if p < w:
+        off = w - p
+        m = F.zip_with(
+            m,
+            F.slice(m, off + 1, F.greatest(n - off, F.lit(0))),
+            lambda a, b: F.least(a, b),
+        )
+    full = F.array_distinct(
+        F.slice(m, 1, F.greatest(n - F.lit(w - 1), F.lit(0)))
+    )
+    short = F.when(n > 0, F.array(F.array_min(h))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.when(n >= w, full).otherwise(short)

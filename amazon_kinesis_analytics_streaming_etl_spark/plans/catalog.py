@@ -49,6 +49,7 @@ _STALE_R7 = [
     "sketch_tdigest_rollup",  # new: mergeable quantile tier
     "sim_topk_ivfpq",  # new: IVF-PQ composite ANN
     "stream_tdigest_percentiles",  # new: streaming quantile monitor
+    "text_winnow_fingerprints",  # new: MOSS winnowing overlap audit
     "dedup_clusters",
     "dedup_embedding",
     "sim_topk_pairs_per_label",

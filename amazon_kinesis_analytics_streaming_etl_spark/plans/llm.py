@@ -1087,6 +1087,74 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_winnow_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) >= 4
+                  THEN list_transform(range(1, len(t) - 2),
+                                      i -> md5(array_to_string(t[i:i+3], ' ')))
+                  ELSE []::VARCHAR[] END AS h
+      FROM toks
+    ),
+    fp AS (
+      SELECT source,
+             unnest(CASE WHEN len(h) >= 4
+                         THEN list_distinct(list_transform(
+                              range(1, len(h) - 2), i -> list_min(h[i:i+3])))
+                         WHEN len(h) > 0 THEN [list_min(h)]
+                         ELSE []::VARCHAR[] END) AS fp
+      FROM hs
+    ),
+    sfp AS (SELECT DISTINCT source, fp FROM fp),
+    sh AS (SELECT fp, count(DISTINCT source) AS ns FROM sfp GROUP BY fp)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           min(sfp.fp) AS min_fp
+    FROM sfp JOIN sh USING (fp)
+    GROUP BY source
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 / MOSS) per
+    source: distinct window-min md5 span hashes — guaranteed-density
+    position-robust signatures — plus how many of each source's
+    fingerprints also occur in another source (the cross-corpus overlap
+    signal a contamination audit consumes). The whole selection is
+    value-crossable because both engines winnow the SAME md5 hex strings
+    (functions/text.py span_md5); the Spark sliding-window min is the
+    O(log w) doubling least() chain, never per-window slices."""
+    from ..functions.text import winnow_fingerprints
+
+    d = _docs(spark, sf_dir)
+    sfp = (
+        d.select(
+            "source", F.explode(winnow_fingerprints("text", k=4, w=4)).alias("fp")
+        )
+        .distinct()
+    )
+    shared = sfp.groupBy("fp").agg(F.countDistinct("source").alias("ns"))
+    return (
+        sfp.join(shared, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_fingerprints"),
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+            F.min("fp").alias("min_fp"),
+        )
+    )
+
+
 def _quality_oracle() -> str:
     toks = _TOKS_SQL
     punct = f"(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"

@@ -124,3 +124,73 @@ def test_resize_media_caps_longest_side(spark):
             scale = 64 / max(ow, oh)
             assert (w, h) == (max(1, int(ow * scale)), max(1, int(oh * scale)))
         assert r["payload"] is not None
+
+
+def _ref_winnow(text, k, w):
+    import hashlib
+
+    toks = text.strip().lower().split() if text.strip() else []
+    h = [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(len(toks) - k + 1)
+    ]
+    if not h:
+        return set()
+    if len(h) < w:
+        return {min(h)}
+    return {min(h[i : i + w]) for i in range(len(h) - w + 1)}
+
+
+def test_winnow_fingerprints_matches_reference_all_window_shapes(spark):
+    """Value sets equal a pure-Python winnow across k/w combos including
+    non-power-of-two windows (the sparse-table offset combine), w=1
+    (every span), short docs (<w spans -> single min), and empty docs."""
+    import random
+
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(15)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ]
+    docs += [(100, ""), (101, "a b"), (102, "one two three four five")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k, w in ((3, 4), (2, 5), (4, 1), (2, 8)):
+        got = {
+            r.doc_id: set(r.fp)
+            for r in df.select(
+                "doc_id", winnow_fingerprints("text", k, w).alias("fp")
+            ).collect()
+        }
+        for i, t in docs:
+            assert got[i] == _ref_winnow(t, k, w), (k, w, i)
+
+
+def test_winnow_no_miss_guarantee_on_shared_substring(spark):
+    """Schleimer 2003 theorem: two documents sharing a substring of
+    >= k + w - 1 tokens share at least one fingerprint — checked with a
+    planted 12-token run inside otherwise-disjoint documents (k=4, w=4:
+    guarantee threshold is 7 tokens)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog tonight again"
+    a = "alpha beta gamma " + shared + " delta epsilon"
+    b = "uno dos tres cuatro " + shared + " cinco"
+    c = "completely different words with no overlap at all whatsoever here"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", 4, 4).alias("fp")
+        ).collect()
+    }
+    assert got[0] & got[1], "shared 12-token run must share a fingerprint"
+    assert not (got[0] & got[2]) and not (got[1] & got[2])
