@@ -74,6 +74,13 @@ HEADLINE = [
     "serialize_projection_contract",
     "sketch_theta_audience",
     "sketch_cms_freq",
+    # round 7 additions (cheap; the heavier new ops — alternating-star
+    # CC, IVF-PQ with its training, winnowing overlap — run in the
+    # correctness sweep, not here, to keep the headline series
+    # comparable)
+    "dedup_span_coverage",
+    "sketch_tdigest_rollup",
+    "stream_tdigest_percentiles",
 ]
 
 

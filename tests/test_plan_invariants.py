@@ -51,6 +51,7 @@ SCALAR_THRESHOLD_QUERIES = {
     "dedup_embedding_lsh",
     "dedup_embedding_multitable",
     "sim_topk_pq",
+    "sim_topk_ivfpq",
     "dedup_semantic",
     "sim_topk_lsh_multitable",
 }

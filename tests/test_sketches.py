@@ -227,3 +227,45 @@ def test_tdigest_rollup_gate_query(spark):
     for r in rows:
         assert r["p50_ok"] and r["p95_ok"], r
         assert r["n"] > 0
+
+
+def test_tdigest_properties_hypothesis():
+    """Property-based invariants of the pure digest functions: exact
+    weight conservation, O(delta) centroid count, sorted centroid means,
+    estimates clamped to the data range, and quantile monotonicity in q
+    — across random value distributions, weights, and deltas."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.sketch import (
+        _td_compress,
+        _td_quantile,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+            min_size=1,
+            max_size=400,
+        ),
+        wexp=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=400),
+        delta=st.sampled_from([20.0, 50.0, 200.0]),
+    )
+    def prop(vals, wexp, delta):
+        n = min(len(vals), len(wexp))
+        v = np.array(vals[:n], dtype=float)
+        w = np.array(wexp[:n], dtype=float)
+        m, cw = _td_compress(v, w, delta)
+        assert abs(float(cw.sum()) - float(w.sum())) <= 1e-6 * max(1.0, w.sum())
+        assert len(m) <= max(8, 4 * int(delta))
+        assert np.all(np.diff(m) >= 0)  # centroids stay sorted
+        qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+        ests = [_td_quantile(m, cw, q) for q in qs]
+        assert all(v.min() <= e <= v.max() for e in ests)
+        assert all(a <= b + 1e-12 for a, b in zip(ests, ests[1:]))
+
+    prop()
