@@ -132,24 +132,36 @@ class _LineIndex:
     seconds."""
 
     _MAX_MARKS = 256  # newest boundaries kept per file between commits
+    _TAIL_BYTES = 64  # rewrite-detection fingerprint width
 
     def __init__(self) -> None:
-        self._state: dict[str, tuple[int, int]] = {}  # fp -> (byte_pos, lines)
+        # fp -> (byte_pos, lines, tail): tail is the last <=_TAIL_BYTES
+        # bytes ending at byte_pos, re-verified before every incremental
+        # scan — size alone cannot detect a truncate that REGREW past the
+        # cached position before the next poll.
+        self._state: dict[str, tuple[int, int, bytes]] = {}
         self._marks: dict[str, dict[int, int]] = {}  # fp -> {lines: byte_pos}
 
     def count(self, fp: str) -> int:
-        pos, lines = self._state.get(fp, (0, 0))
-        if os.path.getsize(fp) < pos:
-            pos, lines = 0, 0
-            self._marks.pop(fp, None)
+        pos, lines, tail = self._state.get(fp, (0, 0, b""))
         with open(fp, "rb") as f:
+            if pos:
+                stale = os.fstat(f.fileno()).st_size < pos
+                if not stale:
+                    f.seek(pos - len(tail))
+                    stale = f.read(len(tail)) != tail
+                if stale:  # truncated/rewritten out of band: full rescan
+                    pos, lines = 0, 0
+                    self._marks.pop(fp, None)
             f.seek(pos)
             for line in f:
                 if not line.endswith(b"\n"):
                     break  # partial append: picked up whole next poll
                 lines += 1
                 pos += len(line)
-        self._state[fp] = (pos, lines)
+            f.seek(max(0, pos - self._TAIL_BYTES))
+            tail = f.read(min(pos, self._TAIL_BYTES))
+        self._state[fp] = (pos, lines, tail)
         marks = self._marks.setdefault(fp, {0: 0})
         marks[lines] = pos
         if len(marks) > self._MAX_MARKS:  # keep the newest boundaries
