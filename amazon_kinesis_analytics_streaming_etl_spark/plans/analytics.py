@@ -1112,3 +1112,91 @@ def rolling_median_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.round(med + F.lit(0.00000001), 4).alias("median_24h"),
     ).orderBy("event_type", "pt")
+
+
+# --- graph analytics ---------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pr_oracle() -> str:
+    """Unroll the fixed-iteration PageRank recurrence as chained CTEs —
+    the SQL twin of operators/graph.py:pagerank (same floor/damping,
+    same 1.0 init, same LEFT-JOIN message sum)."""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""pr{i} AS (
+      SELECT n.node, {1 - _PR_DAMP} + {_PR_DAMP} * COALESCE(SUM(p.pr / d.outdeg), 0) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN pr{i - 1} p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.node
+    )"""
+        )
+    its = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    pr0 AS (SELECT node, 1.0 AS pr FROM nodes),
+    {its}
+    SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey,
+           ROUND(pr, 4) AS pagerank
+    FROM pr{_PR_ITERS}
+    WHERE node % 2 = 1
+    ORDER BY pagerank DESC, s_suppkey
+    LIMIT 20
+    """
+
+
+@register("graph_pagerank", _pr_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (operators/graph.py) over the customer<->supplier
+    trade graph: one undirected edge (as two directed edges) per distinct
+    customer/supplier pair that traded, ranks seeded at 1.0, 3 Pregel
+    supersteps, top-20 suppliers by final rank. Customers and suppliers
+    share one node-id space via even/odd encoding (key*2 / key*2+1) —
+    dense bigints, no string keys in the join hot path.
+
+    This is the engine's iterative-algorithm template under oracle
+    coverage: per-superstep lineage truncation, edges persisted once and
+    reused, message combine as a map-side partial aggregation. The
+    fixed-iteration recurrence is unrolled CTE-for-CTE in the DuckDB
+    oracle, so every superstep's float math is checked, not just the
+    final ordering."""
+    from ..operators.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
+    return (
+        ranks.where(F.col("node") % 2 == 1)
+        .select(
+            ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+            F.round("pagerank", 4).alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), "s_suppkey")
+        .limit(20)
+    )
