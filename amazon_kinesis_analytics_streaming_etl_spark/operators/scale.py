@@ -20,6 +20,8 @@ what AQE gives automatically:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -480,4 +482,106 @@ def write_zordered(
         .drop("_z", *tmp_cols)
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+# --- bloom prefilter ---------------------------------------------------------
+
+#: xxhash64 salt for the second bloom hash (Kirsch-Mitzenmacher double
+#: hashing: position_i = h1 + i*h2 mod m needs two independent hashes).
+_BLOOM_SALT = 0x9E3779B9
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` bit positions for ``key`` — pure JVM
+    expressions, so build and probe sides derive identical positions
+    with no Python in the per-row path. Both hashes are folded into
+    small non-negative ranges FIRST (h1 mod m, h2 mod 2^31) so the
+    affine combination stays far from long overflow — ANSI mode (the
+    Spark 4 default) makes wraparound an error, not a wrap."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(_BLOOM_SALT)), F.lit(0x7FFFFFFF)) + 1
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)]
+    )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, num_bits: int, num_hashes: int = 7
+):
+    """Build a bloom bitmap (numpy uint64 words) from a key column.
+
+    Distributed build with a BOUNDED driver transfer: per-key positions
+    explode JVM-side, then ``groupBy(word_index).agg(bit_or)`` collapses
+    them into at most ``num_bits/64`` sparse words — the collect is
+    O(bitmap), never O(keys). Spark's partial aggregation ORs word
+    updates map-side, so the shuffle carries at most one row per
+    (partition, word).
+
+    Sizing: ~10 bits/key gives ~1% false positives with 7 hashes
+    (m/n = 9.6, k = 0.693*m/n). The bitmap is the same object you'd
+    broadcast for a broadcast-hash-join, at ~1/50th the bytes/key — the
+    regime where bloom prefiltering wins is a build side too big to
+    broadcast as a hash relation but whose bitmap still fits (100M keys
+    = 120 MB at 1% fpp).
+    """
+    import numpy as np
+
+    words = (
+        keys.select(
+            F.explode(
+                _bloom_positions(F.col(key_col), num_bits, num_hashes)
+            ).alias("_pos")
+        )
+        .select(
+            F.shiftright("_pos", 6).alias("_word"),
+            F.expr("shiftleft(1L, int(_pos % 64))").alias("_bit"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_bit").alias("_bits"))
+        .collect()
+    )
+    bitmap = np.zeros((num_bits + 63) // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r["_word"]] = np.uint64(r["_bits"] & 0xFFFFFFFFFFFFFFFF)
+    return bitmap
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    key_col: str,
+    bitmap,
+    num_bits: int,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Drop probe rows whose key is definitely not in the built set.
+
+    No false negatives (every true match survives); false positives pass
+    through and must be eliminated by the exact join that follows — the
+    bloom's job is to shrink the probe side BEFORE its shuffle, which at
+    100 TB is the difference between shuffling the full fact table and
+    shuffling the ~matching slice. This is the explicit, composable form
+    of what Spark's runtime row-group filtering injects for selective
+    broadcast joins; being explicit, it also covers shuffle joins and
+    multi-stage pipelines where the optimizer can't see the key set.
+
+    Positions are computed by the same JVM expressions as the build; the
+    membership test is one Arrow-batched pandas UDF over the (small)
+    position array — numpy gather + bit test, no per-row Python.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = probe.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(bitmap))
+
+    @pandas_udf("boolean")
+    def _might_contain(pos: pd.Series) -> pd.Series:
+        bits = bc.value
+        mat = np.vstack(pos.to_numpy())  # (rows, num_hashes) int64 >= 0
+        hit = (bits[mat >> 6] >> (mat & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(hit.all(axis=1))
+
+    return probe.where(
+        _might_contain(_bloom_positions(F.col(key_col), num_bits, num_hashes))
     )

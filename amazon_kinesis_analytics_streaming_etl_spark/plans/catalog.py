@@ -44,6 +44,8 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # the oldest again next round and lead the r8 window.
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
+    "graph_pagerank",  # new: iterative PageRank (Pregel-on-DataFrames)
+    "join_bloom_prefilter",  # new: bloom prefilter before the join shuffle
     "dedup_clusters_scale",  # new: alternating-star CC scale path
     "dedup_span_coverage",  # new: exact-substring dup metric (Lee 2021)
     "sketch_tdigest_rollup",  # new: mergeable quantile tier

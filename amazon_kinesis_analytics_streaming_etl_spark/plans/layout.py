@@ -295,3 +295,67 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (t_li, t_o):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return spark.createDataFrame([row], _BUCKETED_SCHEMA)
+
+
+@register(
+    "join_bloom_prefilter",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_bound_ok
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1994
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join (operators/scale.py bloom_build /
+    bloom_prefilter): urgent-1994 order keys build a ~10-bits/key bloom
+    bitmap via a bounded groupBy(word).bit_or aggregation; the lineitem
+    probe side is pre-filtered through the broadcast bitmap BEFORE the
+    join shuffle, and the exact join then removes false positives.
+
+    Gates, all computed in-plan and deterministic (xxhash64 positions):
+    the prefiltered join reproduces the plain join exactly (zero false
+    negatives — bloom's one-sided guarantee), and the bloom pass-through
+    count stays inside 3x the design false-positive rate (~0.8% at
+    m/n=10, k=7) over the non-matching rows."""
+    from ..operators.scale import bloom_build, bloom_prefilter
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = o.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1994)
+    ).select("o_orderkey")
+    n = keys.count()
+    num_bits = max(1024, ((10 * n + 63) // 64) * 64)
+    bitmap = bloom_build(keys, "o_orderkey", num_bits)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pre = bloom_prefilter(li, "l_orderkey", bitmap, num_bits)
+    res = pre.join(keys, pre["l_orderkey"] == keys["o_orderkey"]).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+    exact = li.join(keys, li["l_orderkey"] == keys["o_orderkey"]).agg(
+        F.count("*").alias("_exact_n")
+    )
+    passed = pre.agg(F.count("*").alias("_bloom_pass"))
+    total = li.agg(F.count("*").alias("_total"))
+    return (
+        res.crossJoin(exact)
+        .crossJoin(passed)
+        .crossJoin(total)
+        .select(
+            "n_items",
+            "revenue",
+            (F.col("n_items") == F.col("_exact_n")).alias("no_false_negatives"),
+            (
+                F.col("_bloom_pass")
+                <= F.col("_exact_n")
+                + F.lit(0.03) * (F.col("_total") - F.col("_exact_n"))
+            ).alias("fp_bound_ok"),
+        )
+    )

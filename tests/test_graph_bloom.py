@@ -1,0 +1,108 @@
+"""PageRank (operators/graph.py) and bloom prefilter (operators/scale.py):
+reference-value checks against pure-Python/numpy recurrences, plus the
+bloom guarantees (zero false negatives, bounded false positives)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import pagerank
+from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+    bloom_build,
+    bloom_prefilter,
+)
+
+
+def _pr_reference(edge_list, iterations=3, damping=0.85):
+    """Same Pregel recurrence, dict-based: the test oracle."""
+    nodes = sorted({u for e in edge_list for u in e})
+    out = {}
+    for u, _ in edge_list:
+        out[u] = out.get(u, 0) + 1
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        msgs = {n: 0.0 for n in nodes}
+        for u, v in edge_list:
+            msgs[v] += pr[u] / out[u]
+        pr = {n: (1 - damping) + damping * msgs[n] for n in nodes}
+    return pr
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    # star (1 -> 2,3,4) + chain (2 -> 3 -> 4) + back-edge (4 -> 1):
+    # mixes fan-out, chains, and a cycle in one small graph
+    edge_list = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4), (4, 1)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges, iterations=4).collect()
+    }
+    want = _pr_reference(edge_list, iterations=4)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+def test_pagerank_dangling_node_keeps_floor(spark):
+    # 2 has no out-edges: it receives from 1 but contributes nothing
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    got = {r["node"]: r["pagerank"] for r in pagerank(edges, iterations=2).collect()}
+    # node 1: no in-edges -> floor after iter 1, stays
+    assert got[1] == pytest.approx(0.15)
+    # node 2: floor + d * pr(1)/1 with pr(1)=0.15 after the first step
+    assert got[2] == pytest.approx(0.15 + 0.85 * 0.15)
+
+
+def test_pagerank_partitions_arg_preserves_result(spark):
+    edge_list = [(i, (i * 7) % 50) for i in range(200) if i != (i * 7) % 50]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    base = {r["node"]: r["pagerank"] for r in pagerank(edges).collect()}
+    repart = {
+        r["node"]: r["pagerank"] for r in pagerank(edges, partitions=5).collect()
+    }
+    assert set(base) == set(repart)
+    for n in base:
+        assert base[n] == pytest.approx(repart[n], rel=1e-12)
+
+
+def _local_bloom(keys, num_bits, num_hashes, spark):
+    """Driver-side twin of the distributed build: derive positions with
+    the SAME JVM expressions (one small collect), set bits in numpy."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        _bloom_positions,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    rows = df.select(
+        F.explode(_bloom_positions(F.col("k"), num_bits, num_hashes)).alias("p")
+    ).collect()
+    bm = np.zeros((num_bits + 63) // 64, dtype=np.uint64)
+    for r in rows:
+        bm[r["p"] >> 6] |= np.uint64(1) << np.uint64(r["p"] & 63)
+    return bm
+
+
+def test_bloom_build_matches_local_bitmap(spark):
+    keys = list(range(0, 5000, 3))
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(7)
+    num_bits = 1 << 14
+    got = bloom_build(df, "k", num_bits, num_hashes=5)
+    want = _local_bloom(keys, num_bits, 5, spark)
+    assert np.array_equal(got, want)
+
+
+def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark):
+    member = set(range(0, 20_000, 4))  # 5k members
+    keys = spark.createDataFrame([(k,) for k in sorted(member)], ["k"])
+    num_bits = ((10 * len(member) + 63) // 64) * 64
+    bm = bloom_build(keys, "k", num_bits)
+
+    probe = spark.range(20_000).select(F.col("id").alias("k"))
+    passed = {r["k"] for r in bloom_prefilter(probe, "k", bm, num_bits).collect()}
+    assert member <= passed  # one-sided guarantee: every member survives
+    fp = len(passed - member)
+    non_members = 20_000 - len(member)
+    # design fpp ~0.8% at m/n=10, k=7; assert under 3x that
+    assert fp / non_members < 0.025

@@ -36,6 +36,9 @@ SCALAR_THRESHOLD_QUERIES = {
     "text_lm_bigram_score",
     # etl: valid x corrupt 1-row summary aggregates (dead-letter split).
     "parse_dead_letter",
+    # bloom prefilter gate: crossJoins of 1-row count aggregates
+    # (prefiltered-join x exact-join x pass-rate summaries).
+    "join_bloom_prefilter",
     # ANN eval: the bounded ~2% query panel broadcasts into the QxN
     # ground-truth scoring pass (linear in N per query by design).
     "ann_quality_eval",
