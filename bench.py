@@ -81,6 +81,10 @@ HEADLINE = [
     "dedup_span_coverage",
     "sketch_tdigest_rollup",
     "stream_tdigest_percentiles",
+    # late round 7: bloom prefilter gate (cheap); graph_pagerank runs in
+    # the correctness sweep, not here (its localCheckpoint supersteps
+    # are deliberate multi-job work, not a headline-latency shape)
+    "join_bloom_prefilter",
 ]
 
 
