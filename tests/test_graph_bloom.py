@@ -106,3 +106,71 @@ def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark):
     non_members = 20_000 - len(member)
     # design fpp ~0.8% at m/n=10, k=7; assert under 3x that
     assert fp / non_members < 0.025
+
+
+def test_pagerank_property_random_graphs(spark):
+    """Hypothesis: on arbitrary small digraphs (self-loops, parallel
+    edges collapsed by the caller or not, isolated cycles, dangling
+    sinks) the distributed PageRank equals the dict-based reference
+    recurrence to float precision for 1-4 iterations."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    node = st.integers(min_value=0, max_value=12)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(node, node), min_size=1, max_size=40, unique=True
+        ),
+        iters=st.integers(min_value=1, max_value=4),
+    )
+    def run(edges, iters):
+        # the operator contract is a deduped edge list; self-loops are
+        # legal (a node citing itself) and exercise u==v paths
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["pagerank"]
+            for r in pagerank(df, iterations=iters).collect()
+        }
+        want = _pr_reference(edges, iterations=iters)
+        assert set(got) == set(want)
+        for n in want:
+            assert got[n] == pytest.approx(want[n], abs=1e-9)
+
+    run()
+
+
+def test_bloom_property_no_false_negatives(spark):
+    """Hypothesis: for arbitrary member sets and bitmap sizes (including
+    adversarially tiny bitmaps where everything collides) every member
+    passes the prefilter — the one-sided guarantee can never break, only
+    the FP rate may degrade."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        members=st.lists(
+            st.integers(min_value=-(1 << 40), max_value=1 << 40),
+            min_size=1, max_size=50, unique=True,
+        ),
+        num_bits=st.sampled_from([64, 128, 4096]),
+        num_hashes=st.integers(min_value=1, max_value=8),
+    )
+    def run(members, num_bits, num_hashes):
+        keys = spark.createDataFrame([(k,) for k in members], "k long")
+        bm = bloom_build(keys, "k", num_bits, num_hashes)
+        out = {
+            r["k"]
+            for r in bloom_prefilter(keys, "k", bm, num_bits, num_hashes).collect()
+        }
+        assert out == set(members)
+
+    run()
