@@ -1200,3 +1200,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "s_suppkey")
         .limit(20)
     )
+
+
+_COPURCHASE_MAX_DEGREE = 100  # stop-customer prune: degree cap on the fan-out side
+
+
+@register(
+    "graph_copurchase_topk",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    kept AS (
+      SELECT c, s FROM pairs
+      WHERE c IN (SELECT c FROM pairs GROUP BY c
+                  HAVING COUNT(*) <= {_COPURCHASE_MAX_DEGREE})
+    )
+    SELECT a.s AS supp_a, b.s AS supp_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_customers
+    FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+    GROUP BY a.s, b.s
+    ORDER BY shared_customers DESC, supp_a, supp_b
+    LIMIT 20
+    """,
+)
+def graph_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by shared-customer count — the item-item
+    co-occurrence shape (co-citation / 'bought together' recsys
+    candidate generation). The quadratic hazard is the per-customer
+    fan-out: a customer linked to d suppliers emits d*(d-1)/2 pairs, so
+    the hottest customers dominate superlinearly. Mitigation is the
+    co-occurrence analog of dedup_ngram_jaccard's stop-shingle prune:
+    customers above a degree cap are dropped BEFORE the self-join (they
+    connect to everything, so they carry ~no pair-level signal — same
+    reasoning as TF-IDF down-weighting ubiquitous terms). The cap makes
+    per-customer work O(cap^2) and total work linear in customers; it is
+    part of the operator's semantics, applied identically in the oracle.
+
+    Plan: distinct (customer, supplier) pairs -> degree filter via a
+    broadcastable keep-list aggregate -> one shuffle self-join on the
+    customer key -> pair count. No iteration; the graph family's
+    one-shot member next to the iterative pagerank."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    keep = (
+        pairs.groupBy("c")
+        .agg(F.count("*").alias("_d"))
+        .where(F.col("_d") <= _COPURCHASE_MAX_DEGREE)
+        .select("c")
+    )
+    kept = pairs.join(F.broadcast(keep), "c")
+    a = kept.select("c", F.col("s").alias("supp_a"))
+    b = kept.select("c", F.col("s").alias("supp_b"))
+    return (
+        a.join(b, ["c"])
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").cast("long").alias("shared_customers"))
+        .orderBy(F.col("shared_customers").desc(), "supp_a", "supp_b")
+        .limit(20)
+    )

@@ -45,6 +45,7 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
     "graph_pagerank",  # new: iterative PageRank (Pregel-on-DataFrames)
+    "graph_copurchase_topk",  # new: co-occurrence pairs, stop-customer prune
     "join_bloom_prefilter",  # new: bloom prefilter before the join shuffle
     "dedup_clusters_scale",  # new: alternating-star CC scale path
     "dedup_span_coverage",  # new: exact-substring dup metric (Lee 2021)
