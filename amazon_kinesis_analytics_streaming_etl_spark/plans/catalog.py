@@ -46,6 +46,7 @@ _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
     "graph_pagerank",  # new: iterative PageRank (Pregel-on-DataFrames)
     "graph_copurchase_topk",  # new: co-occurrence pairs, stop-customer prune
+    "stream_timeout_sessions",  # new: event-time-timer custom sessionizer
     "join_bloom_prefilter",  # new: bloom prefilter before the join shuffle
     "dedup_clusters_scale",  # new: alternating-star CC scale path
     "dedup_span_coverage",  # new: exact-substring dup metric (Lee 2021)

@@ -554,3 +554,64 @@ def stream_tdigest_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_p95") >= F.col("_q93")) & (F.col("est_p95") <= F.col("_q97"))
         ).alias("p95_ok"),
     )
+
+
+@register(
+    "stream_timeout_sessions",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM ordered
+    ), agg AS (
+      SELECT user_id, sess_id,
+             min(ts) AS s_start, max(ts) AS s_end,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM sess GROUP BY user_id, sess_id
+    ), wm AS (SELECT max(ts) - INTERVAL 60 MINUTE AS w FROM events)
+    SELECT user_id,
+           strftime(s_start, '{_TS_FMT_DUCK}') AS session_start,
+           strftime(s_end, '{_TS_FMT_DUCK}') AS session_end,
+           n_events, total_value
+    FROM agg, wm
+    WHERE NOT (
+      sess_id = (SELECT max(sess_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
+      AND s_end + INTERVAL 30 MINUTE >= w
+    )
+    """,
+)
+def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom session windows via EVENT-TIME TIMERS
+    (streaming/stateful.py timeout_sessions_per_user): per-user state
+    machine closing sessions either in-data (a successor event past the
+    30-minute gap) or by `GroupStateTimeout.EventTimeTimeout` once the
+    watermark passes last+gap — the timer fires in Spark's final no-data
+    micro-batch of the availableNow replay. Append-mode contract: each
+    user's open tail session survives past the final watermark
+    (max ts - 1h delay) and is deliberately NOT emitted; the oracle's
+    islands construction excludes exactly those sessions (strict `<`
+    fire condition mirrored as `>=` keep-open). total_value sums the
+    same doubles in both engines, rounded to 2."""
+    from ..streaming.stateful import timeout_sessions_per_user
+
+    plan = timeout_sessions_per_user(
+        _events_stream(spark, sf_dir), gap="30 minutes", watermark="1 hour"
+    )
+    out = replay_to_memory(spark, plan, output_mode="append")
+    return out.select(
+        "user_id",
+        F.date_format(
+            F.timestamp_millis(F.col("session_start_ms")), _TS_FMT_SPARK
+        ).alias("session_start"),
+        F.date_format(
+            F.timestamp_millis(F.col("session_end_ms")), _TS_FMT_SPARK
+        ).alias("session_end"),
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )

@@ -439,3 +439,137 @@ def streaming_cdc_latest(stream: DataFrame, key_col: str = "user_id") -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TIMEOUT_SESSIONS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_TIMEOUT_SESSIONS_STATE = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _timeout_sessions_fn_factory(gap_ms: int):
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+
+        def _emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [uid] * len(rows),
+                    "session_start_ms": [r[0] for r in rows],
+                    "session_end_ms": [r[1] for r in rows],
+                    "n_events": [r[2] for r in rows],
+                    "total_value": [r[3] for r in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            # watermark passed last_ms + gap with no new events: the
+            # session is final — emit and drop the state.
+            s, last, n, tot = state.get
+            state.remove()
+            yield _emit([(s, last, n, tot)])
+            return
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        rows = pd.concat(parts) if parts else pd.DataFrame()
+        closed: list[tuple] = []
+        cur = list(state.get) if state.exists else None
+        if len(rows):
+            # rows arrive in shuffle order, not time order: sessionize
+            # over the batch's full sorted view (state holds only the
+            # open tail, so this is O(batch rows) per key, not O(stream))
+            ts = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+            vals = rows["value"].to_numpy()
+            order = ts.argsort(kind="stable")
+            for t, v in zip(ts[order], vals[order]):
+                t, v = int(t), float(v)
+                if cur is None:
+                    cur = [t, t, 1, v]
+                elif t - cur[1] > gap_ms:
+                    closed.append(tuple(cur))
+                    cur = [t, t, 1, v]
+                else:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+                    cur[3] += v
+        if cur is not None:
+            deadline = cur[1] + gap_ms
+            if deadline <= state.getCurrentWatermarkMs():
+                # the open tail is already expired (late-arriving group
+                # in a later batch): close it now — an event-time timer
+                # must be strictly beyond the watermark.
+                closed.append(tuple(cur))
+                state.remove() if state.exists else None
+            else:
+                state.update(tuple(cur))
+                state.setTimeoutTimestamp(deadline)
+        yield _emit(closed)
+
+    return _fn
+
+
+def timeout_sessions_per_user(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom session windows via EVENT-TIME TIMERS: the state-machine
+    form of `session_window` (streaming/windows.py session_window_agg is
+    the declarative twin). Sessions close two ways — a same-key event
+    arriving past the gap closes the previous session in-data, and the
+    event-time timeout (`GroupStateTimeout.EventTimeTimeout` +
+    `setTimeoutTimestamp(last + gap)`) closes the open tail once the
+    watermark passes it with no successor, including in Spark's final
+    no-data micro-batch. This is the template for timer-driven custom
+    operators (TTL eviction, SLA timers, delayed emission): state is
+    O(1) per open session, emission is append-mode (closed sessions
+    only — an open tail past the final watermark is never emitted,
+    exactly like the production stream it models).
+
+    Parses ``gap`` via Spark's own interval parser so operator and
+    engine agree on the millisecond value.
+    """
+    from pyspark.sql.functions import expr
+
+    gap_row = (
+        stream.sparkSession.range(1)
+        .select(
+            expr(
+                f"unix_millis(timestamp'1970-01-01 00:00:00Z' + interval {gap})"
+            )
+        )
+        .head()
+    )
+    wm = stream.withWatermark(ts_col, watermark)
+    sel = wm.select(
+        wm[key_col].alias("user_id"),
+        wm[ts_col].alias("ts"),
+        wm[value_col].alias("value"),
+    )
+    return sel.groupBy("user_id").applyInPandasWithState(
+        _timeout_sessions_fn_factory(int(gap_row[0])),
+        outputStructType=TIMEOUT_SESSIONS_OUTPUT,
+        stateStructType=_TIMEOUT_SESSIONS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -265,3 +265,58 @@ def test_stream_anomaly_state_carries_across_batches(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_timeout_sessions_timer_fires_and_tail_stays_open(spark, tmp_path):
+    """Event-time-timer sessionizer across real micro-batches
+    (maxFilesPerTrigger=1): a session with NO successor event can only be
+    emitted by the EventTimeTimeout firing once the watermark passes
+    last+gap (here in the final no-data batch), an intra-batch gap closes
+    in-data, and the open tail past the final watermark is withheld."""
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.stateful import (
+        timeout_sessions_per_user,
+    )
+
+    p = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    batches = [
+        # user 1: two close events, then silence -> only a timer can close
+        # user 3: in-batch gap > 30min -> first session closes in-data
+        [
+            _ev(1, t0, user=1, value=2.0),
+            _ev(2, t0 + 10 * m, user=1, value=3.0),
+            _ev(3, t0, user=3, value=1.0),
+            _ev(4, t0 + 120 * m, user=3, value=1.0),
+        ],
+        # user 2 far ahead: advances the watermark to t0+2h50, which is
+        # past user 1's t0+40min and user 3's t0+2h30 deadlines but not
+        # past user 2's own t0+3h30
+        [_ev(5, t0 + 180 * m, user=2, value=4.0)],
+    ]
+    os.makedirs(p)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, TESTDATA_SCHEMAS["events"])
+        df.coalesce(1).write.mode("overwrite").parquet(f"{p}/part{i}")
+
+    plan = timeout_sessions_per_user(
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(p + "/part*"),
+        gap="30 minutes",
+        watermark="10 minutes",
+    )
+    out = replay_to_memory(spark, plan, output_mode="append")
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"],
+         r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    ms = lambda d: int(d.timestamp() * 1000)  # noqa: E731
+    assert got == {
+        (1, ms(t0), ms(t0 + 10 * m), 2, 5.0),  # closed by the timer
+        (3, ms(t0), ms(t0), 1, 1.0),  # closed in-data by the 2h gap
+        (3, ms(t0 + 120 * m), ms(t0 + 120 * m), 1, 1.0),  # timer again
+        # user 2's tail stays open past the final watermark: absent
+    }
