@@ -320,3 +320,63 @@ def test_timeout_sessions_timer_fires_and_tail_stays_open(spark, tmp_path):
         (3, ms(t0 + 120 * m), ms(t0 + 120 * m), 1, 1.0),  # timer again
         # user 2's tail stays open past the final watermark: absent
     }
+
+
+def test_timeout_sessions_timer_survives_checkpoint_restart(spark, tmp_path):
+    """Two availableNow runs over a shared checkpoint: run 1 leaves an
+    open session in state (its timer deadline beyond the persisted
+    watermark); run 2's only new event belongs to ANOTHER user but
+    advances the watermark past that deadline — the restored timer must
+    fire and emit the run-1 session from recovered state (X1 for timer
+    state, not just aggregates)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.stateful import (
+        timeout_sessions_per_user,
+    )
+
+    p = str(tmp_path / "ev")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    os.makedirs(p)
+
+    def run_once():
+        plan = timeout_sessions_per_user(
+            _stream(spark, p), gap="30 minutes", watermark="10 minutes"
+        )
+        q = (
+            plan.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Run 1: user 1's pair, nothing else -> watermark persists at t0,
+    # session stays open in state with its timer at t0+40min.
+    spark.createDataFrame(
+        [_ev(1, t0, user=1, value=2.0), _ev(2, t0 + 10 * m, user=1, value=3.0)],
+        TESTDATA_SCHEMAS["events"],
+    ).coalesce(1).write.mode("append").parquet(p)
+    run_once()
+    before = spark.read.schema(
+        "user_id long, session_start_ms long, session_end_ms long, "
+        "n_events long, total_value double"
+    ).parquet(sink)
+    assert before.count() == 0  # nothing closed yet
+
+    # Run 2: user 2 at t0+3h pushes the watermark to t0+2h50 > t0+40min.
+    spark.createDataFrame(
+        [_ev(3, t0 + 180 * m, user=2, value=4.0)], TESTDATA_SCHEMAS["events"]
+    ).coalesce(1).write.mode("append").parquet(p)
+    run_once()
+
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"],
+         r["n_events"], r["total_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    ms = lambda d: int(d.timestamp() * 1000)  # noqa: E731
+    assert got == {(1, ms(t0), ms(t0 + 10 * m), 2, 5.0)}
