@@ -47,6 +47,7 @@ _STALE_R7 = [
     "graph_pagerank",  # new: iterative PageRank (Pregel-on-DataFrames)
     "graph_copurchase_topk",  # new: co-occurrence pairs, stop-customer prune
     "stream_timeout_sessions",  # new: event-time-timer custom sessionizer
+    "io_schema_evolution",  # new: mergeSchema add-a-column migration read
     "join_bloom_prefilter",  # new: bloom prefilter before the join shuffle
     "dedup_clusters_scale",  # new: alternating-star CC scale path
     "dedup_span_coverage",  # new: exact-substring dup metric (Lee 2021)

@@ -359,3 +359,45 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_bound_ok"),
         )
     )
+
+
+@register(
+    "io_schema_evolution",
+    """
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 13 THEN NULL
+                ELSE CAST(n_nationkey * 10 AS BIGINT) END AS priority
+    FROM nation
+    """,
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (the add-a-column migration every long-lived
+    table hits): an old batch written WITHOUT ``priority`` and a new
+    batch WITH it live in one directory; ``mergeSchema=true`` reconciles
+    the footers into the union schema and old rows surface the new
+    column as NULL. The oracle recomputes the NULL/value split from the
+    same key cutoff. At scale, mergeSchema is a read-time footer
+    reconciliation (one pass over file footers at planning) — the
+    alternative, rewriting history to backfill a column, is a full-table
+    write; this query pins that the cheap path gives the right answer.
+    Result is localCheckpointed before the scratch dir is removed
+    (bounded: |nation| = 25 rows at every SF)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    root = tempfile.mkdtemp(prefix="io_evolve_")
+    try:
+        old = nation.where(F.col("n_nationkey") < 13).select(
+            "n_nationkey", "n_name"
+        )
+        new = nation.where(F.col("n_nationkey") >= 13).select(
+            "n_nationkey",
+            "n_name",
+            (F.col("n_nationkey") * 10).cast("long").alias("priority"),
+        )
+        old.write.mode("append").parquet(f"{root}/t")
+        new.write.mode("append").parquet(f"{root}/t")
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{root}/t")
+        return merged.select(
+            "n_nationkey", "n_name", "priority"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
