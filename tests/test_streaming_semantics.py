@@ -380,3 +380,35 @@ def test_timeout_sessions_timer_survives_checkpoint_restart(spark, tmp_path):
     }
     ms = lambda d: int(d.timestamp() * 1000)  # noqa: E731
     assert got == {(1, ms(t0), ms(t0 + 10 * m), 2, 5.0)}
+
+
+def test_timeout_sessions_exact_gap_boundary_stays_merged(spark, tmp_path):
+    """Events exactly gap-apart stay in ONE session (close condition is
+    strictly greater-than, matching the oracle's `> INTERVAL`), and one
+    millisecond past the gap splits."""
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.stateful import (
+        timeout_sessions_per_user,
+    )
+
+    p = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(minutes=30)
+    one_ms = dt.timedelta(milliseconds=1)
+    rows = [
+        _ev(1, t0, user=1),
+        _ev(2, t0 + gap, user=1),            # exactly 30min later: merge
+        _ev(3, t0, user=2),
+        _ev(4, t0 + gap + one_ms, user=2),   # 30min + 1ms: split
+        # sentinel far ahead so every earlier session times out
+        _ev(5, t0 + dt.timedelta(days=1), user=99),
+    ]
+    _write_events(spark, p, rows)
+    plan = timeout_sessions_per_user(
+        _stream(spark, p), gap="30 minutes", watermark="10 minutes"
+    )
+    out = replay_to_memory(spark, plan, output_mode="append")
+    rows_out = out.collect()
+    u1 = [r for r in rows_out if r["user_id"] == 1]
+    assert len(u1) == 1 and u1[0]["n_events"] == 2  # merged at the boundary
+    u2 = [r for r in rows_out if r["user_id"] == 2]
+    assert len(u2) == 2 and all(r["n_events"] == 1 for r in u2)  # split past it
