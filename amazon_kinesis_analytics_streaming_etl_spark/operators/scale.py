@@ -577,6 +577,8 @@ def bloom_prefilter(
 
     @pandas_udf("boolean")
     def _might_contain(pos: pd.Series) -> pd.Series:
+        if not len(pos):
+            return pd.Series([], dtype=bool)
         bits = bc.value
         mat = np.vstack(pos.to_numpy())  # (rows, num_hashes) int64 >= 0
         hit = (bits[mat >> 6] >> (mat & 63).astype(np.uint64)) & np.uint64(1)

@@ -495,7 +495,11 @@ def _timeout_sessions_fn_factory(gap_ms: int):
             # rows arrive in shuffle order, not time order: sessionize
             # over the batch's full sorted view (state holds only the
             # open tail, so this is O(batch rows) per key, not O(stream))
-            ts = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+            # normalize to ns first: Arrow can hand back datetime64[us],
+            # whose raw int64 view would be off by 1000x
+            ts = (
+                rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            ).to_numpy()
             vals = rows["value"].to_numpy()
             order = ts.argsort(kind="stable")
             for t, v in zip(ts[order], vals[order]):
