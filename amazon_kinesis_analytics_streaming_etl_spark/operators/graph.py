@@ -91,3 +91,72 @@ def pagerank(
         )
     weighted.unpersist()
     return ranks.select("node", F.col("pr").alias("pagerank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts; returns (node, triangles).
+
+    Degree-ordered orientation (the standard distributed formulation —
+    Suri & Vassilvitskii 2011 "Counting Triangles and the Curse of the
+    Last Reducer"; same shape GraphX's TriangleCount uses): canonicalize
+    the undirected edge set, then orient every edge from its lower
+    endpoint to its higher endpoint under the total order (degree, id).
+    Each triangle then appears EXACTLY once as a directed path a->b->c
+    with a closing edge a->c, so counting is two joins: oriented ⋈
+    oriented on the middle node (wedges), then a semi-join against the
+    oriented edge set to keep closed wedges.
+
+    Why orientation matters at scale: without it, a hub of degree d
+    emits O(d^2) wedges — the "curse of the last reducer". Orienting by
+    degree bounds every node's OUT-degree by O(sqrt(m)) (a node of
+    degree > sqrt(2m) cannot have that many higher-degree neighbors), so
+    per-node wedge fan-out is O(m) total instead of O(sum d^2), and the
+    skewed-hub partition disappears. Both joins are plain hash
+    equi-joins on a single key (the wedge join keys on the middle node;
+    the closure check keys on the (a, c) pair), so Catalyst shuffles
+    each side once and AQE handles any residual skew.
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    # Materialize the canonical edge set once: it (and the orientation
+    # derived from it) is referenced by BOTH sides of the wedge join and
+    # by the closure semi-join, and without truncation each reference
+    # re-executes the caller's whole upstream (here: the co-purchase
+    # self-join + top-K) — the iterative-plan rule from pagerank applies
+    # to diamond-shaped reuse too.
+    und = (
+        e.select(F.least("_u", "_v").alias("_u"), F.greatest("_u", "_v").alias("_v"))
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("_u").alias("n"))
+        .union(und.select(F.col("_v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("_u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("n").alias("_v"), F.col("d").alias("_dv"))
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = (
+        und.join(du, "_u")
+        .join(dv, "_v")
+        .select(
+            F.when(fwd, F.col("_u")).otherwise(F.col("_v")).alias("lo"),
+            F.when(fwd, F.col("_v")).otherwise(F.col("_u")).alias("hi"),
+        )
+        .localCheckpoint()
+    )
+    # wedges a->b->c, closed by an oriented a->c edge: each triangle once.
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    closing = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(closing, ["a", "c"], "left_semi")
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count("*").cast("long").alias("triangles"))

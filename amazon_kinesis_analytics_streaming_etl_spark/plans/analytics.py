@@ -1266,3 +1266,281 @@ def graph_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_customers").desc(), "supp_a", "supp_b")
         .limit(20)
     )
+
+
+_TRIANGLE_TOPK_EDGES = 2000  # similarity-graph sparsification: keep K strongest
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    kept AS (
+      SELECT c, s FROM pairs
+      WHERE c IN (SELECT c FROM pairs GROUP BY c
+                  HAVING COUNT(*) <= {_COPURCHASE_MAX_DEGREE})
+    ),
+    weighted AS (
+      SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    ),
+    edges AS (
+      SELECT sa, sb FROM weighted
+      ORDER BY w DESC, sa, sb LIMIT {_TRIANGLE_TOPK_EDGES}
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT sa AS n FROM edges UNION ALL SELECT sb AS n FROM edges
+      ) GROUP BY n
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, e.sa) < (db.d, e.sb) THEN e.sa ELSE e.sb END AS lo,
+             CASE WHEN (da.d, e.sa) < (db.d, e.sb) THEN e.sb ELSE e.sa END AS hi
+      FROM edges e
+      JOIN deg da ON da.n = e.sa
+      JOIN deg db ON db.n = e.sb
+    ),
+    tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM o e1 JOIN o e2 ON e2.lo = e1.hi
+      WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.lo = e1.lo AND e3.hi = e2.hi)
+    )
+    SELECT node AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY node
+    ORDER BY triangles DESC, s_suppkey
+    LIMIT 15
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 suppliers by triangle participation in the co-purchase
+    similarity graph (operators/graph.py:triangle_count — degree-ordered
+    orientation, Suri & Vassilvitskii 2011). Triangle density is the
+    classic cohesion / community-strength signal (clustering
+    coefficient's numerator); on a supplier graph it surfaces tightly
+    clustered supplier groups.
+
+    The graph is sparsified BEFORE counting: distinct (customer,
+    supplier) trade pairs -> stop-customer degree prune (same cap as
+    graph_copurchase_topk) -> pair weights by shared-customer count ->
+    keep the K strongest edges via a deterministic exact top-K
+    (weight desc, then pair id — TakeOrdered, never a full sort). Fixed
+    K bounds triangle work at ANY scale factor: the co-purchase graph
+    densifies toward a clique as SF grows (at sf0.01 every supplier
+    pair already shares >= 124 customers), and top-K-edge
+    sparsification is the standard similarity-graph construction move
+    (keep strongest edges, then mine structure). The oracle replays the
+    identical pipeline CTE-for-CTE, including the orientation
+    comparator, so the triangle enumeration itself is value-checked."""
+    from ..operators.graph import triangle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    keep = (
+        pairs.groupBy("c")
+        .agg(F.count("*").alias("_d"))
+        .where(F.col("_d") <= _COPURCHASE_MAX_DEGREE)
+        .select("c")
+    )
+    kept = pairs.join(F.broadcast(keep), "c")
+    a = kept.select("c", F.col("s").alias("sa"))
+    b = kept.select("c", F.col("s").alias("sb"))
+    edges = (
+        a.join(b, ["c"])
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("w"))
+        .orderBy(F.col("w").desc(), "sa", "sb")
+        .limit(_TRIANGLE_TOPK_EDGES)
+        .drop("w")
+    )
+    return (
+        triangle_count(edges, "sa", "sb")
+        .select(F.col("node").alias("s_suppkey"), "triangles")
+        .orderBy(F.col("triangles").desc(), "s_suppkey")
+        .limit(15)
+    )
+
+
+@register(
+    "ts_autocorr",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS ph,
+             ROUND(CAST(CAST(AVG(value) AS REAL) AS DOUBLE), 4) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    l AS (
+      SELECT event_type, v,
+             lag(v, 1)  OVER (PARTITION BY event_type ORDER BY ph) AS v1,
+             lag(v, 24) OVER (PARTITION BY event_type ORDER BY ph) AS v24
+      FROM h
+    )
+    SELECT event_type,
+           ROUND(corr(v, v1)  + 0.00000001, 4) AS ac_lag1,
+           ROUND(corr(v, v24) + 0.00000001, 4) AS ac_lag24,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM l GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-24 autocorrelation of each event type's hourly mean
+    series — the standard seasonality / persistence diagnostic (a large
+    ac_lag24 says "daily cycle"; ac_lag1 says "short-term momentum").
+    Composition of primitives the engine already exercises separately:
+    time-bucketed pre-aggregation (shuffle ONCE on (type, hour) — the
+    window then operates on ~700 rows per series, not raw events), a
+    partitioned ordered lag, and the corr co-moment aggregate (single
+    pass, mergeable partials). Hourly means are squashed through float32
+    and rounded before the lag so both engines correlate identical
+    inputs; the correlation itself is rounded through the catalog's
+    epsilon convention (summation order differs across engines)."""
+    ev = load_events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ph")
+    ).agg(
+        F.round(F.avg("value").cast("float").cast("double"), 4).alias("v")
+    )
+    w1 = Window.partitionBy("event_type").orderBy("ph")
+    l = h.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w1).alias("v1"),
+        F.lag("v", 24).over(w1).alias("v24"),
+    )
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.round(F.corr("v", "v1") + 0.00000001, 4).alias("ac_lag1"),
+            F.round(F.corr("v", "v24") + 0.00000001, 4).alias("ac_lag24"),
+            F.count("*").cast("long").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_changepoint_cusum",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS ph,
+             ROUND(CAST(CAST(AVG(value) AS REAL) AS DOUBLE), 4) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    m AS (
+      SELECT event_type, ph, v,
+             AVG(v) OVER (PARTITION BY event_type) AS mu
+      FROM h
+    ),
+    c AS (
+      SELECT event_type, ph,
+             SUM(v - mu) OVER (PARTITION BY event_type ORDER BY ph
+                               ROWS UNBOUNDED PRECEDING) AS s
+      FROM m
+    )
+    SELECT event_type, ph AS change_hour, ROUND(ABS(s) + 0.00000001, 4) AS cusum_max
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY ROUND(ABS(s), 6) DESC, ph) AS rn
+      FROM c
+    )
+    WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint location per event-type series (Page 1954 /
+    the offline mean-shift form): cumulative sum of deviations from the
+    series mean, changepoint = the hour where |CUSUM| peaks — for a
+    single mean-shift this argmax is the maximum-likelihood split
+    point. One shuffle (the hourly pre-aggregation); the mean, the
+    running sum, and the argmax are all windows over the SAME
+    (event_type, ordered-by-hour) partitioning, so Catalyst plans them
+    without re-shuffling between window frames. Hourly means are
+    float32-squashed and rounded first so the sequential cumsum sees
+    identical inputs in both engines; the argmax comparator rounds to 6
+    decimals with an hour-ascending tie-break, making the winning row
+    deterministic even where the two engines' partition-mean summation
+    order differs in the last bits."""
+    ev = load_events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ph")
+    ).agg(
+        F.round(F.avg("value").cast("float").cast("double"), 4).alias("v")
+    )
+    wall = Window.partitionBy("event_type")
+    word = (
+        Window.partitionBy("event_type")
+        .orderBy("ph")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.select(
+        "event_type",
+        "ph",
+        F.sum(F.col("v") - F.avg("v").over(wall)).over(word).alias("s"),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs("s"), 6).desc(), F.col("ph")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ph").alias("change_hour"),
+            F.round(F.abs("s") + 0.00000001, 4).alias("cusum_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_trend_ols",
+    """
+    SELECT event_type,
+           ROUND(regr_slope(value, epoch(ts) / 86400.0) + 0.000000001, 6)
+             AS slope_per_day,
+           ROUND(regr_intercept(value, epoch(ts) / 86400.0) + 0.000000001, 4)
+             AS intercept,
+           ROUND(regr_r2(value, epoch(ts) / 86400.0) + 0.000000001, 8) AS r2,
+           CAST(COUNT(value) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend via the SQL-standard OLS regression
+    aggregates (regr_slope / regr_intercept / regr_r2), x = event time
+    in fractional days — "is this metric drifting, and how fast?".
+    Single-pass mergeable co-moment aggregation (the same partial-
+    aggregate shape as corr/covar: each partition accumulates
+    (n, sx, sy, sxx, sxy, syy), merge is algebraic), so the whole query
+    is one map-side-combined shuffle of 5 rows per partition — no
+    window, no sort, scale-free. The regression surface is distinct
+    from agg_corr_covar's: slope/intercept give the fitted line (units:
+    value per day), r2 its explanatory power."""
+    ev = load_events(spark, sf_dir)
+    # timestamp->double cast = fractional epoch seconds (matches DuckDB epoch())
+    x = F.col("ts").cast("double") / 86400.0
+    return (
+        ev.select("event_type", F.col("value").alias("y"), x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("y", "x") + 0.000000001, 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("y", "x") + 0.000000001, 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x") + 0.000000001, 8).alias("r2"),
+            F.count("y").cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )

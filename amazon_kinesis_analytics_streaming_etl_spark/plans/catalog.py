@@ -44,6 +44,10 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # the oldest again next round and lead the r8 window.
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
+    "graph_triangle_count",  # new: degree-ordered oriented triangle counting
+    "ts_autocorr",  # new: lag-1/lag-24 autocorrelation diagnostic
+    "ts_changepoint_cusum",  # new: CUSUM mean-shift changepoint
+    "ts_trend_ols",  # new: regr_slope/intercept/r2 OLS trend
     "graph_pagerank",  # new: iterative PageRank (Pregel-on-DataFrames)
     "graph_copurchase_topk",  # new: co-occurrence pairs, stop-customer prune
     "stream_timeout_sessions",  # new: event-time-timer custom sessionizer

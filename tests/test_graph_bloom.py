@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import pagerank
+from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import pagerank, triangle_count
 from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
     bloom_build,
     bloom_prefilter,
@@ -172,5 +172,75 @@ def test_bloom_property_no_false_negatives(spark):
             for r in bloom_prefilter(keys, "k", bm, num_bits, num_hashes).collect()
         }
         assert out == set(members)
+
+    run()
+
+
+# --- triangle counting -------------------------------------------------------
+
+
+def _tri_reference(edge_list):
+    """Brute-force per-node triangle counts over the canonical undirected
+    edge set: check every node triple — the O(n^3) test oracle."""
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    nodes = sorted({u for e in und for u in e})
+    counts = {}
+    for i, a in enumerate(nodes):
+        for j in range(i + 1, len(nodes)):
+            for k in range(j + 1, len(nodes)):
+                b, c = nodes[j], nodes[k]
+                if (
+                    (a, b) in und
+                    and tuple(sorted((b, c))) in und
+                    and (a, c) in und
+                ):
+                    for n in (a, b, c):
+                        counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a pendant
+    # edge 4-5 (in none) and a disconnected 2-path 6-7-8 (no triangle)
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (6, 7), (7, 8),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_direction_and_duplicates_irrelevant(spark):
+    # same triangle expressed with mixed directions and repeated edges:
+    # canonicalization must collapse them to ONE triangle
+    edges = [(1, 2), (2, 1), (3, 2), (1, 3), (3, 1), (1, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_property_random_graphs(spark):
+    """Hypothesis: on arbitrary small graphs (self-loops, both edge
+    directions, hubs, disconnected pieces) the oriented-wedge count
+    equals the brute-force triple enumeration per node."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    node = st.integers(min_value=0, max_value=10)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(node, node), min_size=1, max_size=35, unique=True
+        )
+    )
+    def run(edges):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+        assert got == _tri_reference(edges)
 
     run()
