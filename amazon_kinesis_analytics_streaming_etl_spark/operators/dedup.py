@@ -163,6 +163,65 @@ def ngram_jaccard_pairs(
     return _checkpoint_released(out, [sh]) if eager else out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    eager: bool = True,
+) -> DataFrame:
+    """DIRECTED near-dup pairs by shingle containment
+    ``C(A->B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|`` >= threshold.
+
+    Containment (Broder 1997's second resemblance measure) is the
+    asymmetric complement to Jaccard: a short document embedded verbatim
+    inside a long one scores C(short->long) ~= 1 while Jaccard ~=
+    |short|/|long| ~= 0 — so quote-inclusion, boilerplate-wrapping, and
+    excerpt duplicates are invisible to ``ngram_jaccard_pairs`` but
+    caught here. Both directions are emitted (C is not symmetric).
+
+    Same inverted-index plan shape as Jaccard — explode distinct
+    shingles, self-join on the shingle hash, count intersections — so
+    cost is driven by shingle co-occurrence, never by |docs|^2. The
+    semantics-preserving prune differs: ``inter <= nb`` implies
+    ``C(A->B) <= nb/na``, so pairs with ``nb < threshold * na`` are
+    dropped before the join (a containing document can be arbitrarily
+    LARGER but not much smaller than the contained one).
+
+    Returns (id_src, id_dst, containment): id_src's shingles are
+    covered by id_dst's at >= threshold, rounded to 6.
+    """
+    sh = _shingled(df, text_col, id_col, k)
+    inv = sh.select("_id", "_n", F.explode("_h").alias("_shash"))
+    a, b = inv.alias("a"), inv.alias("b")
+    ratio_ok = (
+        F.col("b._n").cast("double") >= F.col("a._n") * F.lit(threshold)
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("a._shash") == F.col("b._shash"))
+            & (F.col("a._id") != F.col("b._id"))
+            & ratio_ok,
+        )
+        .groupBy(
+            F.col("a._id").alias("id_src"),
+            F.col("b._id").alias("id_dst"),
+            F.col("a._n").alias("na"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    cont = inter.withColumn(
+        "containment",
+        F.round(F.col("inter").cast("double") / F.col("na").cast("double"), 6),
+    )
+    out = cont.where(F.col("containment") >= threshold).select(
+        "id_src", "id_dst", "containment"
+    )
+    return _checkpoint_released(out, [sh]) if eager else out
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",

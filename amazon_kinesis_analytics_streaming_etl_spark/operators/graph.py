@@ -28,7 +28,7 @@ At 100 TB scale the knobs that matter:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,6 +91,55 @@ def pagerank(
         )
     weighted.unpersist()
     return ranks.select("node", F.col("pr").alias("pagerank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007; GraphX's
+    LabelPropagation shape) over a DIRECTED edge list — pass reversed
+    edges too for undirected semantics. Returns (node, label).
+
+    Every node starts labeled with its own id. Each superstep, every
+    node adopts the most frequent label among its in-neighbors, ties
+    broken by the SMALLEST label; nodes with no in-edges keep their
+    current label. The min-label tie-break makes the synchronous update
+    fully deterministic (the usual LPA rand-tie-break is not), which is
+    what lets a SQL oracle unroll the recurrence iteration-for-iteration.
+
+    Superstep = one join (labels onto edges by source), one count
+    aggregation per (dst, label) — map-side combined — and one
+    per-node argmax window, all partitioned by the destination node, so
+    Catalyst plans the count->argmax pair on a single shuffle. Lineage
+    is truncated every superstep (the pagerank rule)."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("_dst").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(iterations):
+        picked = (
+            e.join(labels, e["_src"] == labels["node"])
+            .groupBy("_dst", "lbl")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("_dst").alias("node"), F.col("lbl").alias("_new"))
+        )
+        labels = (
+            labels.join(picked, "node", "left")
+            .select("node", F.coalesce("_new", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return labels.select("node", F.col("lbl").alias("label"))
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -1544,3 +1544,93 @@ def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled SQL twin of operators/graph.py:label_propagation over the
+    customer<->supplier trade graph (even/odd node encoding, both edge
+    directions): per iteration, count in-neighbor labels per node, adopt
+    the most frequent with the min-label tie-break, keep the previous
+    label where no in-edges exist."""
+    steps = []
+    for i in range(1, _LPA_ITERS + 1):
+        steps.append(
+            f"""cnt{i} AS (
+      SELECT e.dst AS node, p.lbl, COUNT(*) AS c
+      FROM edges e JOIN lp{i - 1} p ON p.node = e.src
+      GROUP BY e.dst, p.lbl
+    ),
+    pick{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM cnt{i}
+      ) WHERE rn = 1
+    ),
+    lp{i} AS (
+      SELECT prev.node, COALESCE(pick{i}.lbl, prev.lbl) AS lbl
+      FROM lp{i - 1} prev LEFT JOIN pick{i} ON pick{i}.node = prev.node
+    )"""
+        )
+    its = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    lp0 AS (SELECT node, node AS lbl FROM nodes),
+    {its}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size_nodes
+    FROM lp{_LPA_ITERS}
+    GROUP BY lbl
+    ORDER BY size_nodes DESC, community
+    LIMIT 15
+    """
+
+
+@register("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (operators/graph.py:label_propagation — Raghavan et al. 2007 with a
+    deterministic min-label tie-break) on the undirected customer<->
+    supplier trade graph, 3 supersteps; top-15 communities by size.
+    Third member of the iterative-graph family after pagerank (float
+    recurrence) and triangle_count (one-shot): LPA exercises the
+    argmax-of-counts superstep — join labels onto edges, map-side-
+    combined count per (node, label), per-node window argmax on the
+    SAME shuffle key — that neither of the others covers. The oracle
+    unrolls all three supersteps CTE-for-CTE including the tie-break,
+    so the propagation dynamics are value-checked, not just the final
+    community sizes."""
+    from ..operators.graph import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    labels = label_propagation(edges, iterations=_LPA_ITERS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("long").alias("size_nodes"))
+        .orderBy(F.col("size_nodes").desc(), "community")
+        .limit(15)
+    )

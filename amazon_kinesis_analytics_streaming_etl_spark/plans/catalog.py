@@ -45,6 +45,8 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
     "graph_triangle_count",  # new: degree-ordered oriented triangle counting
+    "graph_label_propagation",  # new: deterministic synchronous LPA communities
+    "dedup_containment",  # new: asymmetric shingle containment (doc-inside-doc)
     "ts_autocorr",  # new: lag-1/lag-24 autocorrelation diagnostic
     "ts_changepoint_cusum",  # new: CUSUM mean-shift changepoint
     "ts_trend_ols",  # new: regr_slope/intercept/r2 OLS trend

@@ -214,6 +214,47 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
+               i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+    ),
+    inv AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_src, b.doc_id AS id_dst,
+             a.n_sh AS na, count(*) AS inter
+      FROM inv a JOIN inv b ON md5(a.sh) = md5(b.sh) AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT id_src, id_dst,
+           round(inter * 1.0 / na, 6) AS containment
+    FROM pairs
+    WHERE inter * 1.0 / na >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED doc-inside-doc near-dup pairs by word-3-shingle
+    containment |A∩B|/|A| >= 0.8 (operators/dedup.py:containment_pairs
+    — Broder's asymmetric resemblance). Catches excerpt/quote/
+    boilerplate inclusion that symmetric Jaccard structurally misses:
+    short-inside-long scores ~1 here but ~|short|/|long| on Jaccard.
+    Same inverted-shingle-index plan as dedup_ngram_jaccard (cost is
+    shingle co-occurrence, never |docs|^2) with the containment-specific
+    size prune (the container may be larger, not much smaller)."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), k=3, threshold=0.8)
+
+
+@register(
     "dedup_levenshtein",
     """
     WITH names AS (SELECT DISTINCT p_name FROM part)

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+    containment_pairs,
     dedup_keep_first,
     exact_dedup,
     minhash_near_dup_pairs,
@@ -583,3 +584,55 @@ def test_ivfpq_composite_finds_self_and_true_scores(spark):
         assert r.cos_sim == pytest.approx(exact_scores[r.vec_id], abs=1e-6)
     top10 = {r.vec_id for r in exact[:10]}
     assert len({r.vec_id for r in got} & top10) >= 5
+
+
+# --- containment -------------------------------------------------------------
+
+
+def _py_containment_pairs(docs, k=3, threshold=0.8):
+    """Directed shingle containment over all ordered pairs: the oracle."""
+    sh = {}
+    for i, t in docs:
+        toks = t.lower().split()
+        sh[i] = {tuple(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+    out = {}
+    for (a, sa), (b, sb) in itertools.permutations(sh.items(), 2):
+        if not sa:
+            continue
+        c = len(sa & sb) / len(sa)
+        if c >= threshold:
+            out[(a, b)] = round(c, 6)
+    return out
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    # doc 1 is a verbatim excerpt of doc 0: containment(1 -> 0) = 1.0,
+    # while Jaccard(0, 1) = 8/30 is far below any useful threshold
+    long_doc = " ".join(f"w{i}" for i in range(30))
+    excerpt = " ".join(long_doc.split()[10:20])
+    df = spark.createDataFrame([(0, long_doc), (1, excerpt)], ["doc_id", "text"])
+    got = {
+        (r.id_src, r.id_dst): r.containment
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    want = _py_containment_pairs([(0, long_doc), (1, excerpt)])
+    assert (1, 0) in got and got[(1, 0)] == pytest.approx(1.0)
+    assert got.keys() == want.keys()
+    jac = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 1) not in jac  # symmetric Jaccard misses the inclusion
+
+
+def test_containment_matches_python_reference(spark):
+    docs = _mk_docs(n=50)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_src, r.id_dst): r.containment
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    want = _py_containment_pairs(docs, threshold=0.6)
+    assert set(got) == set(want)
+    for pair, c in want.items():
+        assert got[pair] == pytest.approx(c, abs=1e-6)

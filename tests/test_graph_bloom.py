@@ -8,7 +8,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import pagerank, triangle_count
+from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import (
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
 from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
     bloom_build,
     bloom_prefilter,
@@ -242,5 +246,83 @@ def test_triangle_count_property_random_graphs(spark):
         df = spark.createDataFrame(edges, ["src", "dst"])
         got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
         assert got == _tri_reference(edges)
+
+    run()
+
+
+# --- label propagation -------------------------------------------------------
+
+
+def _lpa_reference(edge_list, iterations):
+    """Dict-based synchronous LPA with min-label tie-break: the oracle."""
+    nodes = sorted({u for e in edge_list for u in e})
+    lbl = {n: n for n in nodes}
+    for _ in range(iterations):
+        new = {}
+        for n in nodes:
+            counts = {}
+            for u, v in edge_list:
+                if v == n:
+                    counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+            if counts:
+                new[n] = min(
+                    counts, key=lambda c: (-counts[c], c)
+                )
+            else:
+                new[n] = lbl[n]
+        lbl = new
+    return lbl
+
+
+def test_lpa_two_cliques_converge_to_two_communities(spark):
+    # two triangles bridged by one edge: each triangle's min id wins its side
+    tri1 = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    tri2 = [(4, 5), (5, 4), (5, 6), (6, 5), (4, 6), (6, 4)]
+    bridge = [(3, 4), (4, 3)]
+    edges = spark.createDataFrame(tri1 + tri2 + bridge, ["src", "dst"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert got == _lpa_reference(tri1 + tri2 + bridge, 4)
+
+
+def test_lpa_isolated_source_keeps_own_label(spark):
+    # 9 -> 1 only: node 9 has no in-edges, must keep label 9 forever
+    edges = spark.createDataFrame([(9, 1)], ["src", "dst"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got[9] == 9
+    assert got[1] == 9
+
+
+def test_lpa_property_random_digraphs(spark):
+    """Hypothesis: on arbitrary small digraphs the distributed
+    synchronous LPA equals the dict-based recurrence exactly (labels are
+    integers — no float tolerance needed)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    node = st.integers(min_value=0, max_value=10)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(node, node), min_size=1, max_size=30, unique=True
+        ),
+        iters=st.integers(min_value=1, max_value=3),
+    )
+    def run(edges, iters):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == _lpa_reference(edges, iters)
 
     run()
