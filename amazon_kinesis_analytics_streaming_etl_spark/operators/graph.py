@@ -112,9 +112,13 @@ def label_propagation(
 
     Superstep = one join (labels onto edges by source), one count
     aggregation per (dst, label) — map-side combined — and one
-    per-node argmax window, all partitioned by the destination node, so
-    Catalyst plans the count->argmax pair on a single shuffle. Lineage
-    is truncated every superstep (the pagerank rule)."""
+    per-node argmax window. The window does add a second exchange after
+    the aggregation's, but Spark 4 plans it behind a PARTIAL
+    WindowGroupLimit (rank-limit pushdown): each upstream partition is
+    pruned to its top-1 row per node before the exchange, so the argmax
+    shuffle carries at most one row per (node, partition) — verified in
+    the physical plan, see test_plan_invariants. Lineage is truncated
+    every superstep (the pagerank rule)."""
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
     nodes = (
         e.select(F.col("_src").alias("node"))

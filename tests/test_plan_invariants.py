@@ -190,3 +190,29 @@ def test_json_parse_evaluates_once_per_record(spark):
     )
     # one from_json (the nested props field) and one variant parse
     assert plan.count("from_json") <= 1, plan
+
+
+def test_lpa_argmax_window_is_rank_limit_pruned(spark):
+    """The LPA superstep's per-node argmax window must plan behind a
+    PARTIAL WindowGroupLimit (Spark 4 rank-limit pushdown): each
+    upstream partition is pruned to its top-1 row per node BEFORE the
+    window exchange, so the argmax shuffle carries at most one row per
+    (node, partition) instead of one per (node, label). The operator
+    docstring (operators/graph.py:label_propagation) cites this test."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["_src", "_dst"])
+    labels = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["node", "lbl"])
+    w = Window.partitionBy("_dst").orderBy(F.col("c").desc(), F.col("lbl"))
+    picked = (
+        e.join(labels, e["_src"] == labels["node"])
+        .groupBy("_dst", "lbl")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, (
+        f"argmax window not rank-limit pruned:\n{plan}"
+    )
