@@ -360,6 +360,109 @@ def global_cumsum(
     )
 
 
+def global_cummax(
+    df: DataFrame,
+    order_cols: str | list[str],
+    value_col: str,
+    cummax_col: str = "cummax",
+    n_parts: int = 32,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Global ``MAX(value) OVER (ORDER BY ...)`` without the
+    single-partition window — the running-extreme sibling of
+    :func:`global_cumsum` (record-high series, 2-D skyline dominance).
+
+    Identical plan shape to :func:`global_cumsum` (one range shuffle,
+    checkpointed once; narrow local prefixes via ``np.maximum.accumulate``;
+    per-partition maxes -> an ``n_parts``-row predecessor window ->
+    broadcast back), with max's algebra substituted for sum's: the
+    cross-partition combine is ``greatest`` instead of ``+`` and the
+    identity is -inf instead of 0. ``exclusive=True`` gives the
+    strict-predecessor form; the first global row has NO predecessor, so
+    its exclusive cummax is NULL (the SQL frame's value for an empty
+    frame), not -inf. Values are carried as double — exact for
+    integrals below 2^53; nulls in ``value_col`` are ignored (never the
+    max), matching SQL MAX.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    part = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=False)
+    )
+
+    local_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("_pid", T.IntegerType()), T.StructField("_lmax", T.DoubleType())]
+    )
+
+    def _values(pdf):
+        # nulls must never win a max: map them to -inf
+        return pdf[value_col].astype("float64").fillna(-np.inf).to_numpy()
+
+    def _prefix(batches):
+        pid = TaskContext.get().partitionId()
+        carry = -np.inf
+        for pdf in batches:
+            v = _values(pdf)
+            cmax = np.maximum.accumulate(v)
+            if exclusive:
+                lmax = np.concatenate(([-np.inf], cmax[:-1]))
+            else:
+                lmax = cmax
+            out = pdf.copy()
+            out["_pid"] = np.int32(pid)
+            out["_lmax"] = np.maximum(carry, lmax)
+            if len(v):
+                carry = max(carry, cmax[-1])
+            yield out
+
+    local = part.mapInPandas(_prefix, schema=local_schema)
+
+    def _totals(batches):
+        pid = TaskContext.get().partitionId()
+        total = -np.inf
+        for pdf in batches:
+            v = _values(pdf)
+            if len(v):
+                total = max(total, v.max())
+        yield pd.DataFrame(
+            {"_pid": pd.array([pid], dtype="int32"), "_m": [total]}
+        )
+
+    totals_schema = T.StructType(
+        [T.StructField("_pid", T.IntegerType()), T.StructField("_m", T.DoubleType())]
+    )
+    # n_parts rows — dimension-sized predecessor window, same bound as
+    # global_cumsum's offsets side.
+    offsets = (
+        part.mapInPandas(_totals, schema=totals_schema)
+        .withColumn(
+            "_offset",
+            F.max("_m").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("_pid", F.coalesce("_offset", F.lit(float("-inf"))).alias("_offset"))
+    )
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        cummax_col, F.greatest(F.col("_lmax"), F.col("_offset"))
+    )
+    # -inf means "empty frame" (first row, exclusive) -> SQL NULL
+    out = out.withColumn(
+        cummax_col,
+        F.when(F.col(cummax_col) == F.lit(float("-inf")), F.lit(None).cast("double"))
+        .otherwise(F.col(cummax_col)),
+    )
+    return out.drop("_pid", "_lmax", "_offset")
+
+
 # --- z-order layout ---------------------------------------------------------
 
 def _with_bucket_col(

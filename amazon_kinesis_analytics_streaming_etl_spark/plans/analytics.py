@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schemas import load_events
-from .relational import register
+from .relational import _t, register
 
 
 # --------------------------------------------------------------------------
@@ -1633,4 +1633,214 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("size_nodes"))
         .orderBy(F.col("size_nodes").desc(), "community")
         .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier)
+# --------------------------------------------------------------------------
+
+@register(
+    "skyline_pareto",
+    """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over part: every part for which no
+    other part is both cheaper-or-equal AND larger-or-equal with at
+    least one strict improvement — the classic multi-criteria shortlist
+    operator (Borzsony et al. 2001, "The Skyline Operator"). Exact
+    duplicates in (price, size) are all kept, per the standard
+    definition.
+
+    The naive spec is an O(n^2) dominance anti-join (the oracle's NOT
+    EXISTS — an independent formulation, which is the point of the
+    oracle). The engine instead uses the sort-filter skyline: order
+    distinct (price, size) pairs by (price ASC, size DESC); a pair is
+    on the frontier iff its size strictly exceeds the running max size
+    of all STRICT predecessors (after distinct, an equal-size
+    predecessor is strictly cheaper, i.e. dominating — so the <=
+    rejection is exact). The running max is
+    operators/scale.py:global_cummax — one range shuffle, no
+    single-partition window, no pairwise join — O(n log n) total and
+    scale-safe at any frontier size (anti-correlated data degrades the
+    OUTPUT, never the plan). Frontier pairs then semi-join back to
+    recover every tied part row; the frontier side is broadcast (a
+    skyline over independent dims is O(log n) expected — and even
+    adversarial frontiers are |distinct pairs| at worst, which AQE
+    would demote to a shuffle join).
+    """
+    from ..operators.scale import global_cummax
+
+    part = _t(spark, sf_dir, "part")
+    pairs = part.select("p_retailprice", "p_size").distinct()
+    ranked = global_cummax(
+        pairs.withColumn("_neg_size", -F.col("p_size").cast("double")),
+        ["p_retailprice", "_neg_size"],
+        "p_size",
+        cummax_col="_prior_max",
+        exclusive=True,
+    )
+    frontier = ranked.where(
+        F.col("_prior_max").isNull()
+        | (F.col("p_size").cast("double") > F.col("_prior_max"))
+    ).select("p_retailprice", "p_size")
+    return (
+        part.join(
+            F.broadcast(frontier), ["p_retailprice", "p_size"], "left_semi"
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# last-touch attribution
+# --------------------------------------------------------------------------
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH attr AS (
+      SELECT event_type, value,
+             coalesce(last_value(CASE WHEN event_type <> 'purchase'
+                                      THEN event_type END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      'direct') AS channel
+      FROM events
+    )
+    SELECT channel,
+           count(*) AS n_purchases,
+           round(CAST(CAST(sum(value) AS REAL) AS DOUBLE) + 0.00000001, 2)
+             AS total_value
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase is credited
+    to the user's most recent PRIOR non-purchase event type (purchases
+    with no prior touch credit 'direct'), then purchase count and value
+    roll up per channel.
+
+    Plan: ONE hash shuffle on user_id; the per-user ordered window
+    (last non-purchase type over the strict-predecessor frame,
+    ignorenulls — the standard SQL idiom for 'latest matching earlier
+    row' without a self-join) runs on that partitioning, and the final
+    channel rollup is a map-side-combined aggregate over a handful of
+    groups. No as-of self-join, no explode. The value sum goes through
+    the repo's float32-squash + half-tie epsilon before rounding
+    (ewma_hourly precedent) so both engines' summation orders agree.
+    """
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "channel",
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("direct"),
+        ),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(
+                F.sum("value").cast("float").cast("double") + 0.00000001, 2
+            ).alias("total_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# seasonal decomposition (hour-of-day profile)
+# --------------------------------------------------------------------------
+
+_SEAS_HALF = 12  # centered moving-average half-width (25h window)
+
+
+@register(
+    "ts_seasonal_profile",
+    f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS pt,
+             round(CAST(CAST(avg(value) AS REAL) AS DOUBLE), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), tr AS (
+      SELECT event_type, pt, v,
+             CASE WHEN count(*) OVER w = {2 * _SEAS_HALF + 1}
+                  THEN avg(v) OVER w END AS trend
+      FROM obs
+      WINDOW w AS (PARTITION BY event_type ORDER BY pt
+                   ROWS BETWEEN {_SEAS_HALF} PRECEDING AND {_SEAS_HALF} FOLLOWING)
+    )
+    SELECT event_type, CAST(hour(pt) AS INT) AS hod,
+           count(*) AS n_obs,
+           round(CAST(CAST(avg(v - trend) AS REAL) AS DOUBLE) + 0.00000001, 4)
+             AS seasonal
+    FROM tr WHERE trend IS NOT NULL
+    GROUP BY event_type, hod
+    ORDER BY event_type, hod
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition, profile form: per
+    event type, detrend the hourly series with a centered 25-hour
+    moving average (full windows only — the textbook edge rule), then
+    average the detrended residuals by hour-of-day. The output is each
+    type's diurnal signature (5 types x 24 hours), the feature behind
+    seasonality-aware anomaly thresholds and forecast baselines.
+
+    Plan posture matches the ts family (ewma/rolling-median): hourly
+    pre-aggregate FIRST so every window runs on types x hours
+    cardinality (calendar-bounded, not data-bounded), one shuffle on
+    event_type shared by the trend window and the final hour-of-day
+    rollup. ROWS (not RANGE) framing on the bucketed series keeps both
+    engines' gap semantics identical; the float32 squash + half-tie
+    epsilon is the repo's cross-engine float contract.
+    """
+    ev = load_events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
+    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("pt")
+        .rowsBetween(-_SEAS_HALF, _SEAS_HALF)
+    )
+    tr = obs.withColumn(
+        "trend",
+        F.when(
+            F.count("*").over(w) == 2 * _SEAS_HALF + 1, F.avg("v").over(w)
+        ),
+    )
+    return (
+        tr.where(F.col("trend").isNotNull())
+        .groupBy("event_type", F.hour("pt").cast("int").alias("hod"))
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.round(
+                F.avg(F.col("v") - F.col("trend")).cast("float").cast("double")
+                + 0.00000001,
+                4,
+            ).alias("seasonal"),
+        )
+        .orderBy("event_type", "hod")
     )

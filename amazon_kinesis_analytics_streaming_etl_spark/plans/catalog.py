@@ -44,6 +44,12 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # the oldest again next round and lead the r8 window.
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
+    "skyline_pareto",  # new: sort-filter 2-D skyline via global_cummax
+    "attribution_last_touch",  # new: last-touch channel attribution
+    "ts_seasonal_profile",  # new: additive seasonal decomposition profile
+    "curation_cap_per_key",  # new: per-source document cap
+    "text_char_entropy",  # new: char-entropy quality gate (pandas UDF)
+    "mixture_temperature_weights",  # new: p^alpha mixture budgets
     "graph_triangle_count",  # new: degree-ordered oriented triangle counting
     "graph_label_propagation",  # new: deterministic synchronous LPA communities
     "dedup_containment",  # new: asymmetric shingle containment (doc-inside-doc)

@@ -13,6 +13,8 @@ the corpus side never shuffles.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -396,4 +398,114 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("logp") + F.lit(0.00000001), 4).alias("avg_logp"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source document cap (domain balancing)
+# --------------------------------------------------------------------------
+
+@register(
+    "curation_cap_per_key",
+    """
+    SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    ORDER BY source, rn
+    """,
+)
+def curation_cap_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most 5 docs per source, best
+    first (longest, doc_id tie-break) — the 'no single domain may
+    dominate the mixture' guard every crawl-scale corpus applies before
+    training (RefinedWeb/C4 cap the per-registered-domain share the
+    same way).
+
+    Plan: ONE hash shuffle on source; row_number runs on that
+    partitioning and the filter collapses each group to <=5 rows before
+    anything else happens — output is |sources| x 5 regardless of
+    corpus size. A hot source (skewed domain) bounds a single task at
+    that source's row count; for web-scale skew the two-phase variant
+    (per-partition local top-5 via the same window on a salted key,
+    then re-cap) drops in without changing the contract.
+    """
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .orderBy("source", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# character-entropy quality signal
+# --------------------------------------------------------------------------
+
+@register(
+    "text_char_entropy",
+    """
+    SELECT doc_id, n_chars, round(ent + 0.00000001, 6) AS char_entropy
+    FROM (
+      SELECT doc_id, entropy(c) AS ent
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      GROUP BY doc_id
+    ) JOIN documents USING (doc_id)
+    ORDER BY char_entropy, doc_id
+    LIMIT 20
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-20 documents by character-level Shannon entropy (log2) —
+    the cheap gibberish/repetition detector (low entropy = repeated
+    chars/template noise, near-uniform = encoding garbage) used as a
+    quality gate alongside the token-level signals.
+
+    Engine note: there is no JVM builtin for a per-row histogram
+    entropy, and the declarative alternative (explode one row PER
+    CHARACTER, then groupBy(doc, char)) shuffles corpus-bytes rows —
+    linear work made wide. This is the documented pandas-UDF exception:
+    one Arrow-batched scalar UDF computes the whole histogram in numpy
+    per document (np.unique over the char array), zero shuffles before
+    the final top-k. DuckDB's entropy() aggregate (log2-based) is the
+    oracle twin over the exploded form — same number, independent
+    plan. Entropy is a pure function of integer counts, so both
+    engines agree to float64 ulps; the half-tie epsilon + 6dp round is
+    the repo's float contract.
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _ent(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts))
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            _, counts = np.unique(np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32), return_counts=True)
+            p = counts / counts.sum()
+            out[i] = float(-(p * np.log2(p)).sum())
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.round(_ent(F.col("text")) + F.lit(0.00000001), 6).alias(
+                "char_entropy"
+            ),
+        )
+        .orderBy("char_entropy", "doc_id")
+        .limit(20)
     )

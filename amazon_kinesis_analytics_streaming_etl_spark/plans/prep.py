@@ -608,3 +608,74 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mx", 6).alias("max_value"),
         F.round(F.sqrt(var), 2).alias("stddev_pop"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled mixture weights
+# --------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3  # multilingual-LM temperature (Conneau & Lample 2019)
+
+
+@register(
+    "mixture_temperature_weights",
+    f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT *, sum(n_docs) OVER () AS total,
+             pow(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), {_MIX_ALPHA}) AS q
+      FROM s
+    )
+    SELECT source, n_docs, n_chars,
+           round(n_docs / CAST(total AS DOUBLE), 6) AS raw_share,
+           round(q / sum(q) OVER () + 0.00000001, 6) AS weight,
+           CAST(round(q / sum(q) OVER () * total + 0.00000001, 0) AS BIGINT)
+             AS target_docs
+    FROM t ORDER BY source
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source: w_i proportional
+    to p_i^alpha (alpha=0.3), the exponential-smoothing rule that
+    upsamples rare sources / downsamples head sources when fixing a
+    training-data mixture (Conneau & Lample 2019 sec 3.1; same rule in
+    mT5/XLM-R). Output gives each source's raw share, smoothed weight,
+    and the implied per-source document budget at constant corpus size
+    — the table a data-mixture review actually signs off on.
+
+    Plan: ONE map-side-combined aggregate collapses the corpus to
+    |sources| rows; every window after that runs over that
+    dimension-sized frame (the single-partition windows here are over
+    ~20 rows by construction, the same bound as global_cumsum's offsets
+    side). Corpus size only affects the first aggregate.
+    """
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    wall = Window.partitionBy()  # |sources| rows — dimension-sized
+    total = F.sum("n_docs").over(wall)
+    q = F.pow(F.col("n_docs") / total.cast("double"), F.lit(_MIX_ALPHA))
+    t = s.withColumn("total", total).withColumn("q", q)
+    wsum = F.sum("q").over(wall)
+    return (
+        t.select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("n_docs") / F.col("total").cast("double"), 6).alias(
+                "raw_share"
+            ),
+            F.round(F.col("q") / wsum + 0.00000001, 6).alias("weight"),
+            F.round(F.col("q") / wsum * F.col("total") + 0.00000001, 0)
+            .cast("long")
+            .alias("target_docs"),
+        )
+        .orderBy("source")
+    )

@@ -96,3 +96,105 @@ def test_rfm_segments_partition_the_user_base(spark):
     )
     assert sum(r.n_users for r in rows) == n_users
     assert all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 for r in rows)
+
+
+def test_attribution_purchases_partition_and_direct_has_no_prior_touch(spark):
+    """Every purchase is attributed to exactly one channel (counts
+    partition the purchase set), and a hand-built user history lands on
+    the expected channels: last prior non-purchase wins, no-history ->
+    'direct', later purchases re-attribute to the newest touch."""
+    rows = QUERIES["attribution_last_touch"](spark, SF_SMOKE).collect()
+    total = sum(r.n_purchases for r in rows)
+    purchases = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where("event_type = 'purchase'")
+        .count()
+    )
+    assert total == purchases
+    assert all(r.channel != "purchase" for r in rows)
+
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": [t0 + dt.timedelta(minutes=m) for m in range(6)],
+            "user_id": [1, 1, 1, 1, 2, 3],
+            "event_type": [
+                "view", "click", "purchase", "purchase",  # u1: click, click
+                "purchase",                               # u2: direct
+                "view",                                   # u3: no purchase
+            ],
+            "value": [0.0, 0.0, 10.0, 5.0, 2.0, 0.0],
+            "props": ["{}"] * 6,
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        ev.to_parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.channel: (r.n_purchases, r.total_value)
+            for r in QUERIES["attribution_last_touch"](spark, d).collect()
+        }
+    assert got == {"click": (2, 15.0), "direct": (1, 2.0)}
+
+
+def test_seasonal_profile_recovers_synthetic_diurnal_signal(spark):
+    """On a constructed series value = 100 + sin-free diurnal bump at
+    hour 12, the 25h centered MA removes the level and the profile
+    isolates the bump: seasonal(hod=12) ~ bump * 23/24 above the other
+    hours' ~ -bump/24."""
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for day in range(7):
+        for hod in range(24):
+            ts = t0 + dt.timedelta(days=day, hours=hod)
+            v = 100.0 + (24.0 if hod == 12 else 0.0)
+            rows.append((i, ts, 1, "view", v, "{}"))
+            i += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        prof = {
+            r.hod: r.seasonal
+            for r in QUERIES["ts_seasonal_profile"](spark, d).collect()
+        }
+    # a 25h centered window always covers one noon bump (trend 100+24/25),
+    # except at exact midnights where it covers two (trend 100+48/25)
+    assert abs(prof[12] - (24.0 - 24.0 / 25.0)) < 0.05
+    assert abs(prof[0] - (-48.0 / 25.0)) < 0.05
+    for h in set(prof) - {0, 12}:
+        assert abs(prof[h] - (-24.0 / 25.0)) < 0.05
+
+
+def test_skyline_output_is_mutually_nondominated_and_dominates_rest(spark):
+    rows = QUERIES["skyline_pareto"](spark, SF_SMOKE).collect()
+    assert rows, "frontier cannot be empty on non-empty part"
+    pts = [(r.p_retailprice, r.p_size) for r in rows]
+    for i, (p, s) in enumerate(pts):
+        for j, (q, t) in enumerate(pts):
+            if i != j:
+                assert not (q <= p and t >= s and (q < p or t > s))
+    # every non-frontier part is dominated by some frontier point
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").collect()
+    frontier = set(pts)
+    for r in part:
+        if (r.p_retailprice, r.p_size) in frontier:
+            continue
+        assert any(
+            q <= r.p_retailprice
+            and t >= r.p_size
+            and (q < r.p_retailprice or t > r.p_size)
+            for q, t in pts
+        )

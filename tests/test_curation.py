@@ -90,3 +90,50 @@ def test_top_ngrams_deterministic_ties(spark, tmp_path):
     got = [(r["bigram"], r["n"]) for r in cu.text_top_ngrams(spark, sf).collect()]
     # counts: "b b"x2, "a a"x2, "b a"x1, "c c"x2 -> ties broken by text
     assert got == [("a a", 2), ("b b", 2), ("c c", 2), ("b a", 1)]
+
+
+def test_char_entropy_known_strings(spark):
+    """Entropy math on hand vectors: single repeated char -> 0 bits,
+    uniform 2 chars -> 1 bit, uniform 4 chars -> 2 bits; ranking is
+    ascending so the degenerate doc leads."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa", "en", "s", 8),
+            (2, "abababab", "en", "s", 8),
+            (3, "abcdabcd", "en", "s", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+        rows = QUERIES["text_char_entropy"](spark, d).collect()
+    got = {r.doc_id: r.char_entropy for r in rows}
+    assert math.isclose(got[1], 0.0, abs_tol=1e-6)
+    assert math.isclose(got[2], 1.0, rel_tol=1e-6)
+    assert math.isclose(got[3], 2.0, rel_tol=1e-6)
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+
+
+def test_cap_per_key_bounds_and_ordering(spark):
+    """No source exceeds the cap, ranks are 1..k dense per source, and
+    the kept docs are each source's longest (n_chars non-increasing in
+    rank)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["curation_cap_per_key"](spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        chars = [r.n_chars for r in rs]
+        assert chars == sorted(chars, reverse=True)

@@ -200,3 +200,21 @@ def test_mv_incremental_refresh_merge_equals_cold_rebuild(spark):
         assert m.n_events == d.n_events
         for col in ("sum_value", "avg_value", "min_value", "max_value", "stddev_pop"):
             assert abs(getattr(m, col) - getattr(d, col)) <= 0.011, (k, col)
+
+
+def test_mixture_temperature_weights_contract(spark):
+    """Weights form a distribution, temperature alpha<1 compresses the
+    mixture (max weight <= max raw share, min weight >= min raw share),
+    and the doc budget conserves corpus size to within rounding."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["mixture_temperature_weights"](spark, SF_SMOKE).collect()
+    total_docs = sum(r.n_docs for r in rows)
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert max(r.weight for r in rows) <= max(r.raw_share for r in rows) + 1e-9
+    assert min(r.weight for r in rows) >= min(r.raw_share for r in rows) - 1e-9
+    assert abs(sum(r.target_docs for r in rows) - total_docs) <= len(rows)
+    # ordering by share is preserved: smoothing rescales, never reranks
+    by_share = sorted(rows, key=lambda r: (r.raw_share, r.source))
+    by_weight = sorted(rows, key=lambda r: (r.weight, r.source))
+    assert [r.source for r in by_share] == [r.source for r in by_weight]

@@ -456,3 +456,124 @@ def test_salted_ops_equivalence_property(spark):
             assert gj == wj, (how, n_salts)
 
     run()
+
+
+def test_global_cummax_property_random_frames(spark):
+    """Property: distributed running max (inclusive and exclusive)
+    equals pandas expanding max under the same total order, including
+    null handling (nulls never win) and the first-row-NULL contract of
+    the exclusive form."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        global_cummax,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 20),
+                st.one_of(st.none(), st.integers(-9, 9)),
+            ),
+            min_size=1,
+            max_size=80,
+        ),
+        st.integers(2, 6),
+        st.booleans(),
+    )
+    def run(rows, n_parts, exclusive):
+        pdf = pd.DataFrame(rows, columns=["k", "v"]).reset_index()
+        pdf["v"] = pdf["v"].astype("float64")
+        df = spark.createDataFrame(pdf)
+        got = (
+            global_cummax(
+                df,
+                ["k", "index"],
+                "v",
+                cummax_col="cm",
+                n_parts=n_parts,
+                exclusive=exclusive,
+            )
+            .orderBy("k", "index")
+            .select("cm")
+            .collect()
+        )
+        s = pdf.sort_values(["k", "index"])["v"]
+        ref = s.expanding().max()
+        if exclusive:
+            ref = ref.shift(1)
+        # all-null prefixes: SQL MAX over an empty/all-null frame is NULL
+        for g, r in zip([row.cm for row in got], ref):
+            if pd.isna(r):
+                assert g is None
+            else:
+                assert g == r
+
+    run()
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """Property: the sort-filter + global_cummax skyline keeps exactly
+    the non-dominated points of the O(n^2) definition, including tied
+    duplicates (kept) and same-price/same-size collision rows."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+    import pyspark.sql.functions as F
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        global_cummax,
+    )
+
+    def engine_skyline(pdf):
+        df = spark.createDataFrame(pdf)
+        pairs = df.select("price", "size").distinct()
+        ranked = global_cummax(
+            pairs.withColumn("_neg", -F.col("size").cast("double")),
+            ["price", "_neg"],
+            "size",
+            cummax_col="_pm",
+            exclusive=True,
+            n_parts=3,
+        )
+        frontier = ranked.where(
+            F.col("_pm").isNull() | (F.col("size").cast("double") > F.col("_pm"))
+        ).select("price", "size")
+        return sorted(
+            (r.id, r.price, r.size)
+            for r in df.join(
+                F.broadcast(frontier), ["price", "size"], "left_semi"
+            ).collect()
+        )
+
+    def brute(pdf):
+        pts = list(pdf.itertuples(index=False, name=None))
+        out = []
+        for i, p, s in pts:
+            dom = any(
+                (q_p <= p and q_s >= s and (q_p < p or q_s > s))
+                for _, q_p, q_s in pts
+            )
+            if not dom:
+                out.append((i, p, s))
+        return sorted(out)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 8), st.integers(0, 8)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def run(pts):
+        pdf = pd.DataFrame(
+            [(i, p, s) for i, (p, s) in enumerate(pts)],
+            columns=["id", "price", "size"],
+        )
+        assert engine_skyline(pdf) == brute(pdf)
+
+    run()
