@@ -146,6 +146,56 @@ def label_propagation(
     return labels.select("node", F.col("lbl").alias("label"))
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed, bounded by
+    ``max_hops``; returns (node, hop) for every reached node (seeds are
+    hop 0, isolated seeds included). Directed semantics — pass reversed
+    edges too for undirected graphs.
+
+    Level-synchronous frontier expansion (the Pregel/GraphX shortest-
+    paths shape specialized to unit weights): each round joins the
+    CURRENT frontier onto the edge list, dedups the neighbor set, and
+    anti-joins the visited set so a node's hop is assigned exactly once
+    — the min() is structural, never recomputed. Per-round shuffle
+    volume is O(frontier ⋈ edges output + |visited|), and the frontier
+    only shrinks once the graph saturates; the edge list is persisted
+    once and reused (the module's iterative-plan rules: persist the big
+    static side, localCheckpoint the small changing side every round).
+    An empty frontier short-circuits the loop driver-side — one cheap
+    isEmpty() action per round, the standard BFS termination test.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
+    visited = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            e.join(frontier, e["_src"] == frontier["node"])
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    e.unpersist()
+    return visited
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts; returns (node, triangles).
 

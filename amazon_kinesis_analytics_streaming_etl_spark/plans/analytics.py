@@ -1844,3 +1844,239 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hod")
     )
+
+
+# --------------------------------------------------------------------------
+# multi-source BFS hop distances
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+_BFS_SEED_NATION = "NATION_3"
+
+
+def _bfs_oracle() -> str:
+    """Unroll the level-synchronous BFS as cumulative reach sets r0..rK —
+    the SQL twin of operators/graph.py:bfs_hops (r_i = nodes reachable in
+    <= i hops; a node's hop = its first appearance = MIN over levels).
+    The cumulative-distinct form keeps every CTE bounded by |nodes|,
+    unlike a naive recursive path enumeration (degree^K paths)."""
+    steps = []
+    for i in range(1, _BFS_HOPS + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT DISTINCT node FROM (
+        SELECT node FROM r{i - 1}
+        UNION ALL
+        SELECT e.dst AS node FROM edges e JOIN r{i - 1} r ON e.src = r.node))"""
+        )
+    its = ",\n    ".join(steps)
+    levels = "\n        UNION ALL ".join(
+        f"SELECT node, {i} AS h FROM r{i}" for i in range(_BFS_HOPS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    r0 AS (
+      SELECT DISTINCT s_suppkey * 2 + 1 AS node
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = '{_BFS_SEED_NATION}'
+    ),
+    {its},
+    hops AS (
+      SELECT node, MIN(h) AS hop FROM (
+        {levels}
+      ) GROUP BY node
+    )
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM hops GROUP BY 1, 2 ORDER BY hop, side
+    """
+
+
+@register("graph_shortest_hops", _bfs_oracle())
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from every NATION_3 supplier over
+    the customer<->supplier trade graph (operators/graph.py:bfs_hops),
+    summarized as node counts per (hop, side) up to 4 hops — the
+    reachability / blast-radius profile ("how far does a supply shock
+    propagate in two trade steps?"). Same even/odd shared node-id space
+    as graph_pagerank.
+
+    Scale shape: level-synchronous frontier expansion — per round ONE
+    hash join of the (shrinking) frontier onto the persisted edge list,
+    a distinct, and an anti-join against the visited set; hop labels are
+    assigned exactly once so no min() recomputation ever runs. The
+    oracle unrolls the same recurrence as cumulative reach CTEs, so
+    every level's frontier membership is checked, not just the totals.
+    """
+    from ..operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        su.join(
+            F.broadcast(na.where(F.col("n_name") == _BFS_SEED_NATION)),
+            su["s_nationkey"] == na["n_nationkey"],
+        )
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    reached = bfs_hops(edges, seeds, _BFS_HOPS)
+    return (
+        reached.groupBy(
+            F.col("hop").cast("long").alias("hop"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("side"),
+        )
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("hop", "side")
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov event-transition matrix
+# --------------------------------------------------------------------------
+
+@register(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    )
+    SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY cur)
+                            AS DOUBLE) + 0.00000001, 6) AS p
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY cur, nxt ORDER BY cur, nxt
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), the |types|^2
+    table behind next-action prediction baselines, session-flow sanity
+    checks, and synthetic-sequence generators.
+
+    Plan: ONE hash shuffle on user_id carries the lead() window (the
+    per-user successor — no self-join); the pair count is a map-side-
+    combined aggregate down to |types|^2 rows, and the row-normalizing
+    window runs on that dimension-sized frame (25 rows here — the same
+    bound class as mixture_temperature_weights' total). Transition
+    probabilities are ratios of exact integer counts, so both engines
+    agree to float64 ulps; epsilon + 6dp round is the float contract.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = seq.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("n"))
+    wr = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wr).cast("double") + 0.00000001, 6
+        ).alias("p"),
+    ).orderBy("cur", "nxt")
+
+
+# --------------------------------------------------------------------------
+# robust anomaly scoring (median / MAD)
+# --------------------------------------------------------------------------
+
+_MAD_CONSISTENCY = 1.4826  # normal-consistency constant for MAD -> sigma
+
+
+@register(
+    "anomaly_mad_robust",
+    f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS pt,
+             round(CAST(CAST(avg(value) AS REAL) AS DOUBLE), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (SELECT event_type, median(v) AS m FROM obs GROUP BY 1),
+    mad AS (
+      SELECT o.event_type, median(abs(o.v - med.m)) AS mad
+      FROM obs o JOIN med USING (event_type) GROUP BY 1
+    )
+    SELECT o.event_type, strftime(o.pt, '%Y-%m-%d %H:00') AS hour, o.v,
+           round((o.v - med.m) / ({_MAD_CONSISTENCY} * mad.mad)
+                 + 0.00000001, 4) AS robust_z
+    FROM obs o
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+    ORDER BY abs((o.v - med.m) / ({_MAD_CONSISTENCY} * mad.mad)) DESC,
+             o.event_type, o.pt
+    LIMIT 20
+    """,
+)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hourly anomalies by ROBUST z-score: per event type, score
+    each hour's mean value by its distance from the type's median in
+    MAD units (median absolute deviation x 1.4826, the normal-
+    consistency constant — Hampel's outlier rule). Unlike the
+    mean/stddev z-score (stream_anomaly_flags), the estimators here
+    have a 50% breakdown point, so the anomalies themselves cannot mask
+    the threshold — the standard robust upgrade for alerting baselines.
+
+    Plan: hourly pre-aggregate FIRST (the ts-family rule) so everything
+    downstream runs on types x hours cardinality; the two exact medians
+    (center, then spread) are per-type aggregates over that bounded
+    frame, broadcast back (|types| rows each). Exact median at raw
+    100 TB cardinality would be the wrong tool — there the t-digest
+    sketch (sketch_tdigest_rollup) substitutes; after the calendar-
+    bounded rollup, exact is both correct and cheap. Spark's median()
+    and DuckDB's are the same interpolated quantile_cont(0.5).
+    """
+    ev = load_events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
+    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+    med = obs.groupBy("event_type").agg(F.median("v").alias("m"))
+    dev = obs.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.median(F.abs(F.col("v") - F.col("m"))).alias("mad")
+    )
+    z = (F.col("v") - F.col("m")) / (F.lit(_MAD_CONSISTENCY) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad.where(F.col("mad") > 0)), "event_type")
+        .select(
+            "event_type",
+            F.date_format("pt", "yyyy-MM-dd HH:00").alias("hour"),
+            "v",
+            F.round(z + 0.00000001, 4).alias("robust_z"),
+            F.abs(z).alias("_absz"),
+            F.col("pt").alias("_pt"),
+        )
+        .orderBy(F.col("_absz").desc(), "event_type", "_pt")
+        .limit(20)
+        .drop("_absz", "_pt")
+    )

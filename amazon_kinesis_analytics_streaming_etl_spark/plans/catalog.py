@@ -44,6 +44,10 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # the oldest again next round and lead the r8 window.
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
+    "graph_shortest_hops",  # new: multi-source BFS hop distances
+    "markov_event_transitions",  # new: first-order transition matrix
+    "anomaly_mad_robust",  # new: median/MAD robust z-score anomalies
+    "text_pmi_collocations",  # new: PMI phrase mining
     "skyline_pareto",  # new: sort-filter 2-D skyline via global_cummax
     "attribution_last_touch",  # new: last-touch channel attribution
     "ts_seasonal_profile",  # new: additive seasonal decomposition profile

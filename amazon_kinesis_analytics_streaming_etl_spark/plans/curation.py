@@ -509,3 +509,98 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("char_entropy", "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5  # collocation support floor (Church & Hanks' sparse guard)
+
+
+@register(
+    "text_pmi_collocations",
+    f"""
+    WITH toks AS (SELECT unnest({_T}) AS w FROM documents),
+    uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+    nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uni),
+    bi AS (
+      SELECT bigram, count(*) AS cb
+      FROM (SELECT unnest({_BIGRAMS}) AS bigram FROM documents)
+      GROUP BY bigram HAVING count(*) >= {_PMI_MIN_COUNT}
+    ),
+    nb AS (SELECT CAST(sum(cb) AS DOUBLE) AS n FROM (
+      SELECT count(*) AS cb
+      FROM (SELECT unnest({_BIGRAMS}) AS bigram FROM documents)
+      GROUP BY bigram
+    ))
+    SELECT string_split(bigram, ' ')[1] AS w1,
+           string_split(bigram, ' ')[2] AS w2,
+           CAST(cb AS BIGINT) AS n_pair,
+           round(log2((cb / nb.n) /
+                      ((u1.cw / nu.n) * (u2.cw / nu.n))) + 0.00000001, 4)
+             AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+    JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+    CROSS JOIN nb CROSS JOIN nu
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information (Church &
+    Hanks 1990): bigrams whose observed corpus frequency most exceeds
+    the independence expectation of their parts, with a min-count floor
+    of 5 so rare accidental pairs can't dominate (PMI's
+    classic sparse-data failure mode). This is the phrase-mining /
+    tokenizer-merge-candidate signal of the text family.
+
+    Plan: the same single-tokenization contract as the other text ops —
+    one narrow pass derives tokens AND bigrams; unigram and bigram
+    counts are map-side-combined hash aggregates; the bigram->unigram
+    probability lookups are two equi-joins on the word key
+    (vocab-sized, Zipf-skewed toward unique shingles — AQE handles the
+    residual; at web scale the min-count floor prunes the bigram side
+    by ~10x before either join). The corpus totals are 1-row scalar
+    aggregates broadcast via the whitelisted crossJoin pattern. PMI is
+    a log of exact-integer-count ratios — float64-stable across
+    engines; epsilon + 4dp round is the float contract.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = lower_tokens("text")
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    nu = uni.agg(F.sum("cw").cast("double").alias("nu"))
+    bi_all = docs.select(F.explode(word_bigrams(toks)).alias("bg")).groupBy(
+        "bg"
+    ).agg(F.count("*").alias("cb"))
+    nb = bi_all.agg(F.sum("cb").cast("double").alias("nb"))
+    bi = bi_all.where(F.col("cb") >= _PMI_MIN_COUNT).select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        F.col("cb"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+    pmi = F.log2(
+        (F.col("cb") / F.col("nb"))
+        / ((F.col("cw1") / F.col("nu")) * (F.col("cw2") / F.col("nu")))
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("long").alias("n_pair"),
+            F.round(pmi + 0.00000001, 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )

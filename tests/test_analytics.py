@@ -198,3 +198,73 @@ def test_skyline_output_is_mutually_nondominated_and_dominates_rest(spark):
             and (q < r.p_retailprice or t > r.p_size)
             for q, t in pts
         )
+
+
+def test_graph_shortest_hops_bipartite_structure(spark):
+    """The trade graph is bipartite (customer<->supplier), all seeds are
+    suppliers: supplier rows must sit at even hops, customer rows at odd
+    hops, hop 0 must equal the seed-nation supplier count, and counts
+    are positive."""
+    rows = QUERIES["graph_shortest_hops"](spark, SF_SMOKE).collect()
+    assert rows, "seed nation has suppliers at every SF"
+    for r in rows:
+        assert r.n_nodes > 0
+        if r.side == "supplier":
+            assert r.hop % 2 == 0
+        else:
+            assert r.hop % 2 == 1
+    from pyspark.sql import functions as F
+
+    su = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+    na = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").where(
+        F.col("n_name") == "NATION_3"
+    )
+    n_seeds = su.join(na, su.s_nationkey == na.n_nationkey).count()
+    hop0 = {(r.hop, r.side): r.n_nodes for r in rows}.get((0, "supplier"), 0)
+    assert hop0 == n_seeds
+
+
+def test_markov_transitions_rows_normalize_and_cover_all_pairs(spark):
+    """Each current-state row of the transition matrix sums to ~1, and
+    the total transition count equals (events - users): every user with
+    k events contributes exactly k-1 transitions."""
+    import collections
+
+    rows = QUERIES["markov_event_transitions"](spark, SF_SMOKE).collect()
+    by_cur = collections.defaultdict(float)
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_cur[r.cur] += r.p
+    for cur, s in by_cur.items():
+        assert abs(s - 1.0) < 1e-4, (cur, s)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_anomaly_mad_robust_ordering_and_hand_check(spark):
+    """Output is |z|-descending, and the top row's score reproduces from
+    a pandas recompute of the same hourly median/MAD pipeline."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    out = QUERIES["anomaly_mad_robust"](spark, SF_SMOKE).collect()
+    assert len(out) == 20
+    zs = [abs(r.robust_z) for r in out]
+    assert zs == sorted(zs, reverse=True)
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("pt"))
+        .agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+        .toPandas()
+    )
+    top = out[0]
+    g = hourly[hourly.event_type == top.event_type]
+    m = g.v.median()
+    mad = (g.v - m).abs().median()
+    v = g[g.pt.dt.strftime("%Y-%m-%d %H:00") == top.hour].v.iloc[0]
+    want = (v - m) / (1.4826 * mad)
+    assert np.isclose(top.robust_z, round(want + 1e-8, 4), atol=1e-3)

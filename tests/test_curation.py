@@ -137,3 +137,42 @@ def test_cap_per_key_bounds_and_ordering(spark):
         assert len(rs) <= 5
         chars = [r.n_chars for r in rs]
         assert chars == sorted(chars, reverse=True)
+
+
+def test_pmi_collocations_match_pure_python_reference(spark):
+    """Full recompute: tokenize the smoke corpus in pure Python with the
+    same whitespace contract, count unigrams/bigrams, apply the min-count
+    floor and the PMI formula — the engine's top-20 must match exactly
+    (pair identity, count, and rounded PMI)."""
+    import collections
+    import math
+    import re
+
+    from conftest import SF_SMOKE
+
+    rows = cu.text_pmi_collocations(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("text").collect()
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for d in docs:
+        toks = re.split(r"\s+", d.text.strip().lower()) if d.text.strip() else [""]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    nu = sum(uni.values())
+    nb = sum(bi.values())
+    scored = [
+        (
+            round(
+                math.log2((c / nb) / ((uni[w1] / nu) * (uni[w2] / nu))) + 1e-8, 4
+            ),
+            w1,
+            w2,
+            c,
+        )
+        for (w1, w2), c in bi.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(w1, w2, c, pmi) for pmi, w1, w2, c in scored[:20]]
+    got = [(r.w1, r.w2, r.n_pair, r.pmi) for r in rows]
+    assert got == want

@@ -326,3 +326,80 @@ def test_lpa_property_random_digraphs(spark):
         assert got == _lpa_reference(edges, iters)
 
     run()
+
+
+# --- multi-source BFS ----------------------------------------------------
+
+
+def _bfs_reference(edge_list, seeds, max_hops):
+    """Level-synchronous BFS over a directed edge list: the dict oracle."""
+    adj = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def test_bfs_hops_known_graph(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import bfs_hops
+
+    # chain 1->2->3->4, shortcut 1->3, unreachable component 8->9,
+    # isolated seed 7 (hop 0, no edges)
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3), (8, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (7,)], ["node"])
+    got = {r["node"]: r["hop"] for r in bfs_hops(df, seeds, max_hops=5).collect()}
+    assert got == {1: 0, 7: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_hops_max_hops_truncates(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_hops_property_random_digraphs(spark):
+    """Hypothesis: on arbitrary small digraphs (cycles, self-loops,
+    unreachable pieces, multiple seeds) the frontier-expansion BFS equals
+    the dict-based level BFS exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import bfs_hops
+
+    node = st.integers(min_value=0, max_value=10)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(node, node), min_size=1, max_size=30, unique=True
+        ),
+        seeds=st.lists(node, min_size=1, max_size=3, unique=True),
+        hops=st.integers(min_value=0, max_value=4),
+    )
+    def run(edges, seeds, hops):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+        got = {r["node"]: r["hop"] for r in bfs_hops(df, sdf, hops).collect()}
+        assert got == _bfs_reference(edges, seeds, hops)
+
+    run()

@@ -34,6 +34,8 @@ SCALAR_THRESHOLD_QUERIES = {
     "bm25_retrieval",
     # curation: 1-row vocab-size broadcast into the LM scoring join.
     "text_lm_bigram_score",
+    # PMI: 1-row corpus-total (N_uni, N_bi) broadcasts into the scoring join.
+    "text_pmi_collocations",
     # etl: valid x corrupt 1-row summary aggregates (dead-letter split).
     "parse_dead_letter",
     # bloom prefilter gate: crossJoins of 1-row count aggregates
