@@ -263,3 +263,56 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .union(tri.select(F.col("c").alias("node")))
     )
     return members.groupBy("node").agg(F.count("*").cast("long").alias("triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected graph (edge
+    direction and duplicates are canonicalized away); returns the
+    surviving (node) set after ``rounds`` synchronous peels.
+
+    Each round removes every node whose degree in the CURRENT induced
+    subgraph is below k — the classic cohesion filter (Seidman 1983)
+    behind spam-subgraph pruning and community-core extraction. A peel
+    can cascade (removing a node lowers its neighbors' degrees), so the
+    true k-core is the fixpoint; a FIXED round count keeps the operator
+    deterministic and SQL-expressible (the oracle unrolls the same
+    peels), the same contract as pagerank/label_propagation's fixed
+    supersteps. Rounds are cheap: each is two semi-joins of the
+    persisted canonical edge list against the (shrinking) alive set,
+    one endpoint explode, and one map-side-combined degree count —
+    per-round shuffle volume is O(alive edges), never more than the
+    first round's.
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    und = (
+        e.select(F.least("_u", "_v").alias("_u"), F.greatest("_u", "_v").alias("_v"))
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = (
+        und.select(F.col("_u").alias("node"))
+        .union(und.select(F.col("_v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        au = alive.select(F.col("node").alias("_u"))
+        av = alive.select(F.col("node").alias("_v"))
+        e_alive = und.join(au, "_u", "left_semi").join(av, "_v", "left_semi")
+        alive = (
+            e_alive.select(F.col("_u").alias("node"))
+            .union(e_alive.select(F.col("_v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("_d"))
+            .where(F.col("_d") >= k)
+            .select("node")
+            .localCheckpoint()
+        )
+    return alive

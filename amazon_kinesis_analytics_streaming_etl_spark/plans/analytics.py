@@ -2080,3 +2080,94 @@ def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_absz", "_pt")
     )
+
+
+# --------------------------------------------------------------------------
+# k-core extraction
+# --------------------------------------------------------------------------
+
+_KCORE_K = 5
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unroll the synchronous peels: e_i = edges of the subgraph induced
+    by the round-(i-1) survivors, a_i = endpoints with induced degree
+    >= k — the SQL twin of operators/graph.py:k_core."""
+    steps = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""e{i} AS (
+      SELECT u, v FROM und
+      WHERE u IN (SELECT node FROM a{i - 1})
+        AND v IN (SELECT node FROM a{i - 1})
+    ),
+    a{i} AS (
+      SELECT node FROM (
+        SELECT u AS node FROM e{i} UNION ALL SELECT v AS node FROM e{i}
+      ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+        )
+    its = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    und AS (SELECT c AS u, s AS v FROM pairs),
+    a0 AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      )
+    ),
+    {its}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN((node - node % 2) / 2) AS BIGINT) AS min_key,
+           CAST(MAX((node - node % 2) / 2) AS BIGINT) AS max_key
+    FROM a{_KCORE_ROUNDS} GROUP BY 1 ORDER BY side
+    """
+
+
+@register("graph_kcore_trade", _kcore_oracle())
+def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-core of the customer<->supplier trade graph after 3
+    synchronous peeling rounds (operators/graph.py:k_core): the densely
+    connected trading core that survives after every thin participant —
+    and everyone whose connectivity depended on thin participants — is
+    removed. Per side, the survivor count and key range.
+
+    Scale shape: per peel, TWO semi-joins of the persisted canonical
+    edge list against the shrinking alive set plus one map-side-combined
+    degree count — no windows, no iteration-growing lineage
+    (localCheckpoint per round, the module rule). The oracle unrolls the
+    identical peels, so each round's survivor set is checked exactly,
+    not just the final cardinality.
+    """
+    from ..operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    core = k_core(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    key = ((F.col("node") - F.col("node") % 2) / 2).cast("long")
+    return (
+        core.groupBy(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("side")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min(key).cast("long").alias("min_key"),
+            F.max(key).cast("long").alias("max_key"),
+        )
+        .orderBy("side")
+    )

@@ -679,3 +679,76 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# ranking-metric evaluation: AUC (Mann-Whitney)
+# --------------------------------------------------------------------------
+
+_AUC_POS_LABEL = 3
+
+
+@register(
+    "eval_auc_roc",
+    f"""
+    WITH s AS (
+      SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS score,
+             CASE WHEN label = {_AUC_POS_LABEL} THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    g AS (SELECT score, count(*) AS n, sum(y) AS npos FROM s GROUP BY score),
+    r AS (
+      SELECT *, coalesce(sum(n) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM g
+    )
+    SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+           CAST(sum(n) - sum(npos) AS BIGINT) AS n_neg,
+           round((sum(npos * (bef + (n + 1) / 2.0))
+                  - sum(npos) * (sum(npos) + 1) / 2.0)
+                 / (sum(npos) * (sum(n) - sum(npos))) + 0.00000001, 6) AS auc
+    FROM r
+    """,
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a scalar score against a binary relevance label
+    (here: embedding component 0 scoring 'is label 3'), via the
+    Mann-Whitney rank-sum identity with proper midrank tie handling —
+    AUC = (R+ - n+(n+1)/2) / (n+ * n-). This is the model-eval
+    primitive a training pipeline runs on every scored validation
+    shard; the identity makes it computable as pure aggregation, no
+    per-threshold sweep.
+
+    Scale shape: scores collapse to distinct values first (one hash
+    aggregate), midranks come from the EXCLUSIVE distributed running
+    count (operators/scale.py:global_cumsum — one range shuffle, no
+    single-partition ORDER BY even at billions of distinct scores),
+    and the final reduction is a 1-row aggregate. Counts are exact
+    integers; the one float division is the last step, so both engines
+    agree to float64 ulps.
+    """
+    from ..operators.scale import global_cumsum
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    s = emb.select(
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+        F.when(F.col("label") == _AUC_POS_LABEL, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("y").alias("npos")
+    )
+    r = global_cumsum(g, "score", "n", cumsum_col="bef", exclusive=True)
+    npos = F.sum("npos")
+    ntot = F.sum("n")
+    rpos = F.sum(F.col("npos") * (F.col("bef") + (F.col("n") + 1) / 2.0))
+    return r.agg(
+        npos.cast("long").alias("n_pos"),
+        (ntot - npos).cast("long").alias("n_neg"),
+        F.round(
+            (rpos - npos * (npos + 1) / 2.0) / (npos * (ntot - npos))
+            + 0.00000001,
+            6,
+        ).alias("auc"),
+    )

@@ -403,3 +403,77 @@ def test_bfs_hops_property_random_digraphs(spark):
         assert got == _bfs_reference(edges, seeds, hops)
 
     run()
+
+
+# --- k-core peeling --------------------------------------------------------
+
+
+def _kcore_reference(edge_list, k, rounds):
+    """Dict-based synchronous peeling: the oracle."""
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    alive = {u for e in und for u in e}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in und:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+    return alive
+
+
+def test_kcore_known_graph(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import k_core
+
+    # K4 {1..4} is a 3-core; 5 hangs off 4 (degree 1); 6-7-8 path (max
+    # degree 2). k=3 must peel everything but the K4 — and the pendant's
+    # removal must not cascade into it.
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (6, 7), (7, 8),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"] for r in k_core(df, k=3, rounds=3).collect()}
+    assert got == {1, 2, 3, 4}
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import k_core
+
+    # chain 1-2-3-4: k=2 peels the endpoints round 1, which drops the
+    # middle nodes to degree 1 -> round 2 empties the graph
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    after1 = {r["node"] for r in k_core(df, k=2, rounds=1).collect()}
+    after2 = {r["node"] for r in k_core(df, k=2, rounds=2).collect()}
+    assert after1 == {2, 3}
+    assert after2 == set()
+
+
+def test_kcore_property_random_graphs(spark):
+    """Hypothesis: arbitrary small graphs, any k/rounds — the
+    distributed peel equals the dict-based recurrence exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import k_core
+
+    node = st.integers(min_value=0, max_value=10)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(node, node), min_size=1, max_size=30, unique=True
+        ),
+        k=st.integers(min_value=1, max_value=4),
+        rounds=st.integers(min_value=1, max_value=3),
+    )
+    def run(edges, k, rounds):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["node"] for r in k_core(df, k=k, rounds=rounds).collect()}
+        assert got == _kcore_reference(edges, k, rounds)
+
+    run()

@@ -218,3 +218,37 @@ def test_mixture_temperature_weights_contract(spark):
     by_share = sorted(rows, key=lambda r: (r.raw_share, r.source))
     by_weight = sorted(rows, key=lambda r: (r.weight, r.source))
     assert [r.source for r in by_share] == [r.source for r in by_weight]
+
+
+def test_eval_auc_roc_matches_pure_python_midrank_auc(spark):
+    """Full recompute: collect (score, y), midrank AUC in pure Python —
+    the Mann-Whitney identity with tie handling must match exactly; and
+    flipping the labels must give 1 - AUC (the metric's defining
+    symmetry)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.prep import eval_auc_roc
+
+    from conftest import SF_SMOKE
+
+    row = eval_auc_roc(spark, SF_SMOKE).collect()[0]
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    pairs = [
+        (round(float(r.embedding[0]) + 0.0, 6), 1 if r.label == 3 else 0)
+        for r in emb
+    ]
+    pairs.sort()
+    # midranks: positions are 1-based; equal scores share the mean rank
+    ranks = {}
+    i = 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        ranks[pairs[i][0]] = mid
+        i = j
+    n_pos = sum(y for _, y in pairs)
+    n_neg = len(pairs) - n_pos
+    r_pos = sum(ranks[s] for s, y in pairs if y == 1)
+    want = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert row.auc == round(want + 1e-8, 6)
