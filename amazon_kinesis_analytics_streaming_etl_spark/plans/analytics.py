@@ -2171,3 +2171,149 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("side")
     )
+
+
+# --------------------------------------------------------------------------
+# equi-depth histogram
+# --------------------------------------------------------------------------
+
+_EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "histogram_equidepth",
+    f"""
+    WITH r AS (
+      SELECT l_extendedprice AS val,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS rnk,
+             count(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT CAST(((rnk - 1) * {_EQUIDEPTH_BUCKETS}) // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(val), 2) AS lo,
+           round(max(val), 2) AS hi
+    FROM r GROUP BY 1 ORDER BY bucket
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of l_extendedprice: 10
+    buckets holding (near-)equal row counts, each reporting its value
+    range — the optimizer-statistics / feature-binning companion to the
+    equi-WIDTH histogram_extendedprice. Depth boundaries come from the
+    exact global rank, so bucket populations differ by at most one row
+    no matter how skewed the values.
+
+    Scale shape: the rank is operators/scale.py:global_rank — ONE range
+    shuffle, narrow per-partition prefix counts, broadcast offsets —
+    never a single-partition ORDER BY (the oracle's row_number() over
+    one partition is DuckDB's privilege, not the engine's). The total
+    count is a 1-row broadcast (whitelisted scalar crossJoin), the
+    bucket id is pure integer arithmetic ((rank-1)*B DIV N — exact,
+    no float boundary jitter), and the final rollup is a
+    map-side-combined aggregate down to B rows.
+    """
+    from ..operators.scale import global_rank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("val"), "l_orderkey", "l_linenumber"
+    )
+    ranked = global_rank(li, ["val", "l_orderkey", "l_linenumber"], rank_col="rnk")
+    n = li.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr(
+                f"CAST(((rnk - 1) * {_EQUIDEPTH_BUCKETS}) DIV n AS BIGINT)"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.min("val"), 2).alias("lo"),
+            F.round(F.max("val"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2-style state-run compression
+# --------------------------------------------------------------------------
+
+@register(
+    "scd2_state_runs",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, event_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM s WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           CAST(epoch_ms(valid_to) - epoch_ms(valid_from) AS BIGINT)
+             AS duration_ms
+    FROM runs WHERE valid_to IS NOT NULL
+    ORDER BY duration_ms DESC, user_id, event_id
+    LIMIT 20
+    """,
+)
+def scd2_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style run-length compression of each user's event-type
+    stream: collapse consecutive same-type events into one
+    [valid_from, valid_to) state interval — the type-2
+    slowly-changing-dimension build step (and the RLE that CDC
+    pipelines apply before landing history tables) — then surface the
+    20 longest-held states. Open (last) intervals are excluded; they
+    have no end yet.
+
+    Plan: ONE hash shuffle on user_id serves both windows (the
+    change-detection lag and the interval-closing lead run on the same
+    partitioning — Catalyst plans a single exchange), the run filter
+    drops every non-boundary row before anything wide happens, and the
+    global top-20 is a TakeOrdered, not a sort. Duration math is exact
+    integer epoch-millis on both engines.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    runs = (
+        s.where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    return (
+        runs.where(F.col("valid_to").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+                "valid_from"
+            ),
+            (F.unix_millis("valid_to") - F.unix_millis("valid_from"))
+            .cast("long")
+            .alias("duration_ms"),
+            "event_id",
+        )
+        .orderBy(F.col("duration_ms").desc(), "user_id", "event_id")
+        .limit(20)
+        .drop("event_id")
+    )

@@ -44,6 +44,8 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # the oldest again next round and lead the r8 window.
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
+    "histogram_equidepth",  # new: global-rank equal-height histogram
+    "scd2_state_runs",  # new: SCD2 run-length state intervals
     "graph_kcore_trade",  # new: fixed-round k-core peeling
     "eval_auc_roc",  # new: distributed midrank Mann-Whitney AUC
     "graph_shortest_hops",  # new: multi-source BFS hop distances

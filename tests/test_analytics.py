@@ -268,3 +268,61 @@ def test_anomaly_mad_robust_ordering_and_hand_check(spark):
     v = g[g.pt.dt.strftime("%Y-%m-%d %H:00") == top.hour].v.iloc[0]
     want = (v - m) / (1.4826 * mad)
     assert np.isclose(top.robust_z, round(want + 1e-8, 4), atol=1e-3)
+
+
+def test_histogram_equidepth_buckets_are_balanced_and_ordered(spark):
+    """Equal-depth contract: bucket populations differ by at most 1,
+    cover the full table, and value ranges are non-overlapping and
+    ascending."""
+    rows = QUERIES["histogram_equidepth"](spark, SF_SMOKE).collect()
+    n_total = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    assert sum(r.n_rows for r in rows) == n_total
+    sizes = [r.n_rows for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.lo <= a.hi
+        # adjacent buckets may share a boundary value (ties split by key)
+        assert a.hi <= b.lo + 0.01
+
+
+def test_scd2_state_runs_reproduce_from_pandas_rle(spark):
+    """Full recompute: run-length encode each user's event stream in
+    pandas, close intervals with the next run's start, take the same
+    top-20 — must match exactly."""
+    import pandas as pd
+
+    rows = QUERIES["scd2_state_runs"](spark, SF_SMOKE).collect()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_type", "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    out = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.reset_index(drop=True)
+        starts = [0] + [
+            i
+            for i in range(1, len(g))
+            if g.event_type[i] != g.event_type[i - 1]
+        ]
+        for a, b in zip(starts, starts[1:]):
+            # floor each endpoint to ms (unix_millis/epoch_ms semantics),
+            # then subtract — flooring the difference is off by one when
+            # the sub-millisecond parts straddle a boundary
+            dur = int(
+                g.ts[b].value // 1_000_000 - g.ts[a].value // 1_000_000
+            )
+            out.append(
+                (
+                    int(uid),
+                    g.event_type[a],
+                    g.ts[a].strftime("%Y-%m-%d %H:%M:%S"),
+                    dur,
+                    int(g.event_id[a]),
+                )
+            )
+    out.sort(key=lambda t: (-t[3], t[0], t[4]))
+    want = [t[:4] for t in out[:20]]
+    got = [(r.user_id, r.event_type, r.valid_from, r.duration_ms) for r in rows]
+    assert got == want

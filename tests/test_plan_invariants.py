@@ -24,6 +24,7 @@ SCALAR_THRESHOLD_QUERIES = {
     # (min/max bounds, totals) or a bounded types x hours spine.
     "gapfill_hourly",
     "histogram_extendedprice",
+    "histogram_equidepth",
     "skew_key_profile",
     "drift_psi",
     "resample_interpolate",
