@@ -32,16 +32,19 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # Tier 1 rotates by signal AGE each round. Round-6 window (CORRECTNESS_r06,
 # 50 entries) covered the canary + the 11 round-6 additions + the 36
 # round-1-stale names, leaving the 33 round-3 signals as the oldest.
-# Round 7 therefore front-loads: (a) every query whose CODE changed this
-# round and so needs a fresh driver green — the parse-transiting ETL
-# family (P1 quoted-numeric coercion rework + the single-tokenization
-# plan fix), the murmur2-vectorized Kafka roundtrip, the six
-# sf0.1-sweep fixes (hourly-avg float32 squash, theta union-relative
-# gate, -0.0 normalization), the late-round-7 plan/perf fixes
+# Round 7 priority (highest first): (a) the 31 queries NEW this round —
+# they have no driver signal at all, which outranks any staleness;
+# (b) every existing query whose CODE changed this round — the
+# parse-transiting ETL family (P1 quoted-numeric coercion rework + the
+# single-tokenization plan fix), the murmur2-vectorized Kafka roundtrip,
+# the six sf0.1-sweep fixes (hourly-avg float32 squash, theta
+# union-relative gate, -0.0 normalization), and the late plan/perf fixes
 # (variant single-parse, O(bits) Z-order bucketing, numpy exact-cosine
-# twin) and the new ann_quality_eval — then (b) the oldest round-3
-# signals in age order; the ~5 that now fall past the ~50 budget are
-# the oldest again next round and lead the r8 window.
+# twin); (c) the oldest (round-3) signals in age order. Round 7 added 31
+# queries, so tier (c) — the TPC-H q3..sim_topk_bruteforce block — falls
+# past the ~50 budget this round; every name in it stays listed here so
+# it leads the r8 window (all are r3-green on unchanged code, the
+# lowest-risk tier to defer).
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
     "histogram_equidepth",  # new: global-rank equal-height histogram

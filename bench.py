@@ -85,6 +85,13 @@ HEADLINE = [
     # the correctness sweep, not here (its localCheckpoint supersteps
     # are deliberate multi-job work, not a headline-latency shape)
     "join_bloom_prefilter",
+    # late round 7, second wave (cheap single-shuffle analytics; the
+    # iterative graph ops — BFS, k-core — and the global-rank equi-depth
+    # histogram run in the correctness sweep, not here, same rule as
+    # graph_pagerank above)
+    "markov_event_transitions",
+    "scd2_state_runs",
+    "anomaly_mad_robust",
 ]
 
 
