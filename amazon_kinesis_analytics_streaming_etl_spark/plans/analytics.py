@@ -2317,3 +2317,138 @@ def scd2_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# chi-square independence (type x hour-of-day)
+# --------------------------------------------------------------------------
+
+@register(
+    "stats_chi2_independence",
+    """
+    WITH o AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM o),
+    rt AS (SELECT event_type, CAST(sum(c) AS DOUBLE) AS r FROM o GROUP BY 1),
+    ct AS (SELECT hod, CAST(sum(c) AS DOUBLE) AS col FROM o GROUP BY 1)
+    SELECT o.event_type,
+           CAST(sum(o.c) AS BIGINT) AS n_events,
+           round(CAST(CAST(sum(pow(o.c - rt.r * ct.col / tot.n, 2)
+                                / (rt.r * ct.col / tot.n)) AS REAL)
+                      AS DOUBLE) + 0.00000001, 4) AS chi2_contrib
+    FROM o
+    JOIN rt USING (event_type)
+    JOIN ct USING (hod)
+    CROSS JOIN tot
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square contributions for the event_type x hour-of-day
+    contingency table: per type, sum over hours of (observed -
+    expected)^2 / expected under the independence model — the standard
+    'does behavior vary by time of day' test statistic (total chi2 =
+    sum of this column; dof = (types-1)*(hours-1)). PSI (drift_psi)
+    compares two time slices of one distribution; this tests the joint
+    structure itself.
+
+    Scale shape: the contingency table is ONE map-side-combined
+    aggregate down to types x 24 cells; the margins are aggregates OF
+    that table (not rescans), joined back at dimension size, with the
+    grand total a 1-row whitelisted scalar crossJoin. All inputs to the
+    float math are exact integer counts; the 24-term sums go through
+    the float32 squash + half-tie epsilon contract.
+    """
+    ev = load_events(spark, sf_dir)
+    o = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count("*").alias("c"))
+    o = o.localCheckpoint(eager=False)  # margins reuse the cells, not the scan
+    tot = o.agg(F.sum("c").cast("double").alias("n"))
+    rt = o.groupBy("event_type").agg(F.sum("c").cast("double").alias("r"))
+    ct = o.groupBy("hod").agg(F.sum("c").cast("double").alias("col"))
+    e = F.col("r") * F.col("col") / F.col("n")
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hod")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.pow(F.col("c") - e, 2) / e)
+                .cast("float")
+                .cast("double")
+                + 0.00000001,
+                4,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# funnel time-to-convert
+# --------------------------------------------------------------------------
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CAST(epoch_ms(p) - epoch_ms(s) AS BIGINT) // 1000 AS dur_s
+      FROM f WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(floor(quantile_cont(dur_s, 0.5)) AS BIGINT) AS p50_s,
+           CAST(floor(quantile_cont(dur_s, 0.9)) AS BIGINT) AS p90_s,
+           CAST(max(dur_s) AS BIGINT) AS max_s
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from first signup to first purchase, per converting user
+    (first-touch pairing; users whose first purchase precedes their
+    first signup are non-converters by definition), summarized as
+    p50/p90/max seconds — the latency companion to funnel_stages'
+    conversion rates.
+
+    Scale shape: ONE hash aggregate collapses the stream to a row per
+    user (conditional min-timestamps — no window, no self-join); the
+    duration is floored to whole seconds BEFORE the exact percentile,
+    so the percentile aggregate's state is bounded by the calendar
+    span in seconds (a few million distinct values at any corpus
+    size), not by the user count. Percentiles interpolate identically
+    (quantile_cont == Spark percentile); epoch math is exact integers.
+    """
+    ev = load_events(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+    )
+    d = f.where(
+        F.col("s").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("s"))
+    ).select(
+        ((F.unix_millis("p") - F.unix_millis("s")) / 1000)
+        .cast("long")
+        .alias("dur_s")
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        # explicit floor: DuckDB CAST(double AS BIGINT) rounds, Spark
+        # truncates — floor() first makes both engines agree on .5 points
+        F.floor(F.percentile("dur_s", 0.5)).cast("long").alias("p50_s"),
+        F.floor(F.percentile("dur_s", 0.9)).cast("long").alias("p90_s"),
+        F.max("dur_s").cast("long").alias("max_s"),
+    )

@@ -47,6 +47,9 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # lowest-risk tier to defer).
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
+    "eval_calibration_bins",  # new: reliability-diagram bins
+    "stats_chi2_independence",  # new: type x hour-of-day chi-square
+    "funnel_time_to_convert",  # new: signup->purchase latency percentiles
     "histogram_equidepth",  # new: global-rank equal-height histogram
     "scd2_state_runs",  # new: SCD2 run-length state intervals
     "graph_kcore_trade",  # new: fixed-round k-core peeling

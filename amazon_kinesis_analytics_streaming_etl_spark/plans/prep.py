@@ -752,3 +752,81 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# calibration (reliability) bins
+# --------------------------------------------------------------------------
+
+_CALIB_BINS = 10
+
+
+@register(
+    "eval_calibration_bins",
+    f"""
+    WITH s AS (
+      SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS score,
+             CASE WHEN label = {_AUC_POS_LABEL} THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    ),
+    b AS (SELECT min(score) AS lo, max(score) AS hi FROM s)
+    SELECT CAST(CASE WHEN score >= hi THEN {_CALIB_BINS - 1}
+                ELSE floor((score - lo) * {_CALIB_BINS} / (hi - lo)) END
+           AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(CAST(avg(score) AS REAL) AS DOUBLE) + 0.00000001, 6)
+             AS avg_score,
+           round(CAST(CAST(avg(y) AS REAL) AS DOUBLE) + 0.00000001, 6)
+             AS pos_rate
+    FROM s CROSS JOIN b
+    GROUP BY 1 ORDER BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table for the same score/label pair as
+    eval_auc_roc: 10 equal-width score bins (top edge inclusive in the
+    last bin), each reporting its population, mean score, and observed
+    positive rate — the calibration companion to AUC's ranking quality
+    (a well-calibrated scorer has pos_rate tracking avg_score per bin;
+    ECE is one weighted subtraction away from this table).
+
+    Scale shape: the bin edges are a 1-row min/max aggregate broadcast
+    via the whitelisted scalar crossJoin; binning is arithmetic (both
+    engines evaluate the identical IEEE-double expression, so boundary
+    assignment agrees exactly); the rollup is one map-side-combined
+    aggregate down to B rows. Bin means go through the float32 squash +
+    half-tie epsilon, the repo's cross-engine summation contract.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    s = emb.select(
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
+        F.when(F.col("label") == _AUC_POS_LABEL, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    b = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = s.crossJoin(F.broadcast(b)).withColumn(
+        "bin",
+        F.when(F.col("score") >= F.col("hi"), F.lit(_CALIB_BINS - 1))
+        .otherwise(
+            F.floor(
+                (F.col("score") - F.col("lo"))
+                * _CALIB_BINS
+                / (F.col("hi") - F.col("lo"))
+            )
+        )
+        .cast("long"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.avg("score").cast("float").cast("double") + 0.00000001, 6
+            ).alias("avg_score"),
+            F.round(
+                F.avg("y").cast("float").cast("double") + 0.00000001, 6
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -326,3 +326,62 @@ def test_scd2_state_runs_reproduce_from_pandas_rle(spark):
     want = [t[:4] for t in out[:20]]
     got = [(r.user_id, r.event_type, r.valid_from, r.duration_ms) for r in rows]
     assert got == want
+
+
+def test_chi2_contributions_match_scipy_style_recompute(spark):
+    """Full recompute of the contingency math in pure Python from the
+    raw table: observed counts, independence-model expectations, per-type
+    contribution sums (float32-squashed like the engine)."""
+    import collections
+
+    import numpy as np
+
+    rows = {r.event_type: r for r in QUERIES["stats_chi2_independence"](spark, SF_SMOKE).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "ts")
+        .collect()
+    )
+    obs = collections.Counter((r.event_type, r.ts.hour) for r in ev)
+    n = sum(obs.values())
+    row_t = collections.Counter()
+    col_t = collections.Counter()
+    for (t, h), c in obs.items():
+        row_t[t] += c
+        col_t[h] += c
+    for t in row_t:
+        # engine sums only over OBSERVED cells (the contingency table has
+        # no zero rows) -- recompute must match that definition
+        contrib_obs_only = sum(
+            (c - row_t[t] * col_t[h] / n) ** 2 / (row_t[t] * col_t[h] / n)
+            for (tt, h), c in obs.items()
+            if tt == t
+        )
+        want = round(float(np.float32(contrib_obs_only)) + 1e-8, 4)
+        assert rows[t].chi2_contrib == want
+        assert rows[t].n_events == row_t[t]
+
+
+def test_funnel_time_to_convert_reproduces_from_pandas(spark):
+    """Recompute first-signup -> first-purchase latencies in pandas and
+    check count and exact interpolated percentiles (floored to match)."""
+    import numpy as np
+
+    row = QUERIES["funnel_time_to_convert"](spark, SF_SMOKE).collect()[0]
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_type", "ts")
+        .toPandas()
+    )
+    s = ev[ev.event_type == "signup"].groupby("user_id").ts.min()
+    p = ev[ev.event_type == "purchase"].groupby("user_id").ts.min()
+    both = s.to_frame("s").join(p.to_frame("p"), how="inner")
+    both = both[both.p >= both.s]
+    dur = (
+        (both.p.astype("int64") // 1_000_000 - both.s.astype("int64") // 1_000_000)
+        // 1000
+    ).to_numpy()
+    assert row.n_converted == len(dur)
+    assert row.p50_s == int(np.floor(np.percentile(dur, 50, method="linear")))
+    assert row.p90_s == int(np.floor(np.percentile(dur, 90, method="linear")))
+    assert row.max_s == int(dur.max())

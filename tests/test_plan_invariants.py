@@ -25,6 +25,8 @@ SCALAR_THRESHOLD_QUERIES = {
     "gapfill_hourly",
     "histogram_extendedprice",
     "histogram_equidepth",
+    "eval_calibration_bins",
+    "stats_chi2_independence",
     "skew_key_profile",
     "drift_psi",
     "resample_interpolate",

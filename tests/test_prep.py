@@ -252,3 +252,22 @@ def test_eval_auc_roc_matches_pure_python_midrank_auc(spark):
     want = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
     assert row.n_pos == n_pos and row.n_neg == n_neg
     assert row.auc == round(want + 1e-8, 6)
+
+
+def test_calibration_bins_partition_population_and_bound_rates(spark):
+    """Bins cover the whole scored set, bin ids are 0..9, pos_rate is a
+    probability, and mean scores ascend with the bin id (equal-width
+    bins over an ascending variable)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.prep import (
+        eval_calibration_bins,
+    )
+
+    from conftest import SF_SMOKE
+
+    rows = eval_calibration_bins(spark, SF_SMOKE).collect()
+    n_total = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert sum(r.n for r in rows) == n_total
+    assert all(0 <= r.bin <= 9 for r in rows)
+    assert all(0.0 <= r.pos_rate <= 1.0 for r in rows)
+    means = [r.avg_score for r in sorted(rows, key=lambda r: r.bin)]
+    assert means == sorted(means)
