@@ -316,3 +316,57 @@ def k_core(
             .localCheckpoint()
         )
     return alive
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Fixed-round single/multi-source shortest paths over a weighted
+    directed edge list (Bellman-Ford relaxation; non-negative weights
+    assumed by callers wanting true shortest paths within ``rounds``
+    hops); returns (node, dist) for every node reached within
+    ``rounds`` relaxations — the weighted sibling of :func:`bfs_hops`.
+
+    Each superstep is the min-plus analog of pagerank's sum step: join
+    current distances onto the edge list (messages = dist + w), union
+    with the incumbent distances, and take MIN per node — Spark's
+    partial aggregation makes the min a map-side combine, so per-round
+    shuffle volume is O(|dist| + messages), bounded by |nodes| +
+    |edges-from-reached|. Unreached nodes carry an implicit infinity
+    (absent row), so the distance table only ever holds reached nodes.
+    Fixed rounds keep it deterministic and oracle-unrollable: after R
+    rounds the result is exact for all nodes whose shortest path uses
+    <= R edges (Bellman-Ford's invariant). Lineage is truncated every
+    round (the module rule).
+    """
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), F.col(weight).alias("_w")
+    ).persist()
+    dist = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        msgs = (
+            e.join(dist, e["_src"] == dist["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.union(msgs)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return dist

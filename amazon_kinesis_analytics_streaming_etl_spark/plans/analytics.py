@@ -2452,3 +2452,114 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.percentile("dur_s", 0.9)).cast("long").alias("p90_s"),
         F.max("dur_s").cast("long").alias("max_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# weighted shortest paths (Bellman-Ford rounds)
+# --------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle() -> str:
+    """Unroll the min-plus relaxation: d_i = MIN(d_{i-1}, min over
+    in-edges of d_{i-1}[src] + w) — each CTE bounded by |nodes|, the
+    SQL twin of operators/graph.py:bellman_ford."""
+    steps = []
+    for i in range(1, _SSSP_ROUNDS + 1):
+        steps.append(
+            f"""d{i} AS (
+      SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.d + e.w AS d
+        FROM edges e JOIN d{i - 1} p ON e.src = p.node
+      ) GROUP BY node
+    )"""
+        )
+    its = ",\n    ".join(steps)
+    return f"""
+    WITH cnt AS (
+      SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst, 1.0 / n AS w FROM cnt
+      UNION ALL
+      SELECT s AS src, c AS dst, 1.0 / n AS w FROM cnt
+    ),
+    d0 AS (
+      SELECT DISTINCT s_suppkey * 2 + 1 AS node, 0.0 AS d
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = '{_BFS_SEED_NATION}'
+    ),
+    {its}
+    SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey,
+           round(d + 0.00000001, 6) AS dist
+    FROM d{_SSSP_ROUNDS}
+    WHERE node % 2 = 1 AND d > 0
+    ORDER BY d, s_suppkey
+    LIMIT 20
+    """
+
+
+@register("graph_sssp_weighted", _sssp_oracle())
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from the NATION_3 suppliers over the
+    trade graph, edge length = 1/(trade count) so heavily-traded links
+    are SHORT — the 20 non-seed suppliers most tightly coupled to the
+    seed nation's supply base within 4 relaxation rounds
+    (operators/graph.py:bellman_ford). The weighted sibling of
+    graph_shortest_hops: hop count answers "reachable?", this answers
+    "how strongly coupled?".
+
+    Scale shape: min-plus Pregel — per round one hash join of the
+    reached-distance table onto the persisted weighted edge list and a
+    map-side-combined MIN per node; the distance table only ever holds
+    reached nodes (absent row = infinity). Distances are mins over an
+    identical candidate multiset in both engines (same IEEE doubles),
+    so no summation-order hazard exists; epsilon + 6dp round guards the
+    display rounding only.
+    """
+    from ..operators.graph import bellman_ford
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    cnt = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    edges = cnt.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), (1.0 / F.col("n")).alias("w")
+    ).union(
+        cnt.select(
+            F.col("s").alias("src"),
+            F.col("c").alias("dst"),
+            (1.0 / F.col("n")).alias("w"),
+        )
+    )
+    seeds = (
+        su.join(
+            F.broadcast(na.where(F.col("n_name") == _BFS_SEED_NATION)),
+            su["s_nationkey"] == na["n_nationkey"],
+        )
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    dist = bellman_ford(edges, seeds, _SSSP_ROUNDS)
+    return (
+        dist.where((F.col("node") % 2 == 1) & (F.col("dist") > 0))
+        .select(
+            ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+            F.round(F.col("dist") + 0.00000001, 6).alias("dist"),
+        )
+        .orderBy("dist", "s_suppkey")
+        .limit(20)
+    )

@@ -477,3 +477,90 @@ def test_kcore_property_random_graphs(spark):
         assert got == _kcore_reference(edges, k, rounds)
 
     run()
+
+
+# --- weighted shortest paths (Bellman-Ford rounds) --------------------------
+
+
+def _bf_reference(edge_list, seeds, rounds):
+    """Dict-based min-plus relaxation: the oracle. edge_list holds
+    (src, dst, w) triples."""
+    dist = {s: 0.0 for s in seeds}
+    for _ in range(rounds):
+        new = dict(dist)
+        for u, v, w in edge_list:
+            if u in dist:
+                cand = dist[u] + w
+                if v not in new or cand < new[v]:
+                    new[v] = cand
+        dist = new
+    return dist
+
+
+def test_bellman_ford_known_graph(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import (
+        bellman_ford,
+    )
+
+    # 1->2 (5.0) vs 1->3->2 (1.0+1.0): the indirect path must win; 4 is
+    # unreachable; seed itself stays at 0.
+    edges = [(1, 2, 5.0), (1, 3, 1.0), (3, 2, 1.0), (4, 5, 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bellman_ford(df, seeds, rounds=3).collect()}
+    assert got == {1: 0.0, 3: 1.0, 2: 2.0}
+
+
+def test_bellman_ford_round_bound_is_edge_count(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import (
+        bellman_ford,
+    )
+
+    # chain of weight-1 edges: after R rounds only paths of <= R edges
+    # are final (the Bellman-Ford invariant)
+    edges = [(i, i + 1, 1.0) for i in range(5)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bellman_ford(df, seeds, rounds=2).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_bellman_ford_property_random_weighted_digraphs(spark):
+    """Hypothesis: arbitrary small weighted digraphs (parallel paths,
+    cycles, multiple seeds, integer weights for exact float equality) —
+    the distributed relaxation equals the dict recurrence exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import (
+        bellman_ford,
+    )
+
+    node = st.integers(min_value=0, max_value=8)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(
+                node, node, st.integers(min_value=0, max_value=9)
+            ),
+            min_size=1, max_size=25,
+            unique_by=lambda e: (e[0], e[1]),
+        ),
+        seeds=st.lists(node, min_size=1, max_size=2, unique=True),
+        rounds=st.integers(min_value=1, max_value=4),
+    )
+    def run(edges, seeds, rounds):
+        triples = [(u, v, float(w)) for u, v, w in edges]
+        df = spark.createDataFrame(triples, ["src", "dst", "w"])
+        sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+        got = {
+            r["node"]: r["dist"]
+            for r in bellman_ford(df, sdf, rounds).collect()
+        }
+        assert got == _bf_reference(triples, seeds, rounds)
+
+    run()
