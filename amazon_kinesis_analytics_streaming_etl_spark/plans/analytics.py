@@ -2563,3 +2563,63 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "s_suppkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration
+# --------------------------------------------------------------------------
+
+@register(
+    "stats_gini_spend",
+    """
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS v
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS i FROM spend
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(CAST(sum(v) AS REAL) AS DOUBLE) + 0.00000001, 0)
+             AS total_spend,
+           round(2.0 * sum(i * v) / (count(*) * sum(v))
+                 - (count(*) + 1.0) / count(*) + 0.00000001, 6) AS gini
+    FROM r
+    """,
+)
+def stats_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the standard
+    inequality metric (0 = everyone spends equally, ->1 = one whale),
+    via the rank identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending-sorted spend. The same statistic reports dataset-skew
+    concentration (does 1% of sources contribute 90% of tokens?), which
+    is why it sits in the analytics family next to skew_key_profile.
+
+    Scale shape: spend collapses to a row per customer in one hash
+    aggregate (per-customer sums rounded to cents so both engines'
+    rank order is identical); the rank is the distributed global_rank
+    (range shuffle + broadcast offsets — no single-partition window at
+    any customer count); the identity needs only THREE scalar
+    aggregates over the ranked rows. The final ratio is O(1) with
+    ~1e-15 relative summation noise, absorbed by the epsilon + 6dp
+    round; total_spend is float32-squashed per the summation contract.
+    """
+    from ..operators.scale import global_rank
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("v")
+    )
+    ranked = global_rank(spend, ["v", "o_custkey"], rank_col="i")
+    n = F.count("*")
+    s = F.sum("v")
+    si = F.sum(F.col("i") * F.col("v"))
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        F.round(
+            s.cast("float").cast("double") + 0.00000001, 0
+        ).alias("total_spend"),
+        F.round(
+            2.0 * si / (n * s) - (n + 1.0) / n + 0.00000001, 6
+        ).alias("gini"),
+    )

@@ -556,9 +556,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic sparse-data failure mode). This is the phrase-mining /
     tokenizer-merge-candidate signal of the text family.
 
-    Plan: the same single-tokenization contract as the other text ops —
-    one narrow pass derives tokens AND bigrams; unigram and bigram
-    counts are map-side-combined hash aggregates; the bigram->unigram
+    Plan: two narrow corpus scans (one exploding tokens, one exploding
+    bigrams — each tokenizes once, the shared contract; a scan is the
+    cheap part at 100 TB, the explode-shuffles are what must stay
+    map-side-combined); unigram and bigram counts are map-side-combined
+    hash aggregates; the bigram->unigram
     probability lookups are two equi-joins on the word key
     (vocab-sized, Zipf-skewed toward unique shingles — AQE handles the
     residual; at web scale the min-count floor prunes the bigram side

@@ -385,3 +385,25 @@ def test_funnel_time_to_convert_reproduces_from_pandas(spark):
     assert row.p50_s == int(np.floor(np.percentile(dur, 50, method="linear")))
     assert row.p90_s == int(np.floor(np.percentile(dur, 90, method="linear")))
     assert row.max_s == int(dur.max())
+
+
+def test_gini_matches_pure_python_identity_and_bounds(spark):
+    """Recompute the rank identity in pure Python from per-customer
+    spend; Gini must match to 6dp and sit in [0, 1)."""
+    row = QUERIES["stats_gini_spend"](spark, SF_SMOKE).collect()[0]
+    spend = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_custkey")
+        .sum("o_totalprice")
+        .collect()
+    )
+    vals = sorted(
+        (round(r["sum(o_totalprice)"], 2), r.o_custkey) for r in spend
+    )
+    n = len(vals)
+    s = sum(v for v, _ in vals)
+    si = sum(i * v for i, (v, _) in enumerate(vals, start=1))
+    want = round(2.0 * si / (n * s) - (n + 1.0) / n + 1e-8, 6)
+    assert row.n_customers == n
+    assert abs(row.gini - want) <= 1e-6
+    assert 0.0 <= row.gini < 1.0
