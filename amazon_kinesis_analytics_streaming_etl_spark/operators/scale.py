@@ -412,7 +412,9 @@ def global_cummax(
         for pdf in batches:
             v = _values(pdf)
             cmax = np.maximum.accumulate(v)
-            if exclusive:
+            if exclusive and len(v):
+                # len guard: on a 0-row batch the concatenate would emit
+                # a 1-row [-inf] that can't be assigned to the frame
                 lmax = np.concatenate(([-np.inf], cmax[:-1]))
             else:
                 lmax = cmax

@@ -1116,6 +1116,45 @@ def rolling_median_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- graph analytics ---------------------------------------------------------
 
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer<->supplier trade pairs in the shared even/odd
+    node-id space (customer = key*2, supplier = key*2+1) — the edge
+    basis every graph query shares; the oracles inline the identical
+    `pairs AS (SELECT DISTINCT o_custkey*2 ..., l_suppkey*2+1 ...)`
+    CTE. Change the encoding here and in those CTEs together."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+
+
+def _undirected_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trade pairs as a symmetric directed edge list (both
+    directions), the undirected-graph input contract of
+    operators/graph.py."""
+    pairs = _trade_pairs(spark, sf_dir)
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def _seed_supplier_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier node ids of the BFS/SSSP seed nation (broadcast dim
+    filter; _BFS_SEED_NATION is resolved at call time)."""
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    return su.join(
+        F.broadcast(na.where(F.col("n_name") == _BFS_SEED_NATION)),
+        su["s_nationkey"] == na["n_nationkey"],
+    ).select((F.col("s_suppkey") * 2 + 1).alias("node"))
+
+
 _PR_ITERS = 3
 _PR_DAMP = 0.85
 
@@ -1177,19 +1216,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     final ordering."""
     from ..operators.graph import pagerank
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = _undirected_trade_edges(spark, sf_dir)
     ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
     return (
         ranks.where(F.col("node") % 2 == 1)
@@ -1614,19 +1641,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     community sizes."""
     from ..operators.graph import label_propagation
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = _undirected_trade_edges(spark, sf_dir)
     labels = label_propagation(edges, iterations=_LPA_ITERS)
     return (
         labels.groupBy(F.col("label").alias("community"))
@@ -1919,28 +1934,8 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import bfs_hops
 
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    su = _t(spark, sf_dir, "supplier")
-    na = _t(spark, sf_dir, "nation")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    seeds = (
-        su.join(
-            F.broadcast(na.where(F.col("n_name") == _BFS_SEED_NATION)),
-            su["s_nationkey"] == na["n_nationkey"],
-        )
-        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
-    )
+    edges = _undirected_trade_edges(spark, sf_dir)
+    seeds = _seed_supplier_nodes(spark, sf_dir)
     reached = bfs_hops(edges, seeds, _BFS_HOPS)
     return (
         reached.groupBy(
@@ -2146,15 +2141,8 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import k_core
 
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    pairs = _trade_pairs(spark, sf_dir).select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
     )
     core = k_core(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
     key = ((F.col("node") - F.col("node") % 2) / 2).cast("long")
@@ -2527,8 +2515,6 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    su = _t(spark, sf_dir, "supplier")
-    na = _t(spark, sf_dir, "nation")
     cnt = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
@@ -2546,22 +2532,21 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1.0 / F.col("n")).alias("w"),
         )
     )
-    seeds = (
-        su.join(
-            F.broadcast(na.where(F.col("n_name") == _BFS_SEED_NATION)),
-            su["s_nationkey"] == na["n_nationkey"],
-        )
-        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
-    )
+    seeds = _seed_supplier_nodes(spark, sf_dir)
     dist = bellman_ford(edges, seeds, _SSSP_ROUNDS)
     return (
         dist.where((F.col("node") % 2 == 1) & (F.col("dist") > 0))
         .select(
             ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
             F.round(F.col("dist") + 0.00000001, 6).alias("dist"),
+            # rank-20 cut on the RAW distance (the oracle's ORDER BY d):
+            # rounding first could merge distinct raw values at the
+            # boundary and let the engines pick different row sets
+            F.col("dist").alias("_raw"),
         )
-        .orderBy("dist", "s_suppkey")
+        .orderBy("_raw", "s_suppkey")
         .limit(20)
+        .drop("_raw")
     )
 
 

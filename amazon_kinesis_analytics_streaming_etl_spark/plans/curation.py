@@ -459,7 +459,8 @@ def curation_cap_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_chars, round(ent + 0.00000001, 6) AS char_entropy
     FROM (
       SELECT doc_id, entropy(c) AS ent
-      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents WHERE text IS NOT NULL)
       GROUP BY doc_id
     ) JOIN documents USING (doc_id)
     ORDER BY char_entropy, doc_id
@@ -499,7 +500,10 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return (
-        docs.select(
+        # NULL text is "no document", not "entropy 0": the oracle's
+        # unnest drops such rows, and a 0.0 would win the bottom-20
+        docs.where(F.col("text").isNotNull())
+        .select(
             "doc_id",
             "n_chars",
             F.round(_ent(F.col("text")) + F.lit(0.00000001), 6).alias(
