@@ -201,7 +201,12 @@ def _td_quantile(means, weights, q: float) -> float:
         return float(means[-1])
     i = int(np.searchsorted(cum, target) - 1)
     frac = (target - cum[i]) / (cum[i + 1] - cum[i])
-    return float(means[i] + frac * (means[i + 1] - means[i]))
+    # two-sided lerp, then clamp into the bracketing centroids: the
+    # one-sided form a + f*(b-a) cancels catastrophically when |a| >> |b|
+    # (e.g. a=-66, b=-1-6e-15, f=1 rounds to -1.0 > b), which let a
+    # quantile estimate escape the digest's [min, max] envelope
+    val = (1.0 - frac) * means[i] + frac * means[i + 1]
+    return float(min(max(val, means[i]), means[i + 1]))
 
 
 def tdigest_partials(
