@@ -115,7 +115,12 @@ def parse_trip_events_raw(raw: DataFrame, value_col: str = "value") -> DataFrame
     #    exactly one row with column x even when x is null, so the
     #    corrupt branch still sees its rows.
     tmp = "__parse_strings"
-    with_strings = raw.select("*", strings.alias(tmp))
+    # withColumn REPLACEMENT semantics: a pre-existing `event` (re-parse
+    # of parsed output) or `__parse_strings` column would otherwise
+    # collide with the aliases below and make every F.col reference
+    # ambiguous downstream
+    keep = [c for c in raw.columns if c not in (PARSED_COL, tmp)]
+    with_strings = raw.select(*keep, strings.alias(tmp))
     s = F.col(tmp)
     event = F.when(
         s.isNull(), F.lit(None).cast(TRIP_EVENT_SCHEMA)
@@ -125,7 +130,7 @@ def parse_trip_events_raw(raw: DataFrame, value_col: str = "value") -> DataFrame
         )
     )
     return with_strings.select(
-        *raw.columns, F.explode(F.array(event)).alias(PARSED_COL)
+        *keep, F.explode(F.array(event)).alias(PARSED_COL)
     )
 
 

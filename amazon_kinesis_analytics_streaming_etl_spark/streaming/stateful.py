@@ -144,6 +144,11 @@ _TDIGEST_STATE = StructType(
 )
 
 
+_EMPTY_PERCENTILES = pd.DataFrame(
+    {"event_type": [], "n": [], "est_p50": [], "est_p95": []}
+)
+
+
 def _tdigest_fn_factory(delta: float, quantiles: tuple):
     def _fn(
         key: Tuple[Any, ...],
@@ -165,6 +170,13 @@ def _tdigest_fn_factory(delta: float, quantiles: tuple):
                 w = np.concatenate([w, np.ones(len(vals))])
                 m, w = _td_compress(m, w, delta)
                 n += len(vals)
+        if n == 0:
+            # a key whose values so far are all null has no digest:
+            # creating empty state and emitting an n=0/NaN snapshot row
+            # would hand consumers ("take the highest-n row per key") a
+            # NaN-only result instead of no row
+            yield _EMPTY_PERCENTILES
+            return
         # plain-float lists: numpy scalars would reach the JVM state-store
         # unpickler as unconstructible ClassDicts
         state.update(([float(x) for x in m], [float(x) for x in w], int(n)))
@@ -492,27 +504,46 @@ def _timeout_sessions_fn_factory(gap_ms: int):
         closed: list[tuple] = []
         cur = list(state.get) if state.exists else None
         if len(rows):
-            # rows arrive in shuffle order, not time order: sessionize
-            # over the batch's full sorted view (state holds only the
-            # open tail, so this is O(batch rows) per key, not O(stream))
+            # null ts cannot be windowed (astype would turn NaT into
+            # int64-min and emit a garbage epoch session) — drop, the
+            # same rows the declarative session_window twin drops; null
+            # value counts the event but adds 0 (sum-ignores-nulls +
+            # count(*), the SQL aggregate contract)
+            rows = rows[rows["ts"].notna()]
+        if len(rows):
+            # rows arrive in shuffle order, not time order — and a
+            # cross-batch straggler may precede the OPEN session
+            # entirely. Interval-merge the open tail with the batch's
+            # events as sessions sorted by start: an in-gap earlier
+            # event extends start_ms BACKWARD, an out-of-gap earlier
+            # event closes as its own session (the open session's
+            # existence proves the gap), and everything but the final
+            # merged session is provably closed. O(batch rows log batch
+            # rows) per key; state still holds only the open tail.
             # normalize to ns first: Arrow can hand back datetime64[us],
             # whose raw int64 view would be off by 1000x
             ts = (
                 rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
             ).to_numpy()
-            vals = rows["value"].to_numpy()
+            vals = rows["value"].fillna(0.0).to_numpy()
             order = ts.argsort(kind="stable")
-            for t, v in zip(ts[order], vals[order]):
-                t, v = int(t), float(v)
-                if cur is None:
-                    cur = [t, t, 1, v]
-                elif t - cur[1] > gap_ms:
-                    closed.append(tuple(cur))
-                    cur = [t, t, 1, v]
+            items = [[cur[0], cur[1], cur[2], cur[3]]] if cur is not None else []
+            items.extend(
+                [int(t), int(t), 1, float(v)]
+                for t, v in zip(ts[order], vals[order])
+            )
+            items.sort(key=lambda r: (r[0], r[1]))
+            merged: list[list] = []
+            for it in items:
+                if merged and it[0] - merged[-1][1] <= gap_ms:
+                    m = merged[-1]
+                    m[1] = max(m[1], it[1])
+                    m[2] += it[2]
+                    m[3] += it[3]
                 else:
-                    cur[1] = max(cur[1], t)
-                    cur[2] += 1
-                    cur[3] += v
+                    merged.append(it)
+            closed.extend(tuple(m) for m in merged[:-1])
+            cur = merged[-1] if merged else cur
         if cur is not None:
             deadline = cur[1] + gap_ms
             if deadline <= state.getCurrentWatermarkMs():

@@ -351,3 +351,30 @@ def test_parse_property_matches_reference_decode(spark, data):
     got_corrupt = sorted(r.raw_payload for r in corrupt.collect())
     want_corrupt = sorted(line for line, e in records if e is None)
     assert got_corrupt == want_corrupt
+
+
+def test_parse_raw_replaces_preexisting_event_and_temp_columns(spark):
+    """withColumn replacement semantics: re-parsing a DataFrame that
+    already carries an `event` struct (or a stale `__parse_strings`)
+    must REPLACE it, not emit a duplicate column that makes every
+    downstream F.col('event') reference ambiguous."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.parse import (
+        parse_trip_events_raw,
+        split_corrupt,
+    )
+
+    raw = spark.createDataFrame(
+        [('{"trip_id": 7, "type": "trip"}',)], "value string"
+    ).withColumn("event", F.lit("stale")).withColumn(
+        "__parse_strings", F.lit("stale")
+    )
+    out = parse_trip_events_raw(raw)
+    assert out.columns.count("event") == 1
+    assert "__parse_strings" not in out.columns
+    row = out.select(F.col("event").getField("trip_id").alias("t")).collect()[0]
+    assert row.t == 7
+    # split_corrupt on the re-parsed frame must not hit an ambiguous ref
+    valid, corrupt = split_corrupt(parse_trip_events_raw(out))
+    assert valid.count() + corrupt.count() == 1

@@ -412,3 +412,81 @@ def test_timeout_sessions_exact_gap_boundary_stays_merged(spark, tmp_path):
     assert len(u1) == 1 and u1[0]["n_events"] == 2  # merged at the boundary
     u2 = [r for r in rows_out if r["user_id"] == 2]
     assert len(u2) == 2 and all(r["n_events"] == 1 for r in u2)  # split past it
+
+
+def test_timeout_sessions_cross_batch_straggler_semantics(spark, tmp_path):
+    """Cross-batch stragglers vs the OPEN session: an in-gap earlier
+    event must extend session_start_ms BACKWARD; an out-of-gap earlier
+    event is its own (already provably closed) session — it must never
+    silently merge into the open one. Null-ts rows are unwindowable and
+    are ignored entirely."""
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.stateful import (
+        timeout_sessions_per_user,
+    )
+
+    p = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1, 12, 30)
+    m = dt.timedelta(minutes=1)
+    os.makedirs(p)
+    batches = [
+        # open sessions at 12:30 for users 1 and 3
+        [_ev(1, t0, user=1, value=1.0), _ev(2, t0, user=3, value=1.0)],
+        # stragglers (watermark is 12:30 - 2h = 10:30, both survive):
+        # u1 at 11:35 = 55min before the open start -> OWN session;
+        # u3 at 12:10 = 20min before start (within 30min gap) -> merge,
+        # start extends backward; u3 null-ts row must be ignored
+        [
+            _ev(3, t0 - 55 * m, user=1, value=2.0),
+            _ev(4, t0 - 20 * m, user=3, value=2.0),
+            _ev(5, None, user=3, value=99.0),
+        ],
+        # sentinel far ahead: every earlier session times out
+        [_ev(9, t0 + dt.timedelta(days=2), user=99, value=0.0)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, TESTDATA_SCHEMAS["events"])
+        df.coalesce(1).write.mode("overwrite").parquet(f"{p}/part{i}")
+    plan = timeout_sessions_per_user(
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(p + "/part*"),
+        gap="30 minutes",
+        watermark="2 hours",
+    )
+    out = replay_to_memory(spark, plan, output_mode="append")
+    ms = lambda d: int(d.timestamp() * 1000)  # noqa: E731
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"],
+         r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, ms(t0 - 55 * m), ms(t0 - 55 * m), 1, 2.0),  # own session
+        (1, ms(t0), ms(t0), 1, 1.0),
+        (3, ms(t0 - 20 * m), ms(t0), 2, 3.0),  # start extended backward
+    }
+
+
+def test_streaming_percentiles_all_null_key_emits_no_row(spark, tmp_path):
+    """A key whose values are all null must produce NO snapshot row (not
+    an n=0/NaN row) and no empty state; a sibling key with real values
+    still reports."""
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.stateful import (
+        streaming_percentiles_per_key,
+    )
+
+    p = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        _ev(1, t0, user=1, value=None, etype="nulls_only"),
+        _ev(2, t0, user=2, value=None, etype="nulls_only"),
+        _ev(3, t0, user=3, value=5.0, etype="real"),
+    ]
+    _write_events(spark, p, rows)
+    plan = streaming_percentiles_per_key(_stream(spark, p))
+    out = replay_to_memory(spark, plan, output_mode="append")
+    rows_out = out.collect()
+    assert {r["event_type"] for r in rows_out} == {"real"}
+    (r,) = [r for r in rows_out if r["event_type"] == "real"]
+    assert r["n"] == 1 and r["est_p50"] == 5.0
