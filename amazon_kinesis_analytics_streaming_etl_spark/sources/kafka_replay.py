@@ -45,7 +45,12 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from .kinesis_replay import _count_lines, _LineIndex, _read_lines
+from .kinesis_replay import (
+    _arbitrate_committed_range,
+    _count_lines,
+    _LineIndex,
+    _read_lines,
+)
 
 KAFKA_SCHEMA = StructType(
     [
@@ -234,27 +239,13 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
         for p, hi in end.items():
             lo = start.get(p, 0)  # new partition discovered: from earliest
             pi = int(p)
-            # Restart floor (ADVICE r6): on a fresh driver with
-            # maxOffsetsPerTrigger set, the first latestOffset() runs
-            # before any commit() re-seeds `_emitted`, so it can answer
-            # min(count, 0 + cap) < the committed start — a cap artifact,
-            # not data loss. Seed the floor from the committed start so
-            # the next poll advances from the offset log, and only raise
-            # when the log really shrank below the committed position.
-            if self._emitted.get(p, 0) < lo:
-                self._emitted[p] = lo
-            if hi < lo:
-                avail = self._index.count(files[pi]) if pi in files else 0
-                if avail >= lo:
-                    continue  # rate-limit artifact: treat as hi == lo
-                if self.fail_on_data_loss:
-                    raise RuntimeError(
-                        f"data loss: partition {pi} offsets went backwards "
-                        f"({lo} committed, {avail} available) — the log was "
-                        "truncated below a committed position. Set "
-                        "failOnDataLoss=false to resume lossily."
-                    )
-                continue  # lossy resume: skip the vanished range
+            hi_eff = _arbitrate_committed_range(
+                self._emitted, self._index, p, files.get(pi),
+                lo, hi, self.fail_on_data_loss, f"partition {pi}",
+            )
+            if hi_eff is None:
+                continue
+            hi = hi_eff
             if hi > lo and pi in files:
                 ranges.append((pi, lo, hi))
         if self.min_partitions is not None and 0 < len(ranges) < self.min_partitions:

@@ -197,6 +197,47 @@ class _LineIndex:
 _ARROW_BATCH_ROWS = 65_536
 
 
+def _arbitrate_committed_range(
+    emitted: dict,
+    index,
+    key: str,
+    file_path: str | None,
+    lo: int,
+    hi: int,
+    fail_on_data_loss: bool,
+    entity: str,
+) -> int | None:
+    """Shared restart-floor / data-loss arbitration for BOTH replay
+    twins (ADVICE r6; identical logic previously hand-copied in each
+    reader's partitions()). On a fresh driver with a per-trigger cap
+    set, the first latestOffset() runs before any commit() re-seeds the
+    rate-limit floor, so it can answer min(count, 0 + cap) < the
+    committed start — a cap artifact, not data loss. Seed the floor
+    from the committed start so the next poll advances from the offset
+    log; when hi < lo, distinguish the artifact (file still holds >= lo
+    records: read nothing this batch) from real truncation (file shrank
+    below lo: raise, or skip lossily under failOnDataLoss=false).
+
+    Returns the effective hi to read to, or None when nothing should be
+    read for this key this batch.
+    """
+    if emitted.get(key, 0) < lo:
+        emitted[key] = lo
+    if hi < lo:
+        avail = index.count(file_path) if file_path is not None else 0
+        if avail >= lo:
+            return None  # rate-limit artifact: treat as hi == lo
+        if fail_on_data_loss:
+            raise RuntimeError(
+                f"data loss: {entity} offsets went backwards "
+                f"({lo} committed, {avail} available) — the log was "
+                "truncated below a committed position. Set "
+                "failOnDataLoss=false to resume lossily."
+            )
+        return None  # lossy resume: skip the vanished range
+    return hi
+
+
 def _rows(stream: str, shard: str, payloads: list[bytes], first_seq: int):
     """Arrow RecordBatches for one shard slice. The per-row tuple path pays
     a Python->Arrow conversion per record (tuple build, string dup, None
@@ -305,29 +346,13 @@ class _ReplayStreamReader(DataSourceStreamReader):
         for shard, hi in end.items():
             lo = start.get(shard, 0)  # shard absent in start == newly
             # discovered (resharding): consume from its trim horizon
-            # Restart floor (ADVICE r6): a fresh driver's first
-            # latestOffset() runs before any commit() re-seeds the
-            # rate-limit floor, so with maxRecordsPerBatch set it can
-            # answer min(count, 0 + cap) < the committed start. That is a
-            # cap artifact, not data loss — the shard file still holds the
-            # committed range. Seed the floor from the committed start so
-            # the next poll advances from the offset log, and distinguish
-            # artifact (file still has >= lo records: emit nothing this
-            # batch) from real truncation (file shrank below lo: raise).
-            if self._emitted.get(shard, 0) < lo:
-                self._emitted[shard] = lo
-            if hi < lo:
-                avail = self._index.count(files[shard]) if shard in files else 0
-                if avail >= lo:
-                    continue  # rate-limit artifact: treat as hi == lo
-                if self.fail_on_data_loss:
-                    raise RuntimeError(
-                        f"data loss: shard {shard} offsets went backwards "
-                        f"({lo} committed, {avail} available) — the shard "
-                        "file was truncated below a committed position. Set "
-                        "failOnDataLoss=false to resume lossily."
-                    )
-                continue  # lossy resume: skip the vanished range
+            hi_eff = _arbitrate_committed_range(
+                self._emitted, self._index, shard, files.get(shard),
+                lo, hi, self.fail_on_data_loss, f"shard {shard}",
+            )
+            if hi_eff is None:
+                continue
+            hi = hi_eff
             if hi > lo and shard in files:
                 byte_pos, line_no = self._index.seek_hint(files[shard], lo)
                 out.append(
