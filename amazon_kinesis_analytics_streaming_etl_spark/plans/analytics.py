@@ -2608,3 +2608,208 @@ def stats_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * si / (n * s) - (n + 1.0) / n + 0.00000001, 6
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# forecast baseline evaluation (seasonal-naive + MASE)
+# --------------------------------------------------------------------------
+
+@register(
+    "ts_forecast_eval",
+    """
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS pt,
+             round(CAST(CAST(avg(value) AS REAL) AS DOUBLE), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, pt, v,
+             lag(v, 24) OVER (PARTITION BY event_type ORDER BY pt) AS snaive,
+             lag(v, 1) OVER (PARTITION BY event_type ORDER BY pt) AS naive1
+      FROM obs
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(CAST(CAST(avg(abs(v - snaive)) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS mae_snaive,
+           round(CAST(CAST(avg(abs(v - naive1)) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS mae_naive1,
+           round(CAST(CAST(avg(abs(v - snaive)) AS REAL) AS DOUBLE)
+                 / CAST(CAST(avg(abs(v - naive1)) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS mase
+    FROM w WHERE snaive IS NOT NULL AND naive1 IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline scorecard per event type: the seasonal-naive
+    predictor (this hour = same hour yesterday, lag 24) scored against
+    the naive-1 random walk via MASE (Hyndman & Koehler 2006, the
+    scale-free forecast-accuracy standard: MASE < 1 means the seasonal
+    baseline beats the naive benchmark — the go/no-go gate before any
+    fancier model earns its complexity).
+
+    Plan posture is the ts-family rule: hourly pre-aggregate FIRST, so
+    both lag windows and the scoring rollup run on types x hours
+    cardinality over ONE event_type shuffle. Rows too early to have
+    both references (the first day) are excluded from scoring in both
+    engines; MAEs go through the float32 squash + half-tie epsilon.
+    """
+    ev = load_events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
+    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("pt")
+    scored = obs.select(
+        "event_type",
+        "v",
+        F.lag("v", 24).over(w).alias("snaive"),
+        F.lag("v", 1).over(w).alias("naive1"),
+    ).where(F.col("snaive").isNotNull() & F.col("naive1").isNotNull())
+    mae_s = F.avg(F.abs(F.col("v") - F.col("snaive"))).cast("float").cast("double")
+    mae_1 = F.avg(F.abs(F.col("v") - F.col("naive1"))).cast("float").cast("double")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.round(mae_s + 0.00000001, 4).alias("mae_snaive"),
+            F.round(mae_1 + 0.00000001, 4).alias("mae_naive1"),
+            F.round(mae_s / mae_1 + 0.00000001, 4).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# behavioral path mining (order-2 sequences)
+# --------------------------------------------------------------------------
+
+@register(
+    "path_trigrams",
+    """
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE c IS NOT NULL
+    GROUP BY a, b, c
+    ORDER BY n DESC, a, b, c
+    LIMIT 20
+    """,
+)
+def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-event behavioral paths across all user journeys —
+    the order-2 sequence-mining companion to markov_event_transitions
+    (order-1): funnels that exist in the data rather than the ones the
+    analyst guessed (pattern_match_funnel tests hypotheses; this mines
+    them).
+
+    Plan: ONE hash shuffle on user_id carries both lead() offsets (same
+    window spec), then a map-side-combined count over at most |types|^3
+    groups and a TakeOrdered top-k. Nothing downstream of the window
+    scales with the event count.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).where(F.col("c").isNotNull())
+    return (
+        seq.groupBy("a", "b", "c")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b", "c")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# ABC (Pareto) classification
+# --------------------------------------------------------------------------
+
+_ABC_CUT_A = 0.8
+_ABC_CUT_B = 0.95
+
+
+@register(
+    "abc_classification",
+    f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cents) OVER () AS total
+      FROM rev
+    )
+    SELECT CASE WHEN cum <= {_ABC_CUT_A} * total THEN 'A'
+                WHEN cum <= {_ABC_CUT_B} * total THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(cents) / 100.0 + 0.00000001, 0) AS class_revenue
+    FROM ranked GROUP BY 1 ORDER BY abc_class
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis of part revenue: rank parts by revenue
+    descending, classify by cumulative revenue share (A = the head
+    parts covering the first 80%, B = to 95%, C = the long tail) — the
+    inventory-management classic, and on a data platform the "which 5%
+    of sources are 80% of my tokens" report next to stats_gini_spend
+    (Gini scores the inequality; ABC names the members).
+
+    Scale shape: per-part revenue is one hash aggregate, carried as
+    EXACT integer cents — cumulative sum, grand total, and the
+    boundary comparison (cum <= cutoff * total) are then all exact
+    integer/one-multiplication arithmetic, so a part sitting ulps from
+    a cutoff can never classify differently across engines (a float
+    grand total is order-dependent; an integer one is not). The
+    descending cumulative sum is the distributed global_cumsum over
+    the negated-cents order — one range shuffle, never a
+    single-partition ORDER BY; the grand total is a 1-row whitelisted
+    scalar crossJoin and the class rollup is 3 rows.
+    """
+    from ..operators.scale import global_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100,
+            0,
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = global_cumsum(
+        rev.withColumn("_negcents", -F.col("cents")),
+        ["_negcents", "l_partkey"],
+        "cents",
+        cumsum_col="cum",
+    )
+    total = rev.agg(F.sum("cents").alias("total"))
+    cls = (
+        F.when(F.col("cum") <= _ABC_CUT_A * F.col("total"), F.lit("A"))
+        .when(F.col("cum") <= _ABC_CUT_B * F.col("total"), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(F.sum("cents") / 100.0 + 0.00000001, 0).alias(
+                "class_revenue"
+            ),
+        )
+        .orderBy("abc_class")
+    )

@@ -47,6 +47,9 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # lowest-risk tier to defer).
 _STALE_R7 = [
     # code changed in round 7 — re-prove the fixes
+    "ts_forecast_eval",  # new: seasonal-naive vs naive-1 MASE scorecard
+    "path_trigrams",  # new: order-2 behavioral sequence mining
+    "abc_classification",  # new: Pareto ABC classes in exact cents
     "stats_gini_spend",  # new: Gini concentration via global_rank identity
     "graph_sssp_weighted",  # new: Bellman-Ford weighted shortest paths
     "eval_calibration_bins",  # new: reliability-diagram bins

@@ -407,3 +407,72 @@ def test_gini_matches_pure_python_identity_and_bounds(spark):
     assert row.n_customers == n
     assert abs(row.gini - want) <= 1e-6
     assert 0.0 <= row.gini < 1.0
+
+
+def test_forecast_eval_mase_is_the_mae_ratio_and_naive1_selfcheck(spark):
+    """MASE must equal mae_snaive/mae_naive1 (to the rounding contract),
+    and a pandas recompute of the naive-1 MAE from the hourly series
+    must agree — pinning the lag alignment."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in QUERIES["ts_forecast_eval"](spark, SF_SMOKE).collect()}
+    hourly = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("pt"))
+        .agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+        .toPandas()
+        .sort_values(["event_type", "pt"])
+    )
+    for t, r in rows.items():
+        # mase is computed from the UNROUNDED MAEs, so compare loosely
+        # against the ratio of the rounded ones
+        assert abs(r.mase - r.mae_snaive / r.mae_naive1) < 2e-3
+        g = hourly[hourly.event_type == t].reset_index(drop=True)
+        v = g.v.to_numpy()
+        # score only rows with BOTH references, same as the query
+        sn = np.abs(v[24:] - v[:-24])
+        n1 = np.abs(v[24:] - v[23:-1])
+        assert r.n_scored == len(v) - 24
+        assert abs(r.mae_naive1 - round(float(np.float32(n1.mean())) + 1e-8, 4)) < 1e-3
+        assert abs(r.mae_snaive - round(float(np.float32(sn.mean())) + 1e-8, 4)) < 1e-3
+
+
+def test_path_trigrams_counts_match_pandas_recompute(spark):
+    """Full recompute: per-user ordered trigram counts in pandas, same
+    top-20 with the same tie-breaks."""
+    import collections
+
+    rows = QUERIES["path_trigrams"](spark, SF_SMOKE).collect()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_type", "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    c = collections.Counter()
+    for _, g in ev.groupby("user_id"):
+        t = g.event_type.tolist()
+        c.update(zip(t, t[1:], t[2:]))
+    want = sorted(((-n, a, b, cc) for (a, b, cc), n in c.items()))[:20]
+    got = [(-r.n, r.a, r.b, r.c) for r in rows]
+    assert got == want
+
+
+def test_abc_classes_partition_parts_and_respect_cutoffs(spark):
+    """A/B/C partition the part set; cumulative shares respect the
+    80/95 cutoffs (A's share <= 0.8 < A+B's... within one part's
+    revenue granularity); revenue is conserved."""
+    rows = {r.abc_class: r for r in QUERIES["abc_classification"](spark, SF_SMOKE).collect()}
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    total = sum(r.class_revenue for r in rows.values())
+    a = rows["A"].class_revenue / total
+    ab = (rows["A"].class_revenue + rows["B"].class_revenue) / total
+    # the class containing the cutoff crossing extends past it by at
+    # most one part, so shares bracket the cutoffs from below
+    assert a <= 0.8 + 0.05 and ab <= 0.95 + 0.05
+    assert a > 0.5  # the head really is a head

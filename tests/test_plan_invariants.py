@@ -27,6 +27,8 @@ SCALAR_THRESHOLD_QUERIES = {
     "histogram_equidepth",
     "eval_calibration_bins",
     "stats_chi2_independence",
+    # ABC: 1-row exact-cents grand-total broadcast into the class rollup.
+    "abc_classification",
     "skew_key_profile",
     "drift_psi",
     "resample_interpolate",
