@@ -100,6 +100,25 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     )
 
 
+def _intersection_counts(sh, pair_pred, group_cols) -> DataFrame:
+    """Shared inverted-index intersection scaffold for the set-overlap
+    pair operators (Jaccard and containment): explode the materialized
+    shingle-hash arrays into (doc, size, hash) postings, self-join on
+    the hash under ``pair_pred`` (the pair-identity condition plus the
+    operator's semantics-preserving size prune — the ONLY parts that
+    legitimately differ), and count co-occurrences per projected pair.
+    ``group_cols`` maps output names to a/b-side columns. Cost is driven
+    by shingle co-occurrence, never |docs|^2; shuffles are keyed by the
+    shingle hash then the pair key."""
+    inv = sh.select("_id", "_n", F.explode("_h").alias("_shash"))
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(b, (F.col("a._shash") == F.col("b._shash")) & pair_pred)
+        .groupBy(*[c.alias(n) for n, c in group_cols.items()])
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -123,31 +142,21 @@ def ngram_jaccard_pairs(
     until session end (only for composing with a shared shingle table).
     """
     sh = _shingled(df, text_col, id_col, k)
-    # Inverted index over the materialized hash arrays: explode is O(1)
-    # per output row (see module materialization note).
-    inv = sh.select("_id", "_n", F.explode("_h").alias("_shash"))
-
-    a, b = inv.alias("a"), inv.alias("b")
     # Length-ratio prune (semantics-preserving): jaccard <= min/max, so
     # pairs with max*threshold > min can never pass the filter.
     ratio_ok = (
         F.greatest(F.col("a._n"), F.col("b._n")) * F.lit(threshold)
         <= F.least(F.col("a._n"), F.col("b._n")).cast("double")
     )
-    inter = (
-        a.join(
-            b,
-            (F.col("a._shash") == F.col("b._shash"))
-            & (F.col("a._id") < F.col("b._id"))
-            & ratio_ok,
-        )
-        .groupBy(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._n").alias("na"),
-            F.col("b._n").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+    inter = _intersection_counts(
+        sh,
+        (F.col("a._id") < F.col("b._id")) & ratio_ok,
+        {
+            "id_a": F.col("a._id"),
+            "id_b": F.col("b._id"),
+            "na": F.col("a._n"),
+            "nb": F.col("b._n"),
+        },
     )
     jac = inter.withColumn(
         "jaccard",
@@ -193,24 +202,17 @@ def containment_pairs(
     covered by id_dst's at >= threshold, rounded to 6.
     """
     sh = _shingled(df, text_col, id_col, k)
-    inv = sh.select("_id", "_n", F.explode("_h").alias("_shash"))
-    a, b = inv.alias("a"), inv.alias("b")
     ratio_ok = (
         F.col("b._n").cast("double") >= F.col("a._n") * F.lit(threshold)
     )
-    inter = (
-        a.join(
-            b,
-            (F.col("a._shash") == F.col("b._shash"))
-            & (F.col("a._id") != F.col("b._id"))
-            & ratio_ok,
-        )
-        .groupBy(
-            F.col("a._id").alias("id_src"),
-            F.col("b._id").alias("id_dst"),
-            F.col("a._n").alias("na"),
-        )
-        .agg(F.count("*").alias("inter"))
+    inter = _intersection_counts(
+        sh,
+        (F.col("a._id") != F.col("b._id")) & ratio_ok,
+        {
+            "id_src": F.col("a._id"),
+            "id_dst": F.col("b._id"),
+            "na": F.col("a._n"),
+        },
     )
     cont = inter.withColumn(
         "containment",
@@ -549,9 +551,14 @@ def duplicated_span_stats(
     ``eager`` (default) materializes the per-doc result and releases the
     cached span table (the storage contract of the pair operators).
     Unlike those, this result is one row per DOCUMENT, not a filtered
-    pair set — at full corpus scale pass ``eager=False`` and write the
-    result straight to storage instead of checkpointing it, then
-    unpersist via the returned plan's ``_cached`` attribute.
+    pair set — at full corpus scale pass ``eager=False``, write the
+    returned plan straight to storage instead of checkpointing it, and
+    then unpersist the second element of the returned tuple (an ad-hoc
+    attribute on the DataFrame would be silently lost by the caller's
+    first transformation).
+
+    Returns the stats DataFrame when ``eager``; ``(stats, cached_docs)``
+    when ``eager=False`` — the caller owns ``cached_docs.unpersist()``.
     """
     from ..functions.text import span_hashes, token_count
 
@@ -597,8 +604,7 @@ def duplicated_span_stats(
         )
     )
     if not eager:
-        out._cached = docs  # caller releases after its own materialization
-        return out
+        return out, docs  # caller unpersists docs after materializing out
     return _checkpoint_released(out, [docs])
 
 

@@ -197,7 +197,10 @@ def bfs_hops(
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Per-node triangle counts; returns (node, triangles).
+    """Per-node triangle counts; returns (node, triangles) for nodes in
+    AT LEAST ONE triangle — triangle-free nodes are omitted, not
+    reported as 0 (left-join the node set and coalesce to 0 for the
+    GraphX-style dense contract, e.g. clustering coefficients).
 
     Degree-ordered orientation (the standard distributed formulation —
     Suri & Vassilvitskii 2011 "Counting Triangles and the Curse of the

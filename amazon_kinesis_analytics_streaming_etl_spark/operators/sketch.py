@@ -238,8 +238,16 @@ def tdigest_partials(
                     continue
                 m, w = _td_compress(vals, [1.0] * len(vals), delta)
                 key = key if isinstance(key, tuple) else (key,)
+                # NULL group values stay SQL NULL — str() would coerce
+                # them to the literal 'None'/'nan' and merge with any
+                # genuine 'None' string group
                 rows.append(
-                    tuple(str(kk) for kk in key)
+                    tuple(
+                        None
+                        if kk is None or (isinstance(kk, float) and kk != kk)
+                        else str(kk)
+                        for kk in key
+                    )
                     + (list(m), list(w), int(len(vals)))
                 )
             if rows:
@@ -260,8 +268,17 @@ def tdigest_rollup(
     partial's grouping — the rollup) and estimate ``quantiles``. One
     shuffle keyed by the output group; each task touches only centroid
     arrays (O(delta) per input digest), never raw values. Output:
-    (group..., n, est_q50-style columns ``est_p<percent>``)."""
-    est_cols = [f"est_p{int(round(q * 100)):02d}" for q in quantiles]
+    (group..., n, est_q50-style columns ``est_p<percent>``, fractional
+    percents with ``_`` for the point: q=0.999 -> ``est_p99_9``)."""
+    est_cols = [
+        f"est_p{round(q * 100, 6):g}".replace(".", "_") for q in quantiles
+    ]
+    if len(set(est_cols)) != len(est_cols):
+        # int(round(q*100)) used to collapse e.g. 0.999 and 1.0 into one
+        # duplicate est_p100 column — the tail quantiles a t-digest
+        # exists to serve; labels are now exact, so a collision means
+        # the caller passed a genuine duplicate
+        raise ValueError(f"duplicate quantiles produce duplicate columns: {est_cols}")
     schema = ", ".join(
         [f"`{c}` string" for c in group_cols]
         + ["n bigint"]
