@@ -24,6 +24,21 @@ from ..schemas import load_events
 from .relational import _t, register
 
 
+#: The ts-family float contract, ONE definition for all nine members
+#: (gapfill, resample, ewma, rolling-median, autocorr, cusum, seasonal,
+#: MAD-anomaly, forecast-eval): hourly mean squashed through float32 so
+#: both engines' summation orders collapse to the same value, then
+#: rounded to 4dp. The SQL twin below must stay the literal mirror —
+#: editing one without the other reintroduces the sf0.1 gapfill-class
+#: boundary mismatch this constant exists to prevent.
+_F32_HOURLY_AVG_SQL = "round(CAST(CAST(avg(value) AS REAL) AS DOUBLE), 4)"
+
+
+def _f32_avg4(col: str = "value"):
+    """Engine twin of ``_F32_HOURLY_AVG_SQL``."""
+    return F.round(F.avg(col).cast("float").cast("double"), 4)
+
+
 # --------------------------------------------------------------------------
 # funnel conversion (ordered view -> click -> purchase)
 # --------------------------------------------------------------------------
@@ -234,7 +249,7 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+        .agg(_f32_avg4().alias("v"))
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -702,7 +717,7 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
-    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+    ).agg(_f32_avg4().alias("v"))
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -925,7 +940,7 @@ def ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
-    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+    ).agg(_f32_avg4().alias("v"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("pt")
@@ -1087,7 +1102,7 @@ def rolling_median_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
-    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+    ).agg(_f32_avg4().alias("v"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("pt")
@@ -1191,7 +1206,7 @@ def _pr_oracle() -> str:
     pr0 AS (SELECT node, 1.0 AS pr FROM nodes),
     {its}
     SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey,
-           ROUND(pr, 4) AS pagerank
+           ROUND(pr + 0.00000001, 4) AS pagerank
     FROM pr{_PR_ITERS}
     WHERE node % 2 = 1
     ORDER BY pagerank DESC, s_suppkey
@@ -1222,7 +1237,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.where(F.col("node") % 2 == 1)
         .select(
             ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
-            F.round("pagerank", 4).alias("pagerank"),
+            # half-tie epsilon: each superstep's message sum is
+            # summation-order-dependent across engines, so guard the
+            # 4dp rounding like the hourly-avg family does
+            F.round(F.col("pagerank") + 0.00000001, 4).alias("pagerank"),
         )
         .orderBy(F.col("pagerank").desc(), "s_suppkey")
         .limit(20)
@@ -1230,6 +1248,37 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COPURCHASE_MAX_DEGREE = 100  # stop-customer prune: degree cap on the fan-out side
+
+
+def _copurchase_weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-purchase pair weights (shared-customer counts) with
+    the stop-customer degree prune — the single definition behind
+    graph_copurchase_topk and graph_triangle_count's similarity graph
+    (both docstrings promise the cap is 'applied identically'; one body
+    keeps that true, mirrored by the pairs/kept CTEs both oracles
+    inline). Returns (supp_a, supp_b, w) with supp_a < supp_b."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    keep = (
+        pairs.groupBy("c")
+        .agg(F.count("*").alias("_d"))
+        .where(F.col("_d") <= _COPURCHASE_MAX_DEGREE)
+        .select("c")
+    )
+    kept = pairs.join(F.broadcast(keep), "c")
+    a = kept.select("c", F.col("s").alias("supp_a"))
+    b = kept.select("c", F.col("s").alias("supp_b"))
+    return (
+        a.join(b, ["c"])
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").alias("w"))
+    )
 
 
 @register(
@@ -1269,27 +1318,13 @@ def graph_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable keep-list aggregate -> one shuffle self-join on the
     customer key -> pair count. No iteration; the graph family's
     one-shot member next to the iterative pagerank."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    keep = (
-        pairs.groupBy("c")
-        .agg(F.count("*").alias("_d"))
-        .where(F.col("_d") <= _COPURCHASE_MAX_DEGREE)
-        .select("c")
-    )
-    kept = pairs.join(F.broadcast(keep), "c")
-    a = kept.select("c", F.col("s").alias("supp_a"))
-    b = kept.select("c", F.col("s").alias("supp_b"))
     return (
-        a.join(b, ["c"])
-        .where(F.col("supp_a") < F.col("supp_b"))
-        .groupBy("supp_a", "supp_b")
-        .agg(F.count("*").cast("long").alias("shared_customers"))
+        _copurchase_weighted_pairs(spark, sf_dir)
+        .select(
+            "supp_a",
+            "supp_b",
+            F.col("w").cast("long").alias("shared_customers"),
+        )
         .orderBy(F.col("shared_customers").desc(), "supp_a", "supp_b")
         .limit(20)
     )
@@ -1369,33 +1404,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparator, so the triangle enumeration itself is value-checked."""
     from ..operators.graph import triangle_count
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    keep = (
-        pairs.groupBy("c")
-        .agg(F.count("*").alias("_d"))
-        .where(F.col("_d") <= _COPURCHASE_MAX_DEGREE)
-        .select("c")
-    )
-    kept = pairs.join(F.broadcast(keep), "c")
-    a = kept.select("c", F.col("s").alias("sa"))
-    b = kept.select("c", F.col("s").alias("sb"))
     edges = (
-        a.join(b, ["c"])
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count("*").alias("w"))
-        .orderBy(F.col("w").desc(), "sa", "sb")
+        _copurchase_weighted_pairs(spark, sf_dir)
+        .orderBy(F.col("w").desc(), "supp_a", "supp_b")
         .limit(_TRIANGLE_TOPK_EDGES)
         .drop("w")
     )
     return (
-        triangle_count(edges, "sa", "sb")
+        triangle_count(edges, "supp_a", "supp_b")
         .select(F.col("node").alias("s_suppkey"), "triangles")
         .orderBy(F.col("triangles").desc(), "s_suppkey")
         .limit(15)
@@ -1407,7 +1423,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT event_type, date_trunc('hour', ts) AS ph,
-             ROUND(CAST(CAST(AVG(value) AS REAL) AS DOUBLE), 4) AS v
+             round(CAST(CAST(avg(value) AS REAL) AS DOUBLE), 4) AS v
       FROM events GROUP BY event_type, date_trunc('hour', ts)
     ),
     l AS (
@@ -1439,7 +1455,7 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("ph")
     ).agg(
-        F.round(F.avg("value").cast("float").cast("double"), 4).alias("v")
+        _f32_avg4().alias("v")
     )
     w1 = Window.partitionBy("event_type").orderBy("ph")
     l = h.select(
@@ -1464,7 +1480,7 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT event_type, date_trunc('hour', ts) AS ph,
-             ROUND(CAST(CAST(AVG(value) AS REAL) AS DOUBLE), 4) AS v
+             round(CAST(CAST(avg(value) AS REAL) AS DOUBLE), 4) AS v
       FROM events GROUP BY event_type, date_trunc('hour', ts)
     ),
     m AS (
@@ -1505,7 +1521,7 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("ph")
     ).agg(
-        F.round(F.avg("value").cast("float").cast("double"), 4).alias("v")
+        _f32_avg4().alias("v")
     )
     wall = Window.partitionBy("event_type")
     word = (
@@ -1834,7 +1850,7 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
-    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+    ).agg(_f32_avg4().alias("v"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("pt")
@@ -2054,7 +2070,7 @@ def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
-    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+    ).agg(_f32_avg4().alias("v"))
     med = obs.groupBy("event_type").agg(F.median("v").alias("m"))
     dev = obs.join(F.broadcast(med), "event_type")
     mad = dev.groupBy("event_type").agg(
@@ -2658,7 +2674,7 @@ def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
-    ).agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+    ).agg(_f32_avg4().alias("v"))
     w = Window.partitionBy("event_type").orderBy("pt")
     scored = obs.select(
         "event_type",

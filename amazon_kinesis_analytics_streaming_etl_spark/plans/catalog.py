@@ -29,71 +29,22 @@ from .relational import ORACLES, QUERIES
 # Tier 0: always-on canary — cheap, high-signal TPC-H shapes.
 _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 
-# Tier 1 rotates by signal AGE each round. Round-6 window (CORRECTNESS_r06,
-# 50 entries) covered the canary + the 11 round-6 additions + the 36
-# round-1-stale names, leaving the 33 round-3 signals as the oldest.
-# Round 7 priority (highest first): (a) the 31 queries NEW this round —
-# they have no driver signal at all, which outranks any staleness;
-# (b) every existing query whose CODE changed this round — the
-# parse-transiting ETL family (P1 quoted-numeric coercion rework + the
-# single-tokenization plan fix), the murmur2-vectorized Kafka roundtrip,
-# the six sf0.1-sweep fixes (hourly-avg float32 squash, theta
-# union-relative gate, -0.0 normalization), and the late plan/perf fixes
-# (variant single-parse, O(bits) Z-order bucketing, numpy exact-cosine
-# twin); (c) the oldest (round-3) signals in age order. Round 7 added 31
-# queries, so tier (c) — the TPC-H q3..sim_topk_bruteforce block — falls
-# past the ~50 budget this round; every name in it stays listed here so
-# it leads the r8 window (all are r3-green on unchanged code, the
-# lowest-risk tier to defer).
+# Tier 1 rotates by signal AGE each round, with one override: queries
+# whose CODE changed this round outrank everything — a stale green on
+# old code is safer than no green on new code. Order inside _STALE_R7:
+# (A) code changed in round 7 (including the late-round review fixes),
+# (B) queries NEW in round 7 (no driver signal; all have committed local
+# oracle greens at sf0.01 and sf0.1), (C) earlier-round-7 additions
+# unchanged since their local greens, (D) the oldest (round-3) driver
+# signals. The driver window is ~50 queries: canary + tier A + most of
+# tier B fit; the spill (late tier B, C, D) is deliberately the
+# lowest-risk slice and leads the round-8 window.
 _STALE_R7 = [
-    # code changed in round 7 — re-prove the fixes
-    "ts_forecast_eval",  # new: seasonal-naive vs naive-1 MASE scorecard
-    "path_trigrams",  # new: order-2 behavioral sequence mining
-    "abc_classification",  # new: Pareto ABC classes in exact cents
-    "stats_gini_spend",  # new: Gini concentration via global_rank identity
-    "graph_sssp_weighted",  # new: Bellman-Ford weighted shortest paths
-    "eval_calibration_bins",  # new: reliability-diagram bins
-    "stats_chi2_independence",  # new: type x hour-of-day chi-square
-    "funnel_time_to_convert",  # new: signup->purchase latency percentiles
-    "histogram_equidepth",  # new: global-rank equal-height histogram
-    "scd2_state_runs",  # new: SCD2 run-length state intervals
-    "graph_kcore_trade",  # new: fixed-round k-core peeling
-    "eval_auc_roc",  # new: distributed midrank Mann-Whitney AUC
-    "graph_shortest_hops",  # new: multi-source BFS hop distances
-    "markov_event_transitions",  # new: first-order transition matrix
-    "anomaly_mad_robust",  # new: median/MAD robust z-score anomalies
-    "text_pmi_collocations",  # new: PMI phrase mining
-    "skyline_pareto",  # new: sort-filter 2-D skyline via global_cummax
-    "attribution_last_touch",  # new: last-touch channel attribution
-    "ts_seasonal_profile",  # new: additive seasonal decomposition profile
-    "curation_cap_per_key",  # new: per-source document cap
-    "text_char_entropy",  # new: char-entropy quality gate (pandas UDF)
-    "mixture_temperature_weights",  # new: p^alpha mixture budgets
-    "graph_triangle_count",  # new: degree-ordered oriented triangle counting
-    "graph_label_propagation",  # new: deterministic synchronous LPA communities
-    "dedup_containment",  # new: asymmetric shingle containment (doc-inside-doc)
-    "ts_autocorr",  # new: lag-1/lag-24 autocorrelation diagnostic
-    "ts_changepoint_cusum",  # new: CUSUM mean-shift changepoint
-    "ts_trend_ols",  # new: regr_slope/intercept/r2 OLS trend
-    "graph_pagerank",  # new: iterative PageRank (Pregel-on-DataFrames)
-    "graph_copurchase_topk",  # new: co-occurrence pairs, stop-customer prune
-    "stream_timeout_sessions",  # new: event-time-timer custom sessionizer
-    "io_schema_evolution",  # new: mergeSchema add-a-column migration read
-    "join_bloom_prefilter",  # new: bloom prefilter before the join shuffle
-    "dedup_clusters_scale",  # new: alternating-star CC scale path
-    "dedup_span_coverage",  # new: exact-substring dup metric (Lee 2021)
-    "sketch_tdigest_rollup",  # new: mergeable quantile tier
-    "sim_topk_ivfpq",  # new: IVF-PQ composite ANN
-    "stream_tdigest_percentiles",  # new: streaming quantile monitor
-    "text_winnow_fingerprints",  # new: MOSS winnowing overlap audit
-    "dedup_clusters",
-    "dedup_embedding",
-    "sim_topk_pairs_per_label",
-    "ann_quality_eval",
-    "json_variant_typed",
-    "layout_zorder_stats",
-    "dedup_embedding_lsh",
-    "dedup_embedding_multitable",
+    # ---- tier A: code CHANGED this round — the window must re-prove the
+    # fixes (late-round review fixes included: parse column replacement,
+    # sessionizer straggler merge, t-digest lerp/labels, _pair_recall
+    # subset margin, graph helper refactors, ts-family contract
+    # normalization, bloom-gate checkpointing, replay-floor sharing).
     "parse_dead_letter",
     "serialize_projection_contract",
     "pipeline_fanout_replay",
@@ -102,13 +53,71 @@ _STALE_R7 = [
     "es_upsert_idempotent",
     "file_sink_partition_layout",
     "file_sink_json_rows",
+    "stream_timeout_sessions",
+    "stream_tdigest_percentiles",
+    "sketch_tdigest_rollup",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_span_coverage",
+    "dedup_embedding_lsh",
+    "dedup_embedding_multitable",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ts_autocorr",
+    "ts_changepoint_cusum",
+    "graph_pagerank",
+    "graph_copurchase_topk",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "graph_shortest_hops",
+    "graph_kcore_trade",
+    "graph_sssp_weighted",
+    "join_bloom_prefilter",
+    "text_char_entropy",
+    # the six round-7 sf0.1-sweep float fixes (previously listed past the
+    # window budget — the r7-review finding)
     "gapfill_hourly",
     "resample_interpolate",
     "ewma_hourly",
     "rolling_median_hourly",
     "embedding_dim_stats",
     "sketch_theta_audience",
-    # oldest driver signal (round 3) — the complete set
+    # ---- tier B: NEW this round with no driver signal yet (all have
+    # committed local oracle greens at sf0.01 AND sf0.1); the tail past
+    # the ~50 budget leads the r8 window.
+    "skyline_pareto",
+    "attribution_last_touch",
+    "ts_seasonal_profile",
+    "curation_cap_per_key",
+    "mixture_temperature_weights",
+    "markov_event_transitions",
+    "anomaly_mad_robust",
+    "text_pmi_collocations",
+    "eval_auc_roc",
+    "histogram_equidepth",
+    "scd2_state_runs",
+    "eval_calibration_bins",
+    "stats_chi2_independence",
+    "funnel_time_to_convert",
+    "stats_gini_spend",
+    "ts_forecast_eval",
+    "path_trigrams",
+    "abc_classification",
+    # ---- tier C: earlier-round-7 additions already green in the local
+    # sweeps, unchanged since.
+    "dedup_clusters_scale",
+    "sim_topk_ivfpq",
+    "text_winnow_fingerprints",
+    "io_schema_evolution",
+    "ts_trend_ols",
+    "dedup_clusters",
+    "dedup_embedding",
+    "sim_topk_pairs_per_label",
+    "ann_quality_eval",
+    "json_variant_typed",
+    "layout_zorder_stats",
+    # ---- tier D: oldest driver signal (round 3) — unchanged code,
+    # lowest-risk deferral; leads the r8 window with tier B's tail.
     "q3_shipping_priority",
     "q8_market_share",
     "q10_returned_items",
@@ -137,7 +146,6 @@ _STALE_R7 = [
     "bm25_retrieval",
     "udtf_chunk_documents",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_levenshtein",
     "sim_topk_bruteforce",
 ]

@@ -323,16 +323,27 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scale import bloom_build, bloom_prefilter
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    keys = o.where(
-        (F.col("o_orderpriority") == "1-URGENT")
-        & (F.year("o_orderdate") == 1994)
-    ).select("o_orderkey")
+    # localCheckpoint both diamond-reused intermediates (the
+    # triangle_count rule): keys feeds four consumers (count,
+    # bloom_build, both joins) and the Arrow-UDF bloom probe is the
+    # gate's most expensive stage — without truncation each consumer
+    # re-scans and re-hashes its whole upstream
+    keys = (
+        o.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1994)
+        )
+        .select("o_orderkey")
+        .localCheckpoint(eager=False)
+    )
     n = keys.count()
     num_bits = max(1024, ((10 * n + 63) // 64) * 64)
     bitmap = bloom_build(keys, "o_orderkey", num_bits)
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pre = bloom_prefilter(li, "l_orderkey", bitmap, num_bits)
+    pre = bloom_prefilter(li, "l_orderkey", bitmap, num_bits).localCheckpoint(
+        eager=False
+    )
     res = pre.join(keys, pre["l_orderkey"] == keys["o_orderkey"]).agg(
         F.count("*").cast("long").alias("n_items"),
         F.round(

@@ -386,7 +386,7 @@ def dedup_clusters_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                                            AS n_docs,
            CAST(sum(n_tok) AS BIGINT)                          AS total_tokens,
            CAST(sum(covered) AS BIGINT)                        AS dup_covered_tokens,
-           round(avg(frac), 4)                                 AS avg_dup_frac,
+           round(avg(frac) + 0.00000001, 4)                    AS avg_dup_frac,
            CAST(sum(CASE WHEN frac >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
                                                                AS n_heavy_dup
     FROM per_doc GROUP BY source
@@ -411,7 +411,7 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("covered_tokens").alias("dup_covered_tokens"),
-        F.round(F.avg("dup_span_frac"), 4).alias("avg_dup_frac"),
+        F.round(F.avg("dup_span_frac") + 0.00000001, 4).alias("avg_dup_frac"),
         F.sum(F.when(F.col("dup_span_frac") >= 0.2, 1).otherwise(0))
         .cast("long")
         .alias("n_heavy_dup"),
@@ -445,14 +445,24 @@ _EXACT_JACCARD_PAIRS_CTE = """
 
 
 def _pair_recall_summary(
-    found: DataFrame, exact: DataFrame, recall_min: float, subset_alias: str | None
+    found: DataFrame,
+    exact: DataFrame,
+    recall_min: float,
+    subset_alias: str | None,
+    subset_against: DataFrame | None = None,
 ) -> DataFrame:
     """One-row gate: |exact| (oracle-computable), recall(found vs exact)
     >= recall_min, and optionally found subset-of exact — the
     approx-vs-exact-twin pattern proven on agg_approx_distinct
     (relational.py): every approx-derived value leaves the result as a
-    threshold boolean so both engines hash the same deterministic row."""
+    threshold boolean so both engines hash the same deterministic row.
+    ``subset_against`` substitutes a (typically threshold-margined)
+    reference set for the subset check only, when the found side and the
+    exact side round their scores through different float paths."""
     found = found.select("id_a", "id_b")
+    subset_ref = (exact if subset_against is None else subset_against).select(
+        "id_a", "id_b"
+    )
     exact = exact.select("id_a", "id_b")
     flagged = exact.join(
         found.withColumn("_f", F.lit(1)), ["id_a", "id_b"], "left"
@@ -471,7 +481,7 @@ def _pair_recall_summary(
     if subset_alias is None:
         return summary
     extra = (
-        found.join(exact.withColumn("_e", F.lit(1)), ["id_a", "id_b"], "left")
+        found.join(subset_ref.withColumn("_e", F.lit(1)), ["id_a", "id_b"], "left")
         .where(F.col("_e").isNull())
         .agg((F.count("*") == F.lit(0)).alias(subset_alias))
     )
@@ -686,7 +696,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_bucket", sign_bits(F.col("embedding"), LSH_PLANES)
     )
     found = embedding_near_dup_pairs(emb, block_col="_bucket", threshold=0.3)
-    exact = _exact_cos_pairs(spark, sf_dir, threshold=0.3)
+    # one margined twin: the >=0.3 slice is the DuckDB-comparable count;
+    # the full margined set guards the SUBSET check against the one
+    # rounding quantum by which the numpy floor-emulation and Spark's
+    # fold+HALF_UP can disagree at the six-decimal boundary
+    exact_m = _exact_cos_pairs(spark, sf_dir, threshold=0.3 - 1e-6)
+    exact = exact_m.where(F.col("cos_sim") >= 0.3)
     mod = _gate_sample_mod()
     found_vs_exact = found
     if mod > 1:  # the twin is quadratic — the knob that matters most here
@@ -694,7 +709,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             _md5_sampled(F.col("vec_id"), mod)
         ).select("vec_id")
         found_vs_exact = _restrict_pairs(found, sampled, "vec_id")
-    summary = _pair_recall_summary(found_vs_exact, exact, 0.0, "found_subset_of_exact")
+    summary = _pair_recall_summary(
+        found_vs_exact, exact, 0.0, "found_subset_of_exact",
+        subset_against=exact_m,
+    )
     found_any = found.agg((F.count("*") > F.lit(0)).alias("found_any"))
     return summary.select("exact_pairs", "found_subset_of_exact").crossJoin(found_any)
 
@@ -798,14 +816,16 @@ def dedup_embedding_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="_bucket",
         threshold=0.3,
     )
-    exact = _exact_cos_pairs(spark, sf_dir, threshold=0.3)
+    exact_m = _exact_cos_pairs(spark, sf_dir, threshold=0.3 - 1e-6)
+    exact = exact_m.where(F.col("cos_sim") >= 0.3)
     mod = _gate_sample_mod()
     found_vs_exact = found_multi
     if mod > 1:
         sampled = emb.where(_md5_sampled(F.col("vec_id"), mod)).select("vec_id")
         found_vs_exact = _restrict_pairs(found_multi, sampled, "vec_id")
     summary = _pair_recall_summary(
-        found_vs_exact, exact, 0.0, "multi_subset_of_exact"
+        found_vs_exact, exact, 0.0, "multi_subset_of_exact",
+        subset_against=exact_m,
     )
     covers = (
         single.select("id_a", "id_b")

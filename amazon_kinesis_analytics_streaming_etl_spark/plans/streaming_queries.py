@@ -560,13 +560,16 @@ def stream_tdigest_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_timeout_sessions",
     f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
       FROM events
     ), sess AS (
       SELECT user_id, ts, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             -- event_id tie-break: same-ts peers must order the same way
+             -- the new_sess lag did, or a boundary row's peer could land
+             -- in the previous session (sessionize_events precedent)
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       FROM ordered
     ), agg AS (

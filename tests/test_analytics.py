@@ -476,3 +476,22 @@ def test_abc_classes_partition_parts_and_respect_cutoffs(spark):
     # most one part, so shares bracket the cutoffs from below
     assert a <= 0.8 + 0.05 and ab <= 0.95 + 0.05
     assert a > 0.5  # the head really is a head
+
+
+def test_ts_family_shares_one_float_contract():
+    """Every ts-family member's oracle must contain the literal SQL twin
+    of _f32_avg4 — the single float32-squash definition. A member whose
+    oracle drifts from the constant reintroduces the sf0.1 gapfill-class
+    half-boundary mismatch one query at a time."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.analytics import (
+        _F32_HOURLY_AVG_SQL,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import ORACLES
+
+    family = [
+        "gapfill_hourly", "resample_interpolate", "ewma_hourly",
+        "rolling_median_hourly", "ts_autocorr", "ts_changepoint_cusum",
+        "ts_seasonal_profile", "anomaly_mad_robust", "ts_forecast_eval",
+    ]
+    for q in family:
+        assert _F32_HOURLY_AVG_SQL in ORACLES[q], q
