@@ -2829,3 +2829,103 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join
+# --------------------------------------------------------------------------
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH touches AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    states AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM touches WHERE prev IS NULL OR prev <> event_type
+    ),
+    joined AS (
+      SELECT p.user_id, p.ts,
+             coalesce(s.state, 'direct') AS state,
+             CAST(epoch_ms(p.ts) - epoch_ms(s.valid_from) AS BIGINT) AS into_ms
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN states s
+        ON s.user_id = p.user_id
+       AND s.valid_from <= p.ts
+       AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    )
+    SELECT state, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(floor(avg(into_ms)) AS BIGINT) AS avg_ms_into_state
+    FROM joined GROUP BY state ORDER BY state
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of interval) join of purchases against the
+    user's SCD2 state table: build [valid_from, valid_to) intervals
+    from the non-purchase event stream (the scd2_state_runs RLE, open
+    tail = NULL end), then land each purchase in the interval that
+    CONTAINS its timestamp — the dimension-join every warehouse does
+    against a type-2 history table ("what plan/state was the customer
+    on when the order happened"). Purchases before any touch fall out
+    of every interval and credit 'direct'. Semantically this
+    cross-checks attribution_last_touch by a completely different plan
+    family (interval containment vs running window) while adding the
+    time-into-state feature a window can't cheaply give.
+
+    Plan: the state build is one user_id shuffle (two windows on one
+    exchange); the PIT join carries the user_id EQUALITY key, so it is
+    a plain hash join with the interval containment as a residual
+    predicate — never a range-only join — and intervals partition each
+    user's timeline, so the join multiplicity is exactly 0-or-1 per
+    purchase. avg(into_ms) is an average of exact integers, floored in
+    both engines (DuckDB CAST rounds, Spark truncates — floor first).
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    states = (
+        touches.where(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+        )
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+        )
+    )
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = p.join(
+        states,
+        (F.col("s_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    ).select(
+        F.coalesce(F.col("state"), F.lit("direct")).alias("state"),
+        (F.unix_millis("ts") - F.unix_millis("valid_from"))
+        .cast("long")
+        .alias("into_ms"),
+    )
+    return (
+        joined.groupBy("state")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.floor(F.avg("into_ms")).cast("long").alias("avg_ms_into_state"),
+        )
+        .orderBy("state")
+    )

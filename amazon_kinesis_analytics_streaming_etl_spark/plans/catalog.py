@@ -103,6 +103,7 @@ _STALE_R7 = [
     "ts_forecast_eval",
     "path_trigrams",
     "abc_classification",
+    "scd2_point_in_time_join",
     # ---- tier C: earlier-round-7 additions already green in the local
     # sweeps, unchanged since.
     "dedup_clusters_scale",

@@ -495,3 +495,20 @@ def test_ts_family_shares_one_float_contract():
     ]
     for q in family:
         assert _F32_HOURLY_AVG_SQL in ORACLES[q], q
+
+
+def test_pit_join_agrees_with_last_touch_attribution(spark):
+    """Two independent plan families, one semantic: the interval
+    containment PIT join and the running-window last-touch attribution
+    must credit identical per-channel purchase counts. (On same-ts
+    purchase/touch ties the two formulations could legitimately differ
+    — the shipped data has no (user_id, ts) ties, so equality is exact.)"""
+    pit = {
+        r.state: r.n_purchases
+        for r in QUERIES["scd2_point_in_time_join"](spark, SF_SMOKE).collect()
+    }
+    att = {
+        r.channel: r.n_purchases
+        for r in QUERIES["attribution_last_touch"](spark, SF_SMOKE).collect()
+    }
+    assert pit == att
