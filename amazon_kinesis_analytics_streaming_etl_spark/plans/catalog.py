@@ -104,6 +104,7 @@ _STALE_R7 = [
     "path_trigrams",
     "abc_classification",
     "scd2_point_in_time_join",
+    "embedding_spectrum",
     # ---- tier C: earlier-round-7 additions already green in the local
     # sweeps, unchanged since.
     "dedup_clusters_scale",

@@ -260,3 +260,118 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding spectrum diagnostics (covariance eigenstructure)
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_spectrum",
+    """
+    WITH x AS (
+      SELECT vec_id, i, CAST(v AS DOUBLE) AS v
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    tr AS (
+      SELECT CAST(sum(cnt) / count(*) AS BIGINT) AS n,
+             sum(var) AS trace
+      FROM (SELECT i, var_pop(v) AS var, count(*) AS cnt FROM x GROUP BY i)
+    ),
+    fro AS (
+      SELECT sum(c * c) AS frob2
+      FROM (
+        SELECT a.i, b.i AS j, covar_pop(a.v, b.v) AS c
+        FROM x a JOIN x b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+      )
+    )
+    SELECT n,
+           round(CAST(CAST(trace AS REAL) AS DOUBLE) + 0.00000001, 4)
+             AS trace,
+           round(CAST(CAST(trace * trace / frob2 AS REAL) AS DOUBLE)
+                 + 0.00000001, 2) AS effective_rank,
+           TRUE AS eig_identities_ok
+    FROM tr CROSS JOIN fro
+    """,
+)
+def embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space spectrum diagnostics: total variance (trace of
+    the covariance matrix) and the effective rank trace(C)^2/||C||_F^2
+    — the participation-ratio estimate of how many dimensions the
+    embeddings actually use (anisotropy / dimensional-collapse check, a
+    standard health gate before indexing or training on an embedding
+    column). The eigendecomposition itself runs driver-side on the
+    dim x dim covariance (64x64 here — constant at any corpus size) and
+    is verified in-plan by the exact linear-algebra identities
+    sum(eig) = trace(C) and sum(eig^2) = ||C||_F^2, folded into one
+    boolean so both engines hash the same deterministic row (the sketch
+    gates' pattern; the oracle recomputes trace and Frobenius norm from
+    SQL var_pop/covar_pop over the exploded vectors — no eigensolver
+    needed on the SQL side, which is the point of the identity gate).
+
+    Scale shape: ONE narrow pass accumulates per-partition Gram partials
+    (sum X^T X, sum X, count) via mapInPandas — (d^2 + d + 1) doubles
+    per partition regardless of row count — and the driver assembles C
+    and calls eigvalsh on d x d. Nothing quadratic in rows anywhere;
+    the oracle's self-join is the verification side's privilege at gate
+    scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _partials(batches):
+        S = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            S = X.T @ X if S is None else S + X.T @ X
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            n += len(X)
+        if n:
+            yield pd.DataFrame(
+                {"S": [S.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        _partials, schema="S array<double>, s array<double>, n long"
+    ).collect()
+    d = len(parts[0]["s"])
+    S = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0
+    for r in parts:
+        S += np.array(r["S"]).reshape(d, d)
+        s += np.array(r["s"])
+        n += r["n"]
+    mu = s / n
+    C = S / n - np.outer(mu, mu)
+    eig = np.linalg.eigvalsh(C)
+    trace = float(np.trace(C))
+    frob2 = float((C * C).sum())
+    ok = bool(
+        abs(eig.sum() - trace) <= 1e-8 * max(1.0, abs(trace))
+        and abs((eig**2).sum() - frob2) <= 1e-8 * max(1.0, frob2)
+    )
+    out = pd.DataFrame(
+        {
+            "n": [n],
+            "trace": [round(float(np.float32(trace)) + 1e-8, 4)],
+            "effective_rank": [
+                round(float(np.float32(trace * trace / frob2)) + 1e-8, 2)
+            ],
+            "eig_identities_ok": [ok],
+        }
+    )
+    return spark.createDataFrame(
+        out,
+        schema="n long, trace double, effective_rank double, "
+        "eig_identities_ok boolean",
+    )

@@ -156,3 +156,36 @@ def test_embedding_matryoshka_pairs_and_drift(spark):
         assert -1.0001 <= r.cos_full <= 1.0001
         assert -1.0001 <= r.cos_trunc16 <= 1.0001
         assert abs(r.drift - abs(r.cos_full - r.cos_trunc16)) < 2e-6
+
+
+def test_embedding_spectrum_matches_direct_numpy_covariance(spark):
+    """Full recompute: covariance, trace, Frobenius norm, and the
+    participation-ratio effective rank from the collected vectors must
+    match the distributed Gram-partials path exactly; effective rank is
+    bounded by (0, d]."""
+    import numpy as np
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.vectors import (
+        embedding_spectrum,
+    )
+    from conftest import SF_SMOKE
+
+    row = embedding_spectrum(spark, SF_SMOKE).collect()[0]
+    X = np.stack(
+        [
+            np.array(r.embedding, dtype=np.float64)
+            for r in spark.read.parquet(
+                f"{SF_SMOKE}/embeddings.parquet"
+            ).collect()
+        ]
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    trace = float(np.trace(C))
+    frob2 = float((C * C).sum())
+    assert row.n == len(X)
+    assert row.trace == round(float(np.float32(trace)) + 1e-8, 4)
+    assert row.effective_rank == round(
+        float(np.float32(trace * trace / frob2)) + 1e-8, 2
+    )
+    assert 0 < row.effective_rank <= X.shape[1]
+    assert row.eig_identities_ok
