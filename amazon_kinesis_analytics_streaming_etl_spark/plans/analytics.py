@@ -2929,3 +2929,159 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# --------------------------------------------------------------------------
+# cross-series correlation matrix
+# --------------------------------------------------------------------------
+
+@register(
+    "ts_cross_correlation",
+    f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS pt,
+             {_F32_HOURLY_AVG_SQL} AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(corr(a.v, b.v) + 0.00000001, 4) AS corr_hourly
+    FROM obs a JOIN obs b
+      ON a.pt = b.pt AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY type_a, type_b
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between every two event types'
+    hourly series — the co-movement matrix behind "do errors spike when
+    purchases spike" dashboards and lead-lag hypothesis screening
+    (ts_autocorr is one series vs its own past; this is series vs
+    series at lag 0).
+
+    Plan: the shared hourly pre-aggregate collapses the stream to
+    types x hours rows FIRST (the ts-family rule), so the hour-aligned
+    self-join and the |types|^2/2 corr aggregates all run on
+    calendar-bounded cardinality — one exchange on the hour key, co-
+    moment (corr) aggregation map-side combined. Correlation of the
+    already-float32-squashed series rounds under the half-tie epsilon.
+    """
+    ev = load_events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
+    ).agg(_f32_avg4().alias("v"))
+    a = obs.select(
+        F.col("event_type").alias("type_a"), "pt", F.col("v").alias("va")
+    )
+    b = obs.select(
+        F.col("event_type").alias("type_b"), "pt", F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "pt")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.round(F.corr("va", "vb") + 0.00000001, 4).alias("corr_hourly"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# pinball-loss quantile-forecast evaluation
+# --------------------------------------------------------------------------
+
+@register(
+    "eval_pinball_loss",
+    f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS pt,
+             {_F32_HOURLY_AVG_SQL} AS v
+      FROM events GROUP BY 1, 2
+    ),
+    cut AS (
+      SELECT (CAST(epoch_ms(min(pt)) AS BIGINT)
+              + CAST(epoch_ms(max(pt)) AS BIGINT)) // 2 AS cut_ms
+      FROM obs
+    ),
+    pred AS (
+      SELECT event_type,
+             quantile_cont(v, 0.5) AS q50, quantile_cont(v, 0.9) AS q90
+      FROM obs CROSS JOIN cut
+      WHERE CAST(epoch_ms(pt) AS BIGINT) < cut_ms GROUP BY 1
+    )
+    SELECT o.event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(CAST(CAST(avg(
+             CASE WHEN o.v >= p.q50 THEN 0.5 * (o.v - p.q50)
+                  ELSE 0.5 * (p.q50 - o.v) END) AS REAL) AS DOUBLE)
+             + 0.00000001, 4) AS pinball_q50,
+           round(CAST(CAST(avg(
+             CASE WHEN o.v >= p.q90 THEN 0.9 * (o.v - p.q90)
+                  ELSE 0.1 * (p.q90 - o.v) END) AS REAL) AS DOUBLE)
+             + 0.00000001, 4) AS pinball_q90
+    FROM obs o
+    JOIN pred p USING (event_type)
+    CROSS JOIN cut
+    WHERE CAST(epoch_ms(o.pt) AS BIGINT) >= cut_ms
+    GROUP BY o.event_type ORDER BY o.event_type
+    """,
+)
+def eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast scorecard: calibrate constant q50/q90
+    predictors per type on the first calendar half of the hourly
+    series, score them on the second half with the pinball (quantile)
+    loss — the proper scoring rule for quantile forecasts (Koenker &
+    Bassett 1978; what M5-uncertainty and every SLA-percentile model
+    is graded on). Complements ts_forecast_eval (MASE scores point
+    forecasts; pinball scores quantile bands).
+
+    Plan: hourly pre-aggregate first (shared ts-family contract); the
+    calendar split point is a 1-row min/max broadcast compared in
+    exact integer epoch-millis; calibration quantiles are per-type
+    exact percentiles over the half series (calendar-bounded state);
+    scoring is one map-side-combined aggregate. Pinball terms are
+    piecewise-linear in already-squashed values; the averages go
+    through the float32 squash + half-tie epsilon.
+    """
+    ev = load_events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
+    ).agg(_f32_avg4().alias("v"))
+    cut = obs.agg(
+        (
+            (F.unix_millis(F.min("pt")) + F.unix_millis(F.max("pt"))) / 2
+        )
+        .cast("long")
+        .alias("cut_ms")
+    )
+    withcut = obs.crossJoin(F.broadcast(cut))
+    pred = (
+        withcut.where(F.unix_millis("pt") < F.col("cut_ms"))
+        .groupBy("event_type")
+        .agg(
+            F.percentile("v", 0.5).alias("q50"),
+            F.percentile("v", 0.9).alias("q90"),
+        )
+    )
+    loss50 = F.when(
+        F.col("v") >= F.col("q50"), 0.5 * (F.col("v") - F.col("q50"))
+    ).otherwise(0.5 * (F.col("q50") - F.col("v")))
+    loss90 = F.when(
+        F.col("v") >= F.col("q90"), 0.9 * (F.col("v") - F.col("q90"))
+    ).otherwise(0.1 * (F.col("q90") - F.col("v")))
+    return (
+        withcut.where(F.unix_millis("pt") >= F.col("cut_ms"))
+        .join(F.broadcast(pred), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.round(
+                F.avg(loss50).cast("float").cast("double") + 0.00000001, 4
+            ).alias("pinball_q50"),
+            F.round(
+                F.avg(loss90).cast("float").cast("double") + 0.00000001, 4
+            ).alias("pinball_q90"),
+        )
+        .orderBy("event_type")
+    )

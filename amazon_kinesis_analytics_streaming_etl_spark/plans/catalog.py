@@ -105,6 +105,8 @@ _STALE_R7 = [
     "abc_classification",
     "scd2_point_in_time_join",
     "embedding_spectrum",
+    "ts_cross_correlation",
+    "eval_pinball_loss",
     # ---- tier C: earlier-round-7 additions already green in the local
     # sweeps, unchanged since.
     "dedup_clusters_scale",

