@@ -31,72 +31,18 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 
 # Tier 1 rotates by signal AGE each round, with one override: queries
 # whose CODE changed this round outrank everything — a stale green on
-# old code is safer than no green on new code. Order inside _STALE_R7:
-# (A) code changed in round 7 (including the late-round review fixes),
-# (B) queries NEW in round 7 (no driver signal; all have committed local
-# oracle greens at sf0.01 and sf0.1), (C) earlier-round-7 additions
-# unchanged since their local greens, (D) the oldest (round-3) driver
-# signals. The driver window is ~50 queries: canary + tier A + most of
-# tier B fit; the spill (late tier B, C, D) is deliberately the
-# lowest-risk slice and leads the round-8 window.
-_STALE_R7 = [
-    # ---- tier A: code CHANGED this round — the window must re-prove the
-    # fixes (late-round review fixes included: parse column replacement,
-    # sessionizer straggler merge, t-digest lerp/labels, _pair_recall
-    # subset margin, graph helper refactors, ts-family contract
-    # normalization, bloom-gate checkpointing, replay-floor sharing).
-    "parse_dead_letter",
-    "serialize_projection_contract",
-    "pipeline_fanout_replay",
-    "kinesis_sink_roundtrip",
-    "kafka_sink_roundtrip",
-    "es_upsert_idempotent",
-    "file_sink_partition_layout",
-    "file_sink_json_rows",
-    "stream_timeout_sessions",
-    "stream_tdigest_percentiles",
-    "sketch_tdigest_rollup",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_span_coverage",
-    "dedup_embedding_lsh",
-    "dedup_embedding_multitable",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ts_autocorr",
-    "ts_changepoint_cusum",
-    "graph_pagerank",
-    "graph_copurchase_topk",
-    "graph_triangle_count",
-    "graph_label_propagation",
-    "graph_shortest_hops",
-    "graph_kcore_trade",
-    "graph_sssp_weighted",
-    "join_bloom_prefilter",
-    "text_char_entropy",
-    # the six round-7 sf0.1-sweep float fixes (previously listed past the
-    # window budget — the r7-review finding)
-    "gapfill_hourly",
-    "resample_interpolate",
-    "ewma_hourly",
-    "rolling_median_hourly",
-    "embedding_dim_stats",
-    "sketch_theta_audience",
-    # ---- tier B: NEW this round with no driver signal yet (all have
-    # committed local oracle greens at sf0.01 AND sf0.1); the tail past
-    # the ~50 budget leads the r8 window.
-    "skyline_pareto",
-    "attribution_last_touch",
-    "ts_seasonal_profile",
-    "curation_cap_per_key",
-    "mixture_temperature_weights",
-    "markov_event_transitions",
-    "anomaly_mad_robust",
-    "text_pmi_collocations",
-    "eval_auc_roc",
-    "histogram_equidepth",
-    "scd2_state_runs",
-    "eval_calibration_bins",
+# old code is safer than no green on new code. Order inside _STALE_R8:
+# (A) code changed in round 8 (front of list; grows as the round
+# progresses), (B) the 16 queries that have NEVER appeared in any
+# driver window (the round-7 verdict's #1 item — all have committed
+# local oracle greens and a judge re-proof, but no driver signal),
+# (C) the 32 queries whose latest driver signal is round 3 — the
+# oldest in the catalog, (D) round-4 signals as window spill. The
+# driver window is ~50 queries: canary + A + B + most of C fit.
+_STALE_R8 = [
+    # ---- tier A: code CHANGED in round 8 — must be re-proved first.
+    # (populated as round-8 work lands)
+    # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",
     "funnel_time_to_convert",
     "stats_gini_spend",
@@ -107,21 +53,13 @@ _STALE_R7 = [
     "embedding_spectrum",
     "ts_cross_correlation",
     "eval_pinball_loss",
-    # ---- tier C: earlier-round-7 additions already green in the local
-    # sweeps, unchanged since.
     "dedup_clusters_scale",
     "sim_topk_ivfpq",
     "text_winnow_fingerprints",
     "io_schema_evolution",
     "ts_trend_ols",
-    "dedup_clusters",
-    "dedup_embedding",
-    "sim_topk_pairs_per_label",
     "ann_quality_eval",
-    "json_variant_typed",
-    "layout_zorder_stats",
-    # ---- tier D: oldest driver signal (round 3) — unchanged code,
-    # lowest-risk deferral; leads the r8 window with tier B's tail.
+    # ---- tier C: latest driver signal is round 3 (oldest in catalog).
     "q3_shipping_priority",
     "q8_market_share",
     "q10_returned_items",
@@ -152,6 +90,39 @@ _STALE_R7 = [
     "dedup_exact",
     "dedup_levenshtein",
     "sim_topk_bruteforce",
+    "dedup_clusters",
+    "dedup_embedding",
+    # ---- tier D: round-4 signals — window spill, leads the r9 window.
+    "sim_topk_pairs_per_label",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "interval_join_batch",
+    "udf_grouped_map_zscore",
+    "funnel_stages",
+    "cohort_retention",
+    "skew_key_profile",
+    "text_pii_scrub",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+    "text_quality",
+    "udf_pandas_normalize",
+    "udf_pandas_grouped_agg",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_features_topk",
+    "avro_roundtrip_events",
+    "pack_sequences",
+    "quality_expectations",
+    "dedup_incremental",
+    "mixture_sample_sources",
+    "dedup_keep_best",
+    "embedding_quantize_int8",
+    "centroid_cohesion",
 ]
 
 # Family priority by defining module for the already-green tail.
@@ -172,12 +143,12 @@ _FAMILY_PRIORITY = {
 
 def _reorder() -> None:
     names = list(QUERIES)
-    unknown = (set(_CANARY) | set(_STALE_R7)) - set(names)
+    unknown = (set(_CANARY) | set(_STALE_R8)) - set(names)
     if unknown:  # a typo here silently strands a query past the window
         raise ValueError(f"catalog priority lists name unknown queries: {unknown}")
     original_pos = {n: i for i, n in enumerate(names)}
     canary_pos = {n: i for i, n in enumerate(_CANARY)}
-    stale_pos = {n: i for i, n in enumerate(_STALE_R7)}
+    stale_pos = {n: i for i, n in enumerate(_STALE_R8)}
 
     def key(name: str) -> tuple[int, int]:
         if name in canary_pos:
