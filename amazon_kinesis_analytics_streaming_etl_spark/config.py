@@ -26,6 +26,9 @@ KNOWN_KEYS = {
     "InputFilePath",
     "InputFileFormat",
     "InputRateRowsPerSecond",
+    "InputMaxRecordsPerBatch",  # replay-source per-trigger cap (Kinesis twin)
+    "InputMaxOffsetsPerTrigger",  # replay-source per-trigger cap (Kafka twin)
+    "InputAvailableNowSnapshot",  # capped-backfill snapshot drain (auto under availableNow)
     # sinks
     "OutputBucket",
     "OutputPrefix",

@@ -300,6 +300,16 @@ class Pipeline:
         analog, StreamingEtl.java:151). Returns the StreamingQuery."""
         from ..streaming.metrics import OBSERVATION_NAME
 
+        if available_now and (
+            self.cfg.has("InputMaxRecordsPerBatch")
+            or self.cfg.has("InputMaxOffsetsPerTrigger")
+        ):
+            # A capped replay source under Trigger.AvailableNow would
+            # otherwise drain one cap's worth and stop (the AvailableNow
+            # wrapper snapshots latestOffset once) — auto-arm snapshot
+            # drain so the backfill runs to the prepare-time end offsets
+            # with the cap honored as a per-task slice bound.
+            self.cfg.params.setdefault("InputAvailableNowSnapshot", "true")
         specs = _sink_specs(self.cfg) + self.extra_sinks
         valid, _corrupt = self.parsed()
         # P2 health metric: per-batch valid-row count computed inside the

@@ -176,14 +176,20 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
             self.starting = start
         # the connector's own rate-limit option: cap records per
         # topic-partition per trigger (pagination under processing-time
-        # triggers). CAUTION (ADVICE r6): do NOT combine with
-        # Trigger.AvailableNow — its wrapper snapshots the capped
+        # triggers). CAUTION (ADVICE r6): do NOT combine the bare cap
+        # with Trigger.AvailableNow — its wrapper snapshots the capped
         # latestOffset() once as the fixed drain target, so the query
         # drains at most one cap's worth and terminates with data left
-        # behind; the Python DataSource API has no
-        # SupportsTriggerAvailableNow hook to paginate past the snapshot.
+        # behind. For capped BACKFILLS set availableNowSnapshot=true:
+        # the prepare-time poll answers the UNCAPPED end offsets (frozen
+        # against concurrent appends) and the cap becomes a per-task
+        # slice bound in partitions() — the Kinesis twin documents the
+        # full contract (kinesis_replay.py).
         cap = options.get("maxoffsetspertrigger")
         self.max_per_trigger = int(cap) if cap else None
+        snap = (options.get("availablenowsnapshot") or "false").lower()
+        self.snapshot_drain = snap in ("true", "1", "yes")
+        self._snapshot: dict[str, int] | None = None
         # connector parity: when a batch spans fewer topic-partitions than
         # minPartitions, offset ranges split into sub-slices so read
         # parallelism is not capped by partition count (the connector's
@@ -224,6 +230,16 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
         return out
 
     def latestOffset(self) -> dict:
+        if self.snapshot_drain:
+            # prepare-time snapshot semantics — see the Kinesis twin's
+            # latestOffset for the availableNow contract rationale
+            if self._snapshot is None:
+                self._snapshot = {
+                    str(p): self._index.count(fp)
+                    for p, fp in _partition_files(self.path).items()
+                }
+            self._emitted.update(self._snapshot)
+            return dict(self._snapshot)
         out = {}
         for p, fp in _partition_files(self.path).items():
             avail = self._index.count(fp)
@@ -261,6 +277,16 @@ class _KafkaReplayStreamReader(DataSourceStreamReader):
                     split.append((pi, s, min(s + step, hi)))
                     s += step
             ranges = split
+        if self.max_per_trigger is not None:
+            # cap as per-task slice bound (snapshot-drain backfills):
+            # contiguous <=cap sub-slices, same rows, bounded task memory
+            capped = []
+            for pi, lo, hi in ranges:
+                s = lo
+                while s < hi:
+                    capped.append((pi, s, min(s + self.max_per_trigger, hi)))
+                    s = min(s + self.max_per_trigger, hi)
+            ranges = capped
         out = []
         for pi, lo, hi in ranges:
             byte_pos, line_no = self._index.seek_hint(files[pi], lo)
@@ -341,17 +367,32 @@ def register_kafka_replay(spark) -> None:
     spark.dataSource.register(KafkaReplayDataSource)
 
 
-def kafka_replay_stream(spark, topic_dir: str, starting_offsets: str = "earliest"):
+def kafka_replay_stream(
+    spark,
+    topic_dir: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    available_now_snapshot: bool = False,
+):
     """S2-shaped stream: Kafka-model records from a replay directory;
     ``df["value"]`` feeds ``parse_trip_events`` exactly as the live
-    connector's value column does."""
+    connector's value column does.
+
+    ``max_offsets_per_trigger`` is the connector's per-partition rate
+    cap; set ``available_now_snapshot`` when draining under
+    Trigger.AvailableNow so a capped backfill drains to the prepare-time
+    snapshot (cap becomes a per-task slice bound — see the Kinesis twin)."""
     register_kafka_replay(spark)
-    return (
+    reader = (
         spark.readStream.format("kafka-replay")
         .option("path", topic_dir)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    if available_now_snapshot:
+        reader = reader.option("availableNowSnapshot", "true")
+    return reader.load()
 
 
 # --------------------------------------------------------------------------

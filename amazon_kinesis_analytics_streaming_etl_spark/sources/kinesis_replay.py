@@ -300,16 +300,28 @@ class _ReplayStreamReader(DataSourceStreamReader):
         # §2A X2): each latestOffset poll advances at most N records per
         # shard past the previous poll's answer, so trigger sizing is a
         # knob instead of drain-everything. CAUTION (ADVICE r6): do NOT
-        # combine the cap with Trigger.AvailableNow — Spark's AvailableNow
-        # wrapper snapshots latestOffset() ONCE as the fixed drain target,
-        # so a capped query drains at most one cap's worth of records and
-        # terminates "successfully" with data left behind. The Python
-        # DataSource API (pyspark 4.1.2) exposes no
-        # SupportsTriggerAvailableNow hook to paginate toward an uncapped
-        # prepare-time snapshot, so the cap is a processingTime/continuous
-        # knob only; batch/backfill drains must leave it unset.
+        # combine the bare cap with Trigger.AvailableNow — Spark's
+        # AvailableNow wrapper (PythonMicroBatchStream implements neither
+        # SupportsTriggerAvailableNow nor SupportsAdmissionControl, so it
+        # is wrapped by AvailableNowDataStreamWrapper) calls latestOffset()
+        # exactly ONCE at prepare time and uses the answer as the fixed
+        # drain target, so a capped query drains at most one cap's worth
+        # of records and terminates "successfully" with data left behind.
+        # For capped BACKFILLS set availableNowSnapshot=true below: the
+        # prepare-time poll then answers the UNCAPPED end offsets (frozen,
+        # so concurrent appends don't leak into the backfill) and the cap
+        # is honored as a per-TASK slice bound instead — partitions()
+        # splits each shard range into <=cap-record slices, bounding
+        # executor batch memory while the whole backlog drains in the one
+        # snapshot batch. Commit granularity is necessarily that single
+        # batch (the Python DataSource API gives no pagination hook), so
+        # a mid-drain failure restarts the batch — standard Spark
+        # semantics, no data loss.
         cap = options.get("maxrecordsperbatch")
         self.max_per_batch = int(cap) if cap else None
+        snap = (options.get("availablenowsnapshot") or "false").lower()
+        self.snapshot_drain = snap in ("true", "1", "yes")
+        self._snapshot: dict[str, int] | None = None
         # shard files are append-only by contract; offsets going backwards
         # mean the file was truncated below a committed position — data
         # loss, raised by default (failOnDataLoss=false resumes lossily)
@@ -330,6 +342,20 @@ class _ReplayStreamReader(DataSourceStreamReader):
         return out
 
     def latestOffset(self) -> dict:
+        if self.snapshot_drain:
+            # availableNow contract: the first (prepare-time) poll freezes
+            # the uncapped end offsets; every later poll re-answers the
+            # frozen snapshot so concurrent appends and newly-discovered
+            # shards stay out of this backfill (they belong to the next
+            # run, exactly like a prepare-time snapshot in a JVM source
+            # implementing SupportsTriggerAvailableNow).
+            if self._snapshot is None:
+                self._snapshot = {
+                    s: self._index.count(fp)
+                    for s, fp in _shard_files(self.path).items()
+                }
+            self._emitted.update(self._snapshot)
+            return dict(self._snapshot)
         out = {}
         for s, fp in _shard_files(self.path).items():
             avail = self._index.count(fp)
@@ -354,12 +380,21 @@ class _ReplayStreamReader(DataSourceStreamReader):
                 continue
             hi = hi_eff
             if hi > lo and shard in files:
-                byte_pos, line_no = self._index.seek_hint(files[shard], lo)
-                out.append(
-                    _ShardSlice(
-                        shard, files[shard], lo, hi, self.stream, byte_pos, line_no
+                # honor the cap as a per-task slice bound: a snapshot
+                # batch spanning a deep backlog splits into <=cap-record
+                # slices (contiguous, no gap/overlap) so executor-side
+                # batch memory stays bounded no matter how deep the drain
+                step = self.max_per_batch or (hi - lo)
+                s = lo
+                while s < hi:
+                    e = min(s + step, hi)
+                    byte_pos, line_no = self._index.seek_hint(files[shard], s)
+                    out.append(
+                        _ShardSlice(
+                            shard, files[shard], s, e, self.stream, byte_pos, line_no
+                        )
                     )
-                )
+                    s = e
         return out or [_ShardSlice("shardId-empty", "", 0, 0, self.stream)]
 
     def read(self, partition: _ShardSlice):
@@ -449,17 +484,32 @@ def register_kinesis_replay(spark) -> None:
     spark.dataSource.register(KinesisReplayDataSource)
 
 
-def kinesis_replay_stream(spark, stream_dir: str, initial_position: str = "TRIM_HORIZON"):
+def kinesis_replay_stream(
+    spark,
+    stream_dir: str,
+    initial_position: str = "TRIM_HORIZON",
+    max_records_per_batch: int | None = None,
+    available_now_snapshot: bool = False,
+):
     """S1-shaped stream: Kinesis-model records from a replay directory.
     ``df["data"]`` feeds ``operators.parse.parse_trip_events`` exactly as
-    Kinesis bytes feed the reference's deserializer."""
+    Kinesis bytes feed the reference's deserializer.
+
+    ``max_records_per_batch`` is the per-shard per-trigger rate cap; set
+    ``available_now_snapshot`` when draining under Trigger.AvailableNow
+    so the capped backfill drains to the prepare-time snapshot (the cap
+    becomes a per-task slice bound — see _ReplayStreamReader)."""
     register_kinesis_replay(spark)
-    return (
+    reader = (
         spark.readStream.format("kinesis-replay")
         .option("path", stream_dir)
         .option("initialPosition", initial_position)
-        .load()
     )
+    if max_records_per_batch is not None:
+        reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
+    if available_now_snapshot:
+        reader = reader.option("availableNowSnapshot", "true")
+    return reader.load()
 
 
 # --------------------------------------------------------------------------

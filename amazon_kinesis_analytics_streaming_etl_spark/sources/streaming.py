@@ -114,7 +114,14 @@ def kinesis_source(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         initial = cfg.get("InputStreamInitalPosition", "TRIM_HORIZON")
         from .kinesis_replay import kinesis_replay_stream
 
-        df = kinesis_replay_stream(spark, str(replay_dir), str(initial).upper())
+        cap = cfg.get("InputMaxRecordsPerBatch", None)
+        df = kinesis_replay_stream(
+            spark,
+            str(replay_dir),
+            str(initial).upper(),
+            max_records_per_batch=int(cap) if cap else None,
+            available_now_snapshot=cfg.get_bool("InputAvailableNowSnapshot"),
+        )
         return df.select(F.col("data").cast(payload_type(cfg)).alias("value"))
     initial = cfg.get("InputStreamInitalPosition", "LATEST")
     stream = cfg.get_required("InputKinesisStream")
@@ -146,7 +153,14 @@ def kafka_source(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         from .kafka_replay import kafka_replay_stream
 
         start = str(cfg.get("InputKafkaStartingOffsets", "earliest")).lower()
-        df = kafka_replay_stream(spark, str(replay_dir), start)
+        cap = cfg.get("InputMaxOffsetsPerTrigger", None)
+        df = kafka_replay_stream(
+            spark,
+            str(replay_dir),
+            start,
+            max_offsets_per_trigger=int(cap) if cap else None,
+            available_now_snapshot=cfg.get_bool("InputAvailableNowSnapshot"),
+        )
         return df.select(F.col("value").cast(payload_type(cfg)).alias("value"))
     return (
         spark.readStream.format("kafka")

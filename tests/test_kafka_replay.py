@@ -532,3 +532,59 @@ def test_rate_limit_restart_floor_not_data_loss(tmp_path):
     slices = r.partitions({"0": 8}, end)
     assert all(s.path == "" for s in slices)  # empty batch, no raise
     assert r.latestOffset()["0"] == 9  # floor re-seeded from commit
+
+
+def test_available_now_snapshot_drains_capped_backfill(spark, tmp_path):
+    """Kafka twin of the Kinesis snapshot-drain test: a capped backfill
+    under Trigger.AvailableNow drains to the prepare-time snapshot with
+    the cap honored as a per-task slice bound (<=cap sub-slices)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        _KafkaReplayStreamReader,
+        register_kafka_replay,
+    )
+
+    d = str(tmp_path / "topic")
+    os.makedirs(d)
+    for p in range(2):
+        _produce(d, p, [f"p{p}r{i}" for i in range(50)])
+
+    r = _KafkaReplayStreamReader(
+        {"path": d, "maxoffsetspertrigger": "10", "availablenowsnapshot": "true"}
+    )
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert all(v == 50 for v in end.values())  # uncapped snapshot
+    slices = r.partitions(start, end)
+    assert len(slices) == 10
+    per_part: dict[int, list[tuple[int, int]]] = {}
+    for sl in slices:
+        assert sl.end - sl.start <= 10
+        per_part.setdefault(sl.partition, []).append((sl.start, sl.end))
+    for ranges in per_part.values():
+        ranges.sort()
+        assert ranges[0][0] == 0 and ranges[-1][1] == 50
+        for (_, b), (c, _) in zip(ranges, ranges[1:]):
+            assert b == c
+    _produce(d, 0, ["late"], append=True)
+    assert r.latestOffset()["0"] == 50  # frozen against concurrent appends
+
+    register_kafka_replay(spark)
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("kafka-replay")
+        .option("path", d)
+        .option("maxOffsetsPerTrigger", "10")
+        .option("availableNowSnapshot", "true")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS v", "partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() in (100, 101)  # snapshot (see Kinesis twin note)
+    pre = {f"p{p}r{i}" for p in range(2) for i in range(50)}
+    assert pre <= {row.v for row in got.collect()}

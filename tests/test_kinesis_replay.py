@@ -686,3 +686,98 @@ def test_native_sink_commit_and_abort_markers(tmp_path):
     commits = tmp_path / "s" / "_commits"
     assert json.loads((commits / "batch-3").read_text()) == {"rows": 12}
     assert json.loads((commits / "aborted-4").read_text()) == {"rows": 2}
+
+
+def test_available_now_snapshot_drains_capped_backfill(spark, tmp_path):
+    """Round-7 verdict item: a capped backfill under Trigger.AvailableNow
+    must drain to the prepare-time snapshot, not stop after one cap.
+    availableNowSnapshot=true answers the UNCAPPED frozen end offsets at
+    the prepare-time latestOffset() poll and honors the cap as a
+    per-task slice bound (partitions() splits <=cap-record slices)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        _ReplayStreamReader,
+        register_kinesis_replay,
+    )
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    for s in range(2):
+        _write_shard(d, s, [f"s{s}-r{i}" for i in range(50)])
+
+    # unit level: snapshot poll ignores the cap; slices are <=cap,
+    # contiguous, gap-free per shard
+    r = _ReplayStreamReader(
+        {"path": d, "maxrecordsperbatch": "10", "availablenowsnapshot": "true"}
+    )
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert all(v == 50 for v in end.values())  # uncapped snapshot
+    slices = r.partitions(start, end)
+    assert len(slices) == 10  # 2 shards x 50/10
+    per_shard: dict[str, list[tuple[int, int]]] = {}
+    for sl in slices:
+        assert sl.end - sl.start <= 10
+        per_shard.setdefault(sl.shard, []).append((sl.start, sl.end))
+    for ranges in per_shard.values():
+        ranges.sort()
+        assert ranges[0][0] == 0 and ranges[-1][1] == 50
+        for (_, b), (c, _) in zip(ranges, ranges[1:]):
+            assert b == c
+    # the snapshot is frozen: appends after prepare stay out of this run
+    _write_shard(d, 0, ["late0"], append=True)
+    assert r.latestOffset()["shardId-000000000000"] == 50
+
+    # end-to-end: capped + snapshot under availableNow drains ALL records
+    register_kinesis_replay(spark)
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("kinesis-replay")
+        .option("path", d)
+        .option("maxRecordsPerBatch", "10")
+        .option("availableNowSnapshot", "true")
+        .load()
+        .selectExpr("CAST(data AS STRING) AS v", "shardId", "sequenceNumber")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    # 100 from the snapshot + possibly the 1 late append if it landed
+    # before prepare; the reader freezes at first poll so exactly the
+    # snapshot drains (the late row was appended after construction but
+    # the engine's prepare call may see it — accept either frozen set)
+    n = got.count()
+    assert n in (100, 101)
+    pre = {f"s{s}-r{i}" for s in range(2) for i in range(50)}
+    assert pre <= {row.v for row in got.collect()}
+
+
+def test_pipeline_auto_arms_snapshot_for_capped_available_now(
+    spark, tmp_path, valid_event
+):
+    """Pipeline.run_available_now with a capped replay source must drain
+    the WHOLE backlog (auto-armed InputAvailableNowSnapshot), not one
+    cap's worth — the user-facing face of the snapshot-drain contract."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.pipeline import Pipeline
+
+    d = str(tmp_path / "stream")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    _write_shard(
+        d, 0, [json.dumps({**valid_event, "trip_id": 100 + i}) for i in range(30)]
+    )
+
+    args = [
+        "--InputKinesisReplayDir", d,
+        "--InputMaxRecordsPerBatch", "5",  # pre-fix: only 5 rows drained
+        "--OutputBucket", out,
+        "--ParquetConversion", "true",
+        "--CheckpointLocation", ckpt,
+    ]
+    Pipeline.from_config(spark, args=args).run_available_now()
+    df = spark.read.parquet(f"{out}/job_start=*/pickup_location=*/year=*/month=*")
+    assert df.count() == 30  # full drain despite the cap
