@@ -535,8 +535,14 @@ def duplicated_span_stats(
     document, the fraction of its tokens covered by at least one k-token
     span that occurs >= min_count times in the corpus (including
     self-repeats — boilerplate repeated within one page counts, as in the
-    paper's suffix-array formulation). Returns one row per input doc:
-    ``(doc_id, n_tokens, covered_tokens, dup_span_frac)``.
+    paper's suffix-array formulation). With ``eager=True`` (default)
+    returns one row per input doc:
+    ``(doc_id, n_tokens, covered_tokens, dup_span_frac)``. With
+    ``eager=False`` returns ``(stats_df, cached_docs)`` — the caller must
+    unpersist ``cached_docs`` after materializing ``stats_df``. (This
+    tuple form replaced an earlier DataFrame-with-attr contract in round
+    7; in-repo callers were migrated, external callers of the old
+    ``eager=False`` shape must unpack the tuple — ADVICE r7.)
 
     Spark-first plan instead of a suffix array: positional span hashes
     per row (JVM zip_with chain, linear in tokens) -> global span-hash

@@ -41,7 +41,16 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # driver window is ~50 queries: canary + A + B + most of C fit.
 _STALE_R8 = [
     # ---- tier A: code CHANGED in round 8 — must be re-proved first.
-    # (populated as round-8 work lands)
+    # (availableNow snapshot-drain touched both replay sources + the
+    # pipeline trigger wiring)
+    "pipeline_fanout_replay",
+    "kinesis_sink_roundtrip",
+    "kafka_sink_roundtrip",
+    # (sessionizer strict-< close, ES transport interval timer, bloom
+    # fp gate derived from design fpp)
+    "stream_timeout_sessions",
+    "es_upsert_idempotent",
+    "join_bloom_prefilter",
     # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",
     "funnel_time_to_convert",

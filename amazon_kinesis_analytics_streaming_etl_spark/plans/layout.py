@@ -12,6 +12,7 @@ all-literal.
 
 from __future__ import annotations
 
+import math
 import shutil
 import tempfile
 
@@ -318,8 +319,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gates, all computed in-plan and deterministic (xxhash64 positions):
     the prefiltered join reproduces the plain join exactly (zero false
     negatives — bloom's one-sided guarantee), and the bloom pass-through
-    count stays inside 3x the design false-positive rate (~0.8% at
-    m/n=10, k=7) over the non-matching rows."""
+    count stays inside 3x the DESIGN false-positive rate over the
+    non-matching rows, with fpp derived from the actual (k, n, m) as
+    (1 - exp(-k*n/m))**k rather than a hard-coded constant (ADVICE r7) —
+    ~0.8% at m/n=10, k=7, so the bound is ~2.5%, tightening
+    automatically when the m >= 1024 floor makes the filter sparser."""
     from ..operators.scale import bloom_build, bloom_prefilter
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -339,6 +343,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = keys.count()
     num_bits = max(1024, ((10 * n + 63) // 64) * 64)
     bitmap = bloom_build(keys, "o_orderkey", num_bits)
+    # design fpp for k=7 hashes at the ACTUAL fill ratio (n may be far
+    # below m/10 when the 1024-bit floor engaged)
+    fp_design = (1.0 - math.exp(-7.0 * n / num_bits)) ** 7
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     pre = bloom_prefilter(li, "l_orderkey", bitmap, num_bits).localCheckpoint(
@@ -366,7 +373,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("_bloom_pass")
                 <= F.col("_exact_n")
-                + F.lit(0.03) * (F.col("_total") - F.col("_exact_n"))
+                + F.lit(3.0 * fp_design) * (F.col("_total") - F.col("_exact_n"))
             ).alias("fp_bound_ok"),
         )
     )

@@ -25,6 +25,7 @@ import hashlib
 import hmac
 import json
 import os
+import threading
 import time
 import urllib.error
 import urllib.parse
@@ -156,6 +157,8 @@ class SigV4BulkTransport:
         http_send: Callable[[str, bytes, dict], tuple[int, bytes]] | None = None,
         sleep: Callable[[float], None] = time.sleep,
         clock: Callable[[], float] = time.monotonic,
+        interval_timer: bool = False,
+        timer_poll_s: float = 0.25,
     ) -> None:
         self.endpoint = endpoint.rstrip("/")
         self.region = region
@@ -171,11 +174,12 @@ class SigV4BulkTransport:
         self.max_actions = max_actions
         # the reference's other two bulk-flush triggers
         # (StreamingEtl.java:270-280): cumulative payload size and a wall
-        # interval since the last flush — whichever fires first. NOTE
-        # (ADVICE r6): unlike Flink's setBulkFlushInterval (a background
-        # timer that flushes with no new input), the interval here is
-        # evaluated on document ARRIVAL — an idle buffer is never flushed
-        # by time alone. That staleness is bounded in practice because
+        # interval since the last flush — whichever fires first. The
+        # interval fires two ways: on document ARRIVAL (always), and —
+        # when ``interval_timer=True`` — from a background daemon thread
+        # that flushes an idle buffer with no new input, Flink's
+        # setBulkFlushInterval parity (ADVICE r6 / verdict r7 #7). The
+        # arrival-only mode's staleness is still bounded because
         # es_upsert_batch calls flush() at the end of every micro-batch
         # partition, so a partial buffer lives at most one trigger.
         self.max_size_bytes = (
@@ -190,6 +194,55 @@ class SigV4BulkTransport:
         self._buf: list[str] = []
         self._buf_bytes = 0
         self._last_flush = clock()
+        # buffer + flush are guarded so the interval timer thread and the
+        # partition's writer thread never interleave a half-appended doc
+        self._lock = threading.RLock()
+        self._stop = threading.Event()
+        self._async_error: Exception | None = None
+        self._timer: threading.Thread | None = None
+        if interval_timer and flush_interval_s is not None:
+            self._timer = threading.Thread(
+                target=self._timer_loop,
+                args=(timer_poll_s,),
+                daemon=True,
+                name="es-bulk-flush-timer",
+            )
+            self._timer.start()
+
+    def _timer_loop(self, poll_s: float) -> None:
+        while not self._stop.wait(poll_s):
+            try:
+                self._maybe_interval_flush()
+            except Exception as exc:  # noqa: BLE001
+                # flush() drops the buffer before sending, so a failed
+                # timer flush has LOST those docs unless the failure is
+                # surfaced to the task. The daemon can't raise into the
+                # writer thread — poison the transport instead: the next
+                # __call__/flush/close re-raises, the task fails, and
+                # Spark retries the whole micro-batch (exactly-once via
+                # the idempotent keyed upsert).
+                self._async_error = exc
+                return
+
+    def _maybe_interval_flush(self) -> None:
+        """One timer tick: flush iff the buffer is non-empty and the
+        interval has elapsed since the last flush (exposed for tests —
+        drive with a fake clock instead of racing the daemon)."""
+        with self._lock:
+            if (
+                self._buf
+                and self.flush_interval_s is not None
+                and self._clock() - self._last_flush >= self.flush_interval_s
+            ):
+                self.flush()
+
+    def close(self) -> None:
+        """Stop the interval timer (if any) and flush the remainder."""
+        self._stop.set()
+        if self._timer is not None:
+            self._timer.join(timeout=5)
+            self._timer = None
+        self.flush()
 
     @staticmethod
     def _urllib_send(url: str, data: bytes, headers: dict) -> tuple[int, bytes]:
@@ -200,26 +253,38 @@ class SigV4BulkTransport:
         except urllib.error.HTTPError as e:  # non-2xx still has a body
             return e.code, e.read()
 
+    def _raise_async_error(self) -> None:
+        if self._async_error is not None:
+            exc, self._async_error = self._async_error, None
+            raise RuntimeError("interval-timer bulk flush failed") from exc
+
     def __call__(self, index: str, doc_id: str, body: str) -> None:
         # bulk "index" action: create-or-replace by id == keyed upsert (K4)
-        action = json.dumps({"index": {"_index": index, "_id": doc_id}})
-        self._buf.append(action)
-        self._buf.append(body)
-        self._buf_bytes += len(action) + len(body) + 2
-        if (
-            len(self._buf) >= 2 * self.max_actions
-            or (
-                self.max_size_bytes is not None
-                and self._buf_bytes >= self.max_size_bytes
-            )
-            or (
-                self.flush_interval_s is not None
-                and self._clock() - self._last_flush >= self.flush_interval_s
-            )
-        ):
-            self.flush()
+        with self._lock:
+            self._raise_async_error()
+            action = json.dumps({"index": {"_index": index, "_id": doc_id}})
+            self._buf.append(action)
+            self._buf.append(body)
+            self._buf_bytes += len(action) + len(body) + 2
+            if (
+                len(self._buf) >= 2 * self.max_actions
+                or (
+                    self.max_size_bytes is not None
+                    and self._buf_bytes >= self.max_size_bytes
+                )
+                or (
+                    self.flush_interval_s is not None
+                    and self._clock() - self._last_flush >= self.flush_interval_s
+                )
+            ):
+                self.flush()
 
     def flush(self) -> None:
+        with self._lock:
+            self._raise_async_error()
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         self._last_flush = self._clock()
         if not self._buf:
             return

@@ -270,6 +270,7 @@ def es_upsert_batch(
     region: str | None = None,
     bulk_max_size_mb: float | None = None,
     bulk_flush_interval_s: float | None = None,
+    bulk_flush_interval_timer: bool = False,
 ) -> None:
     """K4 — keyed upsert: index = event ``type``, doc id = ``trip_id``;
     re-delivery overwrites, so at-least-once + deterministic id =
@@ -304,6 +305,7 @@ def es_upsert_batch(
                 max_actions=bulk_max_actions,
                 max_size_mb=bulk_max_size_mb,
                 flush_interval_s=bulk_flush_interval_s,
+                interval_timer=bulk_flush_interval_timer,
             )
         # flush even when the partition task dies mid-iteration so a
         # transport holding resources (an open spool file, a half-full
@@ -312,7 +314,10 @@ def es_upsert_batch(
         # (flush re-sends to the same endpoint that just failed, so it
         # usually raises too; a bare finally would mask the root cause
         # in the Spark UI and retry the doomed send once more)
-        flush = getattr(_transport, "flush", lambda: None)
+        # close() (when present) also stops the interval-timer thread
+        flush = getattr(
+            _transport, "close", getattr(_transport, "flush", lambda: None)
+        )
         try:
             batch = []
             for row in rows:
@@ -329,7 +334,7 @@ def es_upsert_batch(
             except Exception:
                 pass  # best-effort release; the primary error propagates
             raise
-        flush()  # success path: a flush failure here is a real failure
+        flush()  # success path: a flush/close failure here is a real failure
 
     payload.foreachPartition(_send_partition)
 

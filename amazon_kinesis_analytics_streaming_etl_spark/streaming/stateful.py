@@ -249,7 +249,7 @@ def state_v2_available() -> bool:
     protobuf Python package (its driver-side runner speaks protobuf to
     the JVM). Absent protobuf, the runner crashes at init.
 
-    Environment evidence (re-probed 2026-08-14, round 7): ``import
+    Environment evidence (re-probed 2026-08-15, round 8): ``import
     google.protobuf`` raises ``ModuleNotFoundError: No module named
     'google'`` in this container, and package installation is not
     available, so the v2 path stays gated here; the processor above is
@@ -465,10 +465,10 @@ TIMEOUT_SESSIONS_OUTPUT = StructType(
 
 _TIMEOUT_SESSIONS_STATE = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("last_ms", LongType()),
-        StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        StructField("start_ms", ArrayType(LongType())),
+        StructField("last_ms", ArrayType(LongType())),
+        StructField("n", ArrayType(LongType())),
+        StructField("total", ArrayType(DoubleType())),
     ]
 )
 
@@ -492,17 +492,56 @@ def _timeout_sessions_fn_factory(gap_ms: int):
                 }
             )
 
+        # State holds EVERY pending session, not just the open tail: a
+        # session [a, b] stays mergeable until the watermark passes
+        # b + gap (a straggler in (b, b + gap] can still extend it, and
+        # a bridging straggler can fuse two pending sessions), so
+        # closing any session before its deadline diverges from the
+        # batch oracle. Found by the round-8 hypothesis interleaving
+        # suite (tests/test_timeout_sessions_property.py): the previous
+        # open-tail-only state closed out-of-gap stragglers eagerly and
+        # missed a later in-gap merge. State is O(pending sessions) per
+        # key — bounded by gap/watermark, the same bound Spark's own
+        # session_window state keeps in append mode.
+        pending: list[list] = (
+            [list(t) for t in zip(*state.get)] if state.exists else []
+        )
+
+        def _finalize(sessions: list[list]):
+            """Split by deadline vs watermark (strict <, ADVICE r7),
+            persist survivors, arm the timer at the earliest pending
+            deadline, and emit the closed ones."""
+            wm_now = state.getCurrentWatermarkMs()
+            closed = [s for s in sessions if s[1] + gap_ms < wm_now]
+            keep = [s for s in sessions if s[1] + gap_ms >= wm_now]
+            if keep:
+                state.update(
+                    (
+                        [s[0] for s in keep],
+                        [s[1] for s in keep],
+                        [s[2] for s in keep],
+                        [s[3] for s in keep],
+                    )
+                )
+                deadline = min(s[1] + gap_ms for s in keep)
+                # setTimeoutTimestamp must be strictly beyond the
+                # watermark; at exact equality bump 1 ms (the timer
+                # still fires at the next watermark advance, matching
+                # the strict keep-open contract)
+                state.setTimeoutTimestamp(
+                    deadline if deadline > wm_now else wm_now + 1
+                )
+            elif state.exists:
+                state.remove()
+            return closed
+
         if state.hasTimedOut:
-            # watermark passed last_ms + gap with no new events: the
-            # session is final — emit and drop the state.
-            s, last, n, tot = state.get
-            state.remove()
-            yield _emit([(s, last, n, tot)])
+            # watermark passed the earliest pending deadline with no new
+            # events: emit every expired session, re-arm for the rest.
+            yield _emit([tuple(s) for s in _finalize(pending)])
             return
         parts = [pdf for pdf in pdfs if len(pdf)]
         rows = pd.concat(parts) if parts else pd.DataFrame()
-        closed: list[tuple] = []
-        cur = list(state.get) if state.exists else None
         if len(rows):
             # null ts cannot be windowed (astype would turn NaT into
             # int64-min and emit a garbage epoch session) — drop, the
@@ -511,27 +550,19 @@ def _timeout_sessions_fn_factory(gap_ms: int):
             # count(*), the SQL aggregate contract)
             rows = rows[rows["ts"].notna()]
         if len(rows):
-            # rows arrive in shuffle order, not time order — and a
-            # cross-batch straggler may precede the OPEN session
-            # entirely. Interval-merge the open tail with the batch's
-            # events as sessions sorted by start: an in-gap earlier
-            # event extends start_ms BACKWARD, an out-of-gap earlier
-            # event closes as its own session (the open session's
-            # existence proves the gap), and everything but the final
-            # merged session is provably closed. O(batch rows log batch
-            # rows) per key; state still holds only the open tail.
+            # rows arrive in shuffle order, not time order — interval-
+            # merge the pending sessions with the batch's events sorted
+            # by start: an in-gap earlier event extends start_ms
+            # BACKWARD, a bridging event fuses two pending sessions.
+            # O(batch rows log batch rows) per key.
             # normalize to ns first: Arrow can hand back datetime64[us],
             # whose raw int64 view would be off by 1000x
             ts = (
                 rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
             ).to_numpy()
             vals = rows["value"].fillna(0.0).to_numpy()
-            order = ts.argsort(kind="stable")
-            items = [[cur[0], cur[1], cur[2], cur[3]]] if cur is not None else []
-            items.extend(
-                [int(t), int(t), 1, float(v)]
-                for t, v in zip(ts[order], vals[order])
-            )
+            items = list(pending)
+            items.extend([int(t), int(t), 1, float(v)] for t, v in zip(ts, vals))
             items.sort(key=lambda r: (r[0], r[1]))
             merged: list[list] = []
             for it in items:
@@ -542,20 +573,8 @@ def _timeout_sessions_fn_factory(gap_ms: int):
                     m[3] += it[3]
                 else:
                     merged.append(it)
-            closed.extend(tuple(m) for m in merged[:-1])
-            cur = merged[-1] if merged else cur
-        if cur is not None:
-            deadline = cur[1] + gap_ms
-            if deadline <= state.getCurrentWatermarkMs():
-                # the open tail is already expired (late-arriving group
-                # in a later batch): close it now — an event-time timer
-                # must be strictly beyond the watermark.
-                closed.append(tuple(cur))
-                state.remove() if state.exists else None
-            else:
-                state.update(tuple(cur))
-                state.setTimeoutTimestamp(deadline)
-        yield _emit(closed)
+            pending = merged
+        yield _emit([tuple(s) for s in _finalize(pending)])
 
     return _fn
 

@@ -509,6 +509,13 @@ def main() -> None:
                     sum(timings[n] for n in HEADLINE[:COMMON30_COUNT]), 3
                 ),
                 "queries": timings,
+                # compact per-query [min,max] across repeats (verdict r7
+                # #5: spreads IN the contract line, so a noisy host draw
+                # is auditable from BENCH_r{N}.json alone; full per-run
+                # lists stay on the detail line above)
+                "query_minmax": {
+                    n: [r[0], r[-1]] for n, r in spreads.items()
+                },
                 "sf": sf_val,
                 "etl": etl,
                 "streaming": streaming,

@@ -379,3 +379,100 @@ def test_real_http_transport_raises_on_4xx_no_retry():
         srv.shutdown()
         srv.server_close()
     assert len(requests) == 1  # 4xx is not retryable
+
+
+def test_interval_timer_flushes_idle_buffer():
+    """Flink setBulkFlushInterval parity (verdict r7 #7): with
+    interval_timer=True a background daemon flushes the buffer on
+    wall-clock WITHOUT new input. Tick logic driven directly via
+    _maybe_interval_flush with a fake clock (deterministic), plus one
+    real-thread assertion that the daemon actually fires."""
+    import time as _t
+
+    clock = {"t": 0.0}
+    sends = []
+
+    def http_send(url, data, headers):
+        sends.append(data)
+        return _ok(10)
+
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.es_transport import (
+        SigV4BulkTransport,
+    )
+
+    t = SigV4BulkTransport(
+        "https://search-x.us-east-1.es.amazonaws.com",
+        region="us-east-1",
+        access_key=AK,
+        secret_key=SK,
+        http_send=http_send,
+        sleep=lambda s: None,
+        flush_interval_s=5.0,
+        clock=lambda: clock["t"],
+    )
+    # no timer thread started (interval_timer defaults False): tick is a
+    # no-op until the interval elapses, then flushes with NO new doc
+    t("trip", "1", "{}")
+    t._maybe_interval_flush()
+    assert sends == []  # interval not yet elapsed
+    clock["t"] = 5.0
+    t._maybe_interval_flush()
+    assert len(sends) == 1  # idle buffer flushed by time alone
+    t._maybe_interval_flush()
+    assert len(sends) == 1  # empty buffer: tick is a no-op
+
+    # real daemon thread: flushes within ~1s of wall-clock idleness
+    t2 = SigV4BulkTransport(
+        "https://search-x.us-east-1.es.amazonaws.com",
+        region="us-east-1",
+        access_key=AK,
+        secret_key=SK,
+        http_send=http_send,
+        sleep=lambda s: None,
+        flush_interval_s=0.05,
+        interval_timer=True,
+        timer_poll_s=0.02,
+    )
+    t2("trip", "2", "{}")
+    deadline = _t.time() + 5
+    while len(sends) < 2 and _t.time() < deadline:
+        _t.sleep(0.02)
+    assert len(sends) == 2  # flushed with no further input
+    t2.close()
+
+
+def test_interval_timer_failure_poisons_transport():
+    """A timer-thread flush that exhausts retries must NOT silently lose
+    the dropped buffer: the next writer-thread call re-raises, failing
+    the task so Spark retries the batch."""
+    import pytest as _pytest
+
+    clock = {"t": 0.0}
+
+    def http_send(url, data, headers):
+        return (500, b"boom")
+
+    from amazon_kinesis_analytics_streaming_etl_spark.streaming.es_transport import (
+        SigV4BulkTransport,
+    )
+
+    t = SigV4BulkTransport(
+        "https://search-x.us-east-1.es.amazonaws.com",
+        region="us-east-1",
+        access_key=AK,
+        secret_key=SK,
+        http_send=http_send,
+        sleep=lambda s: None,
+        max_retries=1,
+        flush_interval_s=5.0,
+        clock=lambda: clock["t"],
+    )
+    t("trip", "1", "{}")
+    clock["t"] = 6.0
+    # simulate the timer thread's tick + failure capture
+    try:
+        t._maybe_interval_flush()
+    except Exception as exc:  # what _timer_loop does
+        t._async_error = exc
+    with _pytest.raises(RuntimeError, match="interval-timer bulk flush failed"):
+        t("trip", "2", "{}")
