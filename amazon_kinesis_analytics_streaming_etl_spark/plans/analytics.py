@@ -3085,3 +3085,409 @@ def eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# round 8: inferential-stats family — the A/B-measurement shapes a product
+# pipeline runs over the same events table (Welch t, Mann-Whitney U,
+# Kaplan-Meier survival, Theil-Sen robust trend, Benford digit audit)
+# --------------------------------------------------------------------------
+
+@register(
+    "stats_welch_ttest",
+    """
+    WITH s AS (
+      SELECT
+        count(*) FILTER (event_type = 'purchase') AS n1,
+        avg(value) FILTER (event_type = 'purchase') AS m1,
+        var_samp(value) FILTER (event_type = 'purchase') AS v1,
+        count(*) FILTER (event_type = 'click') AS n2,
+        avg(value) FILTER (event_type = 'click') AS m2,
+        var_samp(value) FILTER (event_type = 'click') AS v2
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CAST(CAST(m1 - m2 AS REAL) AS DOUBLE) + 0.00000001, 4)
+             AS mean_diff,
+           round(CAST(CAST((m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS REAL)
+                      AS DOUBLE) + 0.00000001, 3) AS t_stat,
+           round(CAST(CAST(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1))
+                 AS REAL) AS DOUBLE) + 0.00000001, 1) AS welch_dof
+    FROM s
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event populations
+    (purchase vs click values) with the Welch-Satterthwaite dof — the
+    default two-sample A/B statistic when variances differ. One
+    conditional-aggregate pass over events (six FILTERed aggregates,
+    map-side combined, no join, no shuffle beyond the single global
+    agg); the statistic assembles driver-free from the 1-row aggregate.
+    Engine-float contract: t and dof are assembled from each engine's
+    own exact aggregates, then float32-squashed + half-tie-epsilon
+    rounded, same as the chi2 family."""
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    p = F.col("event_type") == "purchase"
+    c = F.col("event_type") == "click"
+    s = ev.agg(
+        F.count(F.when(p, 1)).alias("n1"),
+        F.avg(F.when(p, F.col("value"))).alias("m1"),
+        F.var_samp(F.when(p, F.col("value"))).alias("v1"),
+        F.count(F.when(c, 1)).alias("n2"),
+        F.avg(F.when(c, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(c, F.col("value"))).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(
+            (F.col("m1") - F.col("m2")).cast("float").cast("double")
+            + 0.00000001,
+            4,
+        ).alias("mean_diff"),
+        F.round(
+            ((F.col("m1") - F.col("m2")) / F.sqrt(se2))
+            .cast("float")
+            .cast("double")
+            + 0.00000001,
+            3,
+        ).alias("t_stat"),
+        F.round(dof.cast("float").cast("double") + 0.00000001, 1).alias(
+            "welch_dof"
+        ),
+    )
+
+
+@register(
+    "stats_mannwhitney_u",
+    """
+    WITH pooled AS (
+      SELECT round(value, 3) AS v,
+             count(*) FILTER (event_type = 'purchase') AS c1,
+             count(*) FILTER (event_type = 'click') AS c2
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, c1, c2,
+             sum(c1 + c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below,
+             c1 + c2 AS ties
+      FROM pooled
+    ),
+    agg AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2,
+             sum(c1 * (COALESCE(below, 0) + (ties + 1) / 2.0)) AS r1,
+             sum(pow(ties, 3) - ties) AS tie_corr
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CAST(CAST(r1 - n1 * (n1 + 1) / 2.0 AS REAL) AS DOUBLE)
+                 + 0.00000001, 1) AS u1,
+           round(CAST(CAST(
+             (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                    - tie_corr / ((n1 + n2) * (n1 + n2 - 1.0))))
+             AS REAL) AS DOUBLE) + 0.00000001, 3) AS z_stat
+    FROM agg
+    """,
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between purchase and click
+    values with midrank tie handling and the tie-corrected normal
+    approximation — the nonparametric twin of stats_welch_ttest.
+
+    Rank-free plan: values quantize to 3dp and aggregate to the DISTINCT
+    value domain first (one map-side-combined shuffle, domain bounded by
+    quantization, not row count); midranks derive from the exclusive
+    running count over that aggregated domain via
+    operators.scale.global_cumsum — ONE range shuffle over the value
+    domain, never a single-partition rank over raw rows. R1/U1/z then
+    assemble from a 1-row aggregate. The oracle mirrors with a SQL
+    window over the same quantized domain."""
+    from ..operators.scale import global_cumsum
+
+    ev = load_events(spark, sf_dir).where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    )
+    pooled = ev.groupBy(F.round("value", 3).alias("v")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c2"),
+    )
+    pooled = pooled.withColumn("ties", F.col("c1") + F.col("c2"))
+    ranked = global_cumsum(pooled, "v", "ties", "below", exclusive=True)
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.col("below") + (F.col("ties") + 1) / 2.0)
+        ).alias("r1"),
+        F.sum(F.pow(F.col("ties"), 3) - F.col("ties")).alias("tie_corr"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n1 + n2 + 1) - F.col("tie_corr") / ((n1 + n2) * (n1 + n2 - 1.0)))
+    )
+    return agg.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(u1.cast("float").cast("double") + 0.00000001, 1).alias("u1"),
+        F.round(
+            ((u1 - n1 * n2 / 2.0) / sigma).cast("float").cast("double")
+            + 0.00000001,
+            3,
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "survival_kaplan_meier",
+    """
+    WITH mx AS (SELECT max(ts) AS mts FROM events),
+    u AS (
+      SELECT user_id,
+             date_diff('day', min(ts), max(ts)) AS dur,
+             CAST(max(ts) < (SELECT mts FROM mx) - INTERVAL 3 DAY
+                  AS INT) AS observed
+      FROM events GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS total FROM u),
+    d AS (
+      SELECT dur,
+             sum(observed) AS d_ev,
+             sum(1 - observed) AS c_cen
+      FROM u GROUP BY 1
+    ),
+    r AS (
+      SELECT dur, d_ev, c_cen,
+             (SELECT total FROM n)
+               - COALESCE(sum(d_ev + c_cen) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM d
+    ),
+    s AS (
+      SELECT dur, d_ev, c_cen, n_risk,
+             sum(ln(greatest(1.0 - CAST(d_ev AS DOUBLE) / n_risk,
+                             0.000000000001)))
+               OVER (ORDER BY dur) AS ln_s
+      FROM r
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_ev AS BIGINT) AS n_events,
+           CAST(c_cen AS BIGINT) AS n_censored,
+           round(CAST(CAST(exp(ln_s) AS REAL) AS DOUBLE) + 0.00000001, 4)
+             AS survival
+    FROM s ORDER BY dur_days
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes (first->last event per
+    user, in days): a user whose last event predates the corpus end by
+    > 3 days churned (observed); later last-events are right-censored.
+    S(t) = prod over event days <= t of (1 - d_i / n_i), computed as
+    exp of the running sum of logs.
+
+    Scale shape: per-user lifetimes are ONE user-keyed aggregate; the
+    day table is bounded by the observation window (|days|, not |users|,
+    rows), so both running quantities (at-risk counts and the log-
+    survival prefix) ride operators.scale.global_cumsum over that
+    bounded domain — the same no-bare-Window.orderBy discipline as the
+    Gini/ABC family. The 1-row user total and corpus max(ts) broadcast
+    as whitelisted scalars."""
+    from ..operators.scale import global_cumsum
+
+    ev = load_events(spark, sf_dir)
+    mx = ev.agg(F.max("ts").alias("mts"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(F.col("last_ts"), F.col("first_ts")).alias("dur"),
+            (
+                F.col("last_ts") < F.col("mts") - F.expr("INTERVAL 3 DAY")
+            )
+            .cast("int")
+            .alias("observed"),
+        )
+    )
+    u = u.localCheckpoint(eager=False)  # total + day table reuse one pass
+    n = u.agg(F.count("*").alias("total"))
+    d = u.groupBy("dur").agg(
+        F.sum("observed").alias("d_ev"),
+        F.sum(1 - F.col("observed")).alias("c_cen"),
+    )
+    d = d.withColumn("dropped", F.col("d_ev") + F.col("c_cen"))
+    r = global_cumsum(d, "dur", "dropped", "below", exclusive=True)
+    r = r.crossJoin(F.broadcast(n)).withColumn(
+        "n_risk", F.col("total") - F.col("below")
+    )
+    r = r.withColumn(
+        "ln_term",
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.col("d_ev").cast("double") / F.col("n_risk"),
+                F.lit(1e-12),
+            )
+        ),
+    )
+    s = global_cumsum(r, "dur", "ln_term", "ln_s")
+    return s.select(
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_ev").cast("long").alias("n_events"),
+        F.col("c_cen").cast("long").alias("n_censored"),
+        F.round(
+            F.exp(F.col("ln_s")).cast("float").cast("double") + 0.00000001, 4
+        ).alias("survival"),
+    ).orderBy("dur_days")
+
+
+@register(
+    "ts_theilsen_slope",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.c - a.c) / date_diff('day', a.day, b.day) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(CAST(quantile_cont(slope, 0.5) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS theilsen_slope
+    FROM slopes GROUP BY 1 ORDER BY 1
+    """,
+)
+def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all pairwise
+    slopes of the daily-count series — the breakdown-resistant
+    complement to ts_trend_ols (a single outlier day shifts OLS, not the
+    pairwise median; Sen 1968).
+
+    Scale shape: the O(n^2) pairwise stage runs on the AGGREGATED daily
+    series, never raw events — |days| points per type (bounded by the
+    observation window), so C(|days|, 2) ~ 400 pairs/type at a 30-day
+    window regardless of row count. One map-side-combined aggregate to
+    daily counts, one broadcast-size self-join per type, exact
+    interpolated median (both engines linear-interpolate), squash+round
+    contract."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("c"))
+    daily = daily.localCheckpoint(eager=False)  # both join sides, one scan
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.c") - F.col("a.c"))
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.expr("percentile(slope, 0.5)")
+                .cast("float")
+                .cast("double")
+                + 0.00000001,
+                4,
+            ).alias("theilsen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice
+               / pow(10, floor(log10(o_totalprice)))) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM d)
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(CAST(count(*) / (SELECT total FROM n) AS REAL)
+                      AS DOUBLE) + 0.00000001, 4) AS freq,
+           round(CAST(CAST(log10(1.0 + 1.0 / digit) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS benford_expected,
+           round(CAST(CAST(abs(count(*) / (SELECT total FROM n)
+                      - log10(1.0 + 1.0 / digit)) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS abs_dev
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    first-significant-digit frequency vs the log10(1 + 1/d) expectation
+    — the classic fabricated-data / corrupted-feed screen, useful as a
+    data-quality gate on any monetary column. One map-side-combined
+    aggregate to the 9-digit domain plus a whitelisted 1-row total;
+    the digit extraction is pure JVM math (floor/log10), no UDF."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    d = d.localCheckpoint(eager=False)  # digit rows feed total + groupBy
+    n = d.agg(F.count("*").cast("double").alias("total"))
+    freq = F.count("*") / F.first("total")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                freq.cast("float").cast("double") + 0.00000001, 4
+            ).alias("freq"),
+            # abs_dev derives from the RAW freq/expectation (the oracle
+            # mirrors); deriving it from the rounded columns loses the
+            # last decimal at round boundaries
+            F.round(
+                F.abs(freq - expected).cast("float").cast("double")
+                + 0.00000001,
+                4,
+            ).alias("abs_dev"),
+        )
+        .select(
+            "digit",
+            "n",
+            "freq",
+            F.round(
+                expected.cast("float").cast("double") + 0.00000001, 4
+            ).alias("benford_expected"),
+            "abs_dev",
+        )
+        .orderBy("digit")
+    )

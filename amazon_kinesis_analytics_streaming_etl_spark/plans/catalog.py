@@ -51,6 +51,16 @@ _STALE_R8 = [
     "stream_timeout_sessions",
     "es_upsert_idempotent",
     "join_bloom_prefilter",
+    # NEW in round 8 (no driver signal yet; committed local oracle
+    # greens at sf0.001 on landing, full-sweep greens at round close)
+    "stats_welch_ttest",
+    "stats_mannwhitney_u",
+    "survival_kaplan_meier",
+    "ts_theilsen_slope",
+    "stats_benford_digits",
+    "prep_winsorize_stats",
+    "prep_shuffle_deterministic",
+    "agg_unpivot",
     # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",
     "funnel_time_to_convert",

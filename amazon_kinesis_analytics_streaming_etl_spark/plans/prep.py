@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint_md5, lower_tokens
 from ..schemas import load_events
 from ..operators.scale import global_cumsum
-from .relational import register
+from .relational import _t, register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,3 +830,116 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# round 8: feature winsorization + deterministic corpus shuffle
+# --------------------------------------------------------------------------
+
+@register(
+    "prep_winsorize_stats",
+    """
+    WITH q AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(CAST((SELECT p01 FROM q) AS REAL) AS DOUBLE)
+                 + 0.00000001, 2) AS p01,
+           round(CAST(CAST((SELECT p99 FROM q) AS REAL) AS DOUBLE)
+                 + 0.00000001, 2) AS p99,
+           round(CAST(CAST(avg(l_extendedprice) AS REAL) AS DOUBLE)
+                 + 0.00000001, 2) AS mean_raw,
+           round(CAST(CAST(avg(least(greatest(l_extendedprice,
+                       (SELECT p01 FROM q)), (SELECT p99 FROM q)))
+                 AS REAL) AS DOUBLE) + 0.00000001, 2) AS mean_winsor,
+           CAST(count(*) FILTER (l_extendedprice < (SELECT p01 FROM q)
+                OR l_extendedprice > (SELECT p99 FROM q)) AS BIGINT)
+             AS n_clipped
+    FROM lineitem
+    """,
+)
+def prep_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized feature statistics: clip l_extendedprice at its exact
+    [p01, p99] and report the clip bounds, raw vs winsorized mean, and
+    the clipped-row count — the outlier-robust normalization step before
+    a numeric feature enters training.
+
+    The gate uses Spark's exact `percentile` so the oracle (DuckDB
+    quantile_cont, same linear interpolation) matches bit-for-bit after
+    the squash; the production path at 100 TB swaps in
+    approx_percentile(eps) — same plan shape, sketch instead of sort —
+    which this gate's exact twin exists to validate against. Two passes
+    over one cached scan (quantiles, then clipped aggregate) with the
+    1-row quantile pair broadcast as a whitelisted scalar."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    li = li.localCheckpoint(eager=False)  # quantile pass + stats pass
+    q = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    x = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(x, F.col("p01")), F.col("p99"))
+    return li.crossJoin(F.broadcast(q)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.first("p01").cast("float").cast("double") + 0.00000001, 2
+        ).alias("p01"),
+        F.round(
+            F.first("p99").cast("float").cast("double") + 0.00000001, 2
+        ).alias("p99"),
+        F.round(
+            F.avg(x).cast("float").cast("double") + 0.00000001, 2
+        ).alias("mean_raw"),
+        F.round(
+            F.avg(clipped).cast("float").cast("double") + 0.00000001, 2
+        ).alias("mean_winsor"),
+        F.count(
+            F.when((x < F.col("p01")) | (x > F.col("p99")), 1)
+        ).cast("long").alias("n_clipped"),
+    )
+
+
+@register(
+    "prep_shuffle_deterministic",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS hk
+      FROM documents
+    ),
+    top AS (SELECT doc_id, hk FROM h ORDER BY hk, doc_id LIMIT 20)
+    SELECT CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT)
+             AS position,
+           doc_id, hk
+    FROM top ORDER BY position
+    """,
+)
+def prep_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle — the reproducible
+    training-order primitive: every engine and every rerun agrees on the
+    permutation because the sort key is md5(doc_id || seed), a pure
+    function of the data (never rand(), whose draw order is
+    partitioning-dependent). The gate surfaces the first 20 positions.
+
+    Scale shape: the full shuffle at 100 TB is a range-partitioned sort
+    on the hash key (one shuffle, writers emit sorted runs per range —
+    exactly how the packing pipeline consumes it); the gate's top-20 is
+    a sort-limit (per-partition top-k + driver merge of 20-row heads,
+    no global sort materialized). The 20-row row_number window is
+    bounded by the limit, not the corpus."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias(
+            "hk"
+        ),
+    )
+    top = docs.orderBy("hk", "doc_id").limit(20)
+    w = Window.orderBy("hk", "doc_id")  # bounded: 20 rows post-limit
+    return top.select(
+        F.row_number().over(w).cast("long").alias("position"),
+        "doc_id",
+        "hk",
+    ).orderBy("position")

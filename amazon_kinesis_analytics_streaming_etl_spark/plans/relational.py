@@ -1802,3 +1802,60 @@ def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .orderBy("segment")
     )
+
+
+@register(
+    "agg_unpivot",
+    """
+    WITH base AS (SELECT * FROM lineitem WHERE l_orderkey < 64)
+    SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             CAST(l_quantity AS DOUBLE) AS val FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice',
+             l_extendedprice FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM base
+    )
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of agg_pivot: four numeric lineitem
+    measures widen into (metric, val) rows via the native
+    ``DataFrame.unpivot`` (Spark's UNPIVOT clause), the standard
+    wide-to-long reshape before a per-metric groupBy or a metrics-table
+    write. Narrow op: one scan, no shuffle — each input row emits its 4
+    melted rows map-side (the oracle mirrors with UNION ALL). The
+    l_orderkey < 64 cut keeps the driver-compare bounded; production
+    melts the full table and aggregates downstream."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 64)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+    )
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount", "tax"],
+            "metric",
+            "val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "metric",
+            F.round("val", 2).alias("val"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
