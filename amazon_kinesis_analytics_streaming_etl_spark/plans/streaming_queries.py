@@ -583,10 +583,14 @@ def stream_tdigest_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(s_end, '{_TS_FMT_DUCK}') AS session_end,
            n_events, total_value
     FROM agg, wm
-    WHERE NOT (
-      sess_id = (SELECT max(sess_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
-      AND s_end + INTERVAL 30 MINUTE >= w
-    )
+    -- ANY session whose deadline has not passed the final watermark is
+    -- withheld, not only the user's last: while w <= s_end + gap a
+    -- straggler in (s_end, s_end + gap] could still extend it or bridge
+    -- it into its successor, so append mode cannot have emitted it.
+    -- (Round 8: the operator was fixed to hold ALL pending sessions —
+    -- tests/test_timeout_sessions_property.py — and the oracle's old
+    -- last-session-only exclusion was the matching approximation.)
+    WHERE s_end + INTERVAL 30 MINUTE < w
     """,
 )
 def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,12 +599,14 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     machine closing sessions either in-data (a successor event past the
     30-minute gap) or by `GroupStateTimeout.EventTimeTimeout` once the
     watermark passes last+gap — the timer fires in Spark's final no-data
-    micro-batch of the availableNow replay. Append-mode contract: each
-    user's open tail session survives past the final watermark
-    (max ts - 1h delay) and is deliberately NOT emitted; the oracle's
-    islands construction excludes exactly those sessions (strict `<`
-    fire condition mirrored as `>=` keep-open). total_value sums the
-    same doubles in both engines, rounded to 2."""
+    micro-batch of the availableNow replay. Append-mode contract: every
+    session whose deadline (end + gap) has not passed the final
+    watermark (max ts - 1h delay) is still mutable by stragglers and is
+    deliberately NOT emitted — the open tail and any late-ending closed
+    candidates alike; the oracle's islands construction excludes exactly
+    those sessions (strict `<` fire condition mirrored as `>=`
+    keep-open). total_value sums the same doubles in both engines,
+    rounded to 2."""
     from ..streaming.stateful import timeout_sessions_per_user
 
     plan = timeout_sessions_per_user(
