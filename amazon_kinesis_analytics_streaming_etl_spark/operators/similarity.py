@@ -692,3 +692,62 @@ def ann_recall_eval(
         .alias("exact_topk_id_sum"),
     )
     return per_q
+
+
+def mine_hard_negatives(
+    emb: DataFrame,
+    anchors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor, the single most-cosine-similar vector carrying a DIFFERENT
+    label — the negatives that actually move a contrastive loss
+    (random negatives are trivially separable; see the in-batch/hard
+    negative literature, e.g. Robinson et al. 2021).
+
+    Returns (anchor_id, negative_id, cos_sim) with the deterministic
+    (cos_sim desc, negative_id asc) tie-break on the 6dp-rounded score.
+
+    Scale shape: the anchor panel broadcasts (bounded — mine in panels,
+    not all-anchors-at-once); the corpus streams through ONE scan that
+    scores every (anchor, candidate) pair JVM-side (zip_with/aggregate
+    dot products, no UDF) and reduces to the per-anchor max via a
+    partial-aggregable struct-max — the shuffle carries |anchors| rows,
+    never the scored cross product. At production scale the candidate
+    pass is IVF-prefiltered (operators/similarity.ivf_topk) so each
+    anchor scores only its nprobe cells; this exact pass is the
+    mining-quality oracle for that path.
+    """
+    from ..functions.vectors import cosine
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("anchor_vec"),
+    )
+    cand = emb.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).alias("cand_vec"),
+    )
+    scored = cand.join(
+        F.broadcast(a), F.col("cand_label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        "negative_id",
+        F.round(cosine(F.col("anchor_vec"), F.col("cand_vec")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    best = scored.groupBy("anchor_id").agg(
+        F.max(
+            F.struct(F.col("cos_sim"), (-F.col("negative_id")).alias("nid"))
+        ).alias("b")
+    )
+    return best.select(
+        "anchor_id",
+        (-F.col("b.nid")).cast("long").alias("negative_id"),
+        F.col("b.cos_sim").alias("cos_sim"),
+    ).orderBy("anchor_id")

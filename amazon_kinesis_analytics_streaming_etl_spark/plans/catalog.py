@@ -61,6 +61,7 @@ _STALE_R8 = [
     "prep_winsorize_stats",
     "prep_shuffle_deterministic",
     "agg_unpivot",
+    "sim_hard_negatives",
     # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",
     "funnel_time_to_convert",

@@ -1538,3 +1538,41 @@ def ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("recall_at_k") >= F.lit(0.05)).alias("recall_ok"),
         (F.avg("ndcg_at_k") >= F.lit(0.10)).alias("ndcg_ok"),
     )
+
+
+@register(
+    "sim_hard_negatives",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS a_label,
+             CAST(embedding AS DOUBLE[]) AS a_vec
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT anchor_id, b.vec_id AS negative_id,
+             round(list_cosine_similarity(a_vec,
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY anchor_id
+               ORDER BY round(list_cosine_similarity(a_vec,
+                        CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                        b.vec_id) AS rn
+      FROM a JOIN embeddings b ON b.label <> a.a_label
+    )
+    SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+           CAST(negative_id AS BIGINT) AS negative_id, cos_sim
+    FROM scored WHERE rn = 1 ORDER BY anchor_id
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.mine_hard_negatives):
+    for each anchor in the deterministic ~2% panel (vec_id % 50 == 0,
+    the ann_quality_eval panel), the most-cosine-similar OTHER-label
+    vector — the contrastive-training negative that matters. One
+    broadcast of the panel, one corpus scan, struct-max argmax (shuffle
+    carries |anchors| rows); the oracle re-ranks brute-force with the
+    identical rounded-cosine / ascending-id tie-break."""
+    from ..operators.similarity import mine_hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") % 50 == 0)
+    return mine_hard_negatives(emb, anchors)

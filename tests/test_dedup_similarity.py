@@ -636,3 +636,35 @@ def test_containment_matches_python_reference(spark):
     assert set(got) == set(want)
     for pair, c in want.items():
         assert got[pair] == pytest.approx(c, abs=1e-6)
+
+
+def test_hard_negatives_are_other_label_argmax(spark):
+    """Every mined negative must (a) carry a different label than its
+    anchor and (b) be the exact brute-force argmax among other-label
+    vectors under the rounded-cosine/asc-id tie-break."""
+    import numpy as np
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["sim_hard_negatives"](spark, sf).collect()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    by_id = {r.vec_id: (np.array(r.embedding, dtype=float), r.label) for r in emb}
+    assert rows and len(rows) == sum(1 for i in by_id if i % 50 == 0)
+    for r in rows:
+        a_vec, a_label = by_id[r.anchor_id]
+        n_vec, n_label = by_id[r.negative_id]
+        assert n_label != a_label
+        best = None
+        for vid, (v, lab) in by_id.items():
+            if lab == a_label:
+                continue
+            c = round(
+                float(np.dot(a_vec, v) / (np.linalg.norm(a_vec) * np.linalg.norm(v))),
+                6,
+            )
+            key = (-c, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, c)
+        assert r.negative_id == best[1]
+        assert abs(r.cos_sim - best[2]) < 2e-6
