@@ -66,6 +66,15 @@ SCALAR_THRESHOLD_QUERIES = {
     "sim_topk_ivfpq",
     "dedup_semantic",
     "sim_topk_lsh_multitable",
+    # round-8 stats family: 1-row scalar broadcasts (digit total, user
+    # total + corpus max(ts), winsorize quantile pair).
+    "stats_benford_digits",
+    "survival_kaplan_meier",
+    "prep_winsorize_stats",
+    # hard-negative mining: non-equi (label !=) join whose BUILD side is
+    # the bounded ~2% anchor panel broadcast — the same bounded-panel
+    # contract as ann_quality_eval.
+    "sim_hard_negatives",
 }
 
 def _batch_queries():
