@@ -1,6 +1,7 @@
-"""As-of join: for each left row, the most recent right row at-or-before
-its timestamp (per key) — the canonical time-series enrichment operator
-(pandas merge_asof / DuckDB ASOF JOIN), which Spark has no builtin for.
+"""As-of join: for each left row, the matching right row per key under
+backward (at-or-before, default), forward (at-or-after), or nearest
+semantics — the canonical time-series enrichment operator (pandas
+merge_asof / DuckDB ASOF JOIN), which Spark has no builtin for.
 
 Spark-first implementation: tag both sides, UNION them, and run one
 ``last(..., ignorenulls)`` window over (key, time) — a single shuffle on
@@ -31,15 +32,31 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    ``right.on <= left.on`` within the same ``by`` key group.
+    """For each left row: columns of the matching right row within the
+    same ``by`` key group, where the match is (pandas merge_asof parity):
+
+    - ``direction="backward"`` (default): latest right with
+      ``right.on <= left.on``;
+    - ``direction="forward"``: earliest right with
+      ``right.on >= left.on``;
+    - ``direction="nearest"``: whichever of the two is closer in time,
+      ties (equal distance) resolved to the BACKWARD match — a pure
+      function of the data, so both engines and every rerun agree.
 
     ``value_cols``: right columns to carry (default: all except on/by).
-    ``tolerance_seconds``: if set, matches older than the tolerance are
-    nulled out (pandas merge_asof semantics).
+    ``tolerance_seconds``: if set, matches farther than the tolerance
+    are nulled out (pandas merge_asof semantics, applied per direction).
     Unmatched left rows keep NULL right columns (left-join semantics).
+
+    All three directions cost the same single shuffle: one union of the
+    tagged sides, one window partitioning on ``by`` — nearest evaluates
+    the backward ``last`` and forward ``first`` fills over the SAME
+    sorted exchange (two frames, one sort), then picks per row.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction}")
     by = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in set(by) | {on}]
@@ -69,32 +86,73 @@ def asof_join(
         F.lit(0).alias(_SIDE),
     )
 
-    # right rows sort before left rows at equal timestamps => ">=" ties match
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = l_tagged.unionByName(r_tagged).select(
-        "*",
+    # right rows sort before left rows at equal timestamps => ">=" ties
+    # match in the backward fill; the forward frame starts at currentRow,
+    # so with the same sort an equal-ts right row precedes the left row
+    # and is matched by the backward fill (correct: at zero distance both
+    # directions agree, and nearest ties resolve backward by contract).
+    order = [F.col(on).asc(), F.col(_SIDE).asc()]
+    part = Window.partitionBy(*by).orderBy(*order)
+    w_back = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    fill_cols = [on_right, *carried]
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills += [
+            F.last(c, ignorenulls=True).over(w_back).alias(f"__b_{c}")
+            for c in fill_cols
+        ]
+    if direction in ("forward", "nearest"):
+        fills += [
+            F.first(c, ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
+            for c in fill_cols
+        ]
+    filled = l_tagged.unionByName(r_tagged).select("*", *fills)
+
+    def _within(prefix: str) -> "F.Column":
+        if tolerance_seconds is None:
+            return F.lit(True)
+        dist = F.abs(
+            F.col(on).cast("double")
+            - F.col(f"{prefix}{on_right}").cast("double")
+        )
+        return dist <= F.lit(float(tolerance_seconds))
+
+    rows = filled.where(F.col(_SIDE) == 1)
+    if direction == "backward":
+        picked = [(F.col(f"__b_{c}")).alias(c) for c in fill_cols]
+        guard = _within("__b_")
+    elif direction == "forward":
+        picked = [(F.col(f"__f_{c}")).alias(c) for c in fill_cols]
+        guard = _within("__f_")
+    else:
+        # pandas parity: tolerance filters the candidate set before the
+        # nearest pick. (With one symmetric tolerance this is provably
+        # equivalent to pick-then-filter — the nearest side's distance
+        # is <= the other's, so it can never be out while the other is
+        # in — but filter-first is the contract pandas documents and
+        # stays correct if per-direction tolerances ever diverge.)
+        b_dist = F.abs(
+            F.col(on).cast("double") - F.col(f"__b_{on_right}").cast("double")
+        )
+        f_dist = F.abs(
+            F.col(on).cast("double") - F.col(f"__f_{on_right}").cast("double")
+        )
+        valid_b = F.col(f"__b_{on_right}").isNotNull() & _within("__b_")
+        valid_f = F.col(f"__f_{on_right}").isNotNull() & _within("__f_")
+        use_back = valid_b & (~valid_f | (b_dist <= f_dist))
+        picked = [
+            F.when(use_back, F.col(f"__b_{c}"))
+            .when(valid_f, F.col(f"__f_{c}"))
+            .alias(c)
+            for c in fill_cols
+        ]
+        guard = use_back | valid_f
+    out = rows.select(*left_cols, *picked, guard.alias("__in_tol"))
+    return out.select(
+        *left_cols,
         *[
-            F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in [on_right, *carried]
+            F.when(F.col("__in_tol"), F.col(c)).alias(c)
+            for c in fill_cols
         ],
     )
-    out = filled.where(F.col(_SIDE) == 1).select(
-        *left_cols,
-        *[F.col(f"__f_{c}").alias(c) for c in [on_right, *carried]],
-    )
-    if tolerance_seconds is not None:
-        in_tol = (
-            F.col(on).cast("double") - F.col(on_right).cast("double")
-        ) <= F.lit(float(tolerance_seconds))
-        out = out.select(
-            *left_cols,
-            *[
-                F.when(in_tol, F.col(c)).alias(c)
-                for c in [on_right, *carried]
-            ],
-        )
-    return out

@@ -62,6 +62,8 @@ _STALE_R8 = [
     "prep_shuffle_deterministic",
     "agg_unpivot",
     "sim_hard_negatives",
+    "asof_join_nearest",
+    "asof_join_events",  # asof operator refactored for directions
     # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",
     "funnel_time_to_convert",

@@ -1859,3 +1859,67 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "metric")
     )
+
+
+@register(
+    "asof_join_nearest",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts, round(max(value), 2) AS p_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts),
+         cand AS (
+           SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.p_value,
+                  abs(epoch_ms(c.ts) - epoch_ms(p.ts)) AS dist,
+                  row_number() OVER (
+                    PARTITION BY c.event_id
+                    ORDER BY abs(epoch_ms(c.ts) - epoch_ms(p.ts)), p.ts
+                  ) AS rn
+           FROM clicks c JOIN purchases p USING (user_id)
+           WHERE abs(epoch_ms(c.ts) - epoch_ms(p.ts)) <= 7200000
+         )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(m.p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+           m.p_value
+    FROM clicks c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) m
+      USING (event_id, user_id)
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with tolerance (operators/asof.py
+    direction="nearest"): each click enriched with the user's CLOSEST
+    purchase within 2 hours, either side; equal distances resolve to the
+    backward match (mirrored in the oracle's ORDER BY dist, p.ts — the
+    earlier candidate). Same single union+window shuffle as backward:
+    nearest evaluates the backward last() and forward first() fills over
+    ONE sorted exchange and picks per row; the oracle brute-forces
+    candidates per click and keeps rank 1."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("p_value"))
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        value_cols=["p_value"],
+        tolerance_seconds=7200,
+        direction="nearest",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.col("p_value_right").alias("p_value"),
+    )
