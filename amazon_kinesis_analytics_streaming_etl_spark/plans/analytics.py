@@ -3491,3 +3491,120 @@ def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "stats_weighted_median",
+    """
+    WITH per_price AS (
+      SELECT l_extendedprice AS p, CAST(sum(l_quantity) AS DOUBLE) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(w) AS tw FROM per_price),
+    cum AS (
+      SELECT p, w, sum(w) OVER (ORDER BY p) AS cw FROM per_price
+    )
+    SELECT round(min(p), 2) AS weighted_median,
+           CAST((SELECT tw FROM tot) AS DOUBLE) AS total_weight,
+           CAST((SELECT count(*) FROM per_price) AS BIGINT)
+             AS n_distinct_prices
+    FROM cum WHERE cw >= (SELECT tw FROM tot) / 2.0
+    """,
+)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median: the smallest l_extendedprice at which
+    the running l_quantity weight reaches half the total — 'the price a
+    typical unit sold at', which the unweighted median misstates when
+    quantities skew. Neither engine has a weighted-quantile builtin, so
+    both construct it identically: aggregate weight per DISTINCT value
+    (one map-side-combined shuffle, domain bounded by value cardinality,
+    not row count), running weight via operators.scale.global_cumsum
+    (one range shuffle — never a single-partition window over raw rows),
+    then min value past the half-weight mark. Exact, no interpolation."""
+    from ..operators.scale import global_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_price = li.groupBy(F.col("l_extendedprice").alias("p")).agg(
+        F.sum("l_quantity").cast("double").alias("w")
+    )
+    per_price = per_price.localCheckpoint(eager=False)  # total + cumsum reuse
+    tot = per_price.agg(
+        F.sum("w").alias("tw"), F.count("*").cast("long").alias("np")
+    )
+    cum = global_cumsum(per_price, "p", "w", "cw")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cw") >= F.col("tw") / 2.0)
+        .agg(
+            F.round(F.min("p"), 2).alias("weighted_median"),
+            F.first("tw").cast("double").alias("total_weight"),
+            F.first("np").alias("n_distinct_prices"),
+        )
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS relation,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    ORDER BY relation
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphaned-FK counts for the three
+    core relationships, the first data-quality gate after any ingest or
+    backfill (a nonzero row means a partial load or a deleted parent).
+    Each check is ONE left-anti join on the FK (hash-shuffled
+    co-partitioned; the nation side broadcasts at dimension size) and a
+    count — no row materialization, partial-aggregable. Adding a
+    relationship adds one anti-join, never a rescan of existing ones."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def audit(child, parent, ck, pk, name, bcast=False):
+        p = F.broadcast(parent) if bcast else parent
+        orphans = child.join(
+            p, child[ck] == p[pk], "left_anti"
+        ).agg(F.count("*").cast("long").alias("n_orphans"))
+        total = child.agg(F.count("*").cast("long").alias("n_child_rows"))
+        return (
+            orphans.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(name).alias("relation"), "n_orphans", "n_child_rows"
+            )
+        )
+
+    return (
+        audit(li, o.select("o_orderkey"), "l_orderkey", "o_orderkey",
+              "lineitem->orders")
+        .unionByName(
+            audit(o, c.select("c_custkey"), "o_custkey", "c_custkey",
+                  "orders->customer")
+        )
+        .unionByName(
+            audit(c, n.select("n_nationkey"), "c_nationkey", "n_nationkey",
+                  "customer->nation", bcast=True)
+        )
+        .orderBy("relation")
+    )

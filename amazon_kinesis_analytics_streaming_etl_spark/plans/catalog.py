@@ -63,6 +63,8 @@ _STALE_R8 = [
     "agg_unpivot",
     "sim_hard_negatives",
     "asof_join_nearest",
+    "stats_weighted_median",
+    "dq_referential_integrity",
     "asof_join_events",  # asof operator refactored for directions
     # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",

@@ -71,6 +71,10 @@ SCALAR_THRESHOLD_QUERIES = {
     "stats_benford_digits",
     "survival_kaplan_meier",
     "prep_winsorize_stats",
+    # weighted median: 1-row total-weight broadcast; RI audit: 1-row
+    # per-relation orphan x total count joins.
+    "stats_weighted_median",
+    "dq_referential_integrity",
     # hard-negative mining: non-equi (label !=) join whose BUILD side is
     # the bounded ~2% anchor panel broadcast — the same bounded-panel
     # contract as ann_quality_eval.

@@ -164,3 +164,29 @@ def test_unpivot_row_count_and_roundtrip(spark):
         F.round(F.sum(F.round("l_extendedprice", 2)), 2),
     ).head()
     assert (chk.q, chk.e) == (src[0], src[1])
+
+
+def test_weighted_median_respects_weights(spark):
+    """Hand check on the catalog query's own inputs: at least half the
+    total quantity-weight sits at or below the reported price, and
+    strictly less than half below it (lower-median definition)."""
+    import pyspark.sql.functions as F
+
+    row = QUERIES["stats_weighted_median"](spark, SF_SMOKE).head()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    at_or_below = li.where(
+        F.col("l_extendedprice") <= row.weighted_median
+    ).agg(F.sum("l_quantity")).head()[0]
+    below = li.where(
+        F.col("l_extendedprice") < row.weighted_median
+    ).agg(F.coalesce(F.sum("l_quantity"), F.lit(0))).head()[0]
+    assert float(at_or_below) >= row.total_weight / 2.0
+    assert float(below) < row.total_weight / 2.0
+
+
+def test_referential_integrity_clean_on_testdata(spark):
+    rows = {r.relation: r for r in QUERIES["dq_referential_integrity"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"lineitem->orders", "orders->customer", "customer->nation"}
+    for r in rows.values():
+        assert r.n_orphans == 0  # generator emits consistent FKs
+        assert r.n_child_rows > 0
