@@ -65,6 +65,7 @@ _STALE_R8 = [
     "asof_join_nearest",
     "stats_weighted_median",
     "dq_referential_integrity",
+    "pipeline_curation_e2e",
     "asof_join_events",  # asof operator refactored for directions
     # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",

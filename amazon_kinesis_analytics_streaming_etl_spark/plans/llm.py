@@ -1576,3 +1576,100 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     anchors = emb.where(F.col("vec_id") % 50 == 0)
     return mine_hard_negatives(emb, anchors)
+
+
+@register(
+    "pipeline_curation_e2e",
+    f"""
+    WITH quality AS (
+      SELECT * FROM documents WHERE n_chars >= 100 AND lang = 'en'
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY doc_id) AS rs
+        FROM dedup
+      ) WHERE rs <= 10
+    ),
+    sampled AS (
+      SELECT * FROM capped
+      WHERE md5(CAST(doc_id AS VARCHAR) || ':curate') < '8'
+    )
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+           CAST((SELECT count(*) FROM quality) AS BIGINT) AS n_quality,
+           CAST((SELECT count(*) FROM dedup) AS BIGINT) AS n_dedup,
+           CAST((SELECT count(*) FROM capped) AS BIGINT) AS n_capped,
+           CAST((SELECT count(*) FROM sampled) AS BIGINT) AS n_sampled,
+           CAST((SELECT coalesce(sum(len({_TOKS_SQL})), 0) FROM sampled)
+                AS BIGINT) AS total_tokens
+    """,
+)
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation pipeline END-TO-END as one declarative
+    plan — quality gate (length + language) -> exact dedup keep-first ->
+    per-source cap (domain-share guard) -> deterministic ~50% md5 sample
+    -> token accounting. Every stage is the engine's real operator
+    shape, chained; the summary row reports the funnel so a corpus run
+    is auditable stage by stage.
+
+    Scale shape: one scan feeds the whole funnel (localCheckpointed so
+    the six stage-counts never rescan parquet); the dedup and cap stages
+    are keyed windows on their natural keys (fingerprint, source) — the
+    same partitioning discipline as the standalone operators; the
+    md5-prefix sample is layout-stable (adding/removing files never
+    changes membership). At 100 TB the only wide ops are those two
+    keyed exchanges and the final partial-aggregated token sum."""
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    docs = _docs(spark, sf_dir).localCheckpoint(eager=False)
+    quality = docs.where((F.col("n_chars") >= 100) & (F.col("lang") == "en"))
+    dedup = (
+        quality.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    capped = (
+        dedup.withColumn(
+            "rs",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rs") <= 10)
+        .drop("rs")
+    )
+    sampled = capped.where(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curate")))
+        < "8"
+    ).localCheckpoint(eager=False)  # count + token sum share the funnel
+
+    def cnt(df, name):
+        return df.agg(F.count("*").cast("long").alias(name))
+
+    toks = sampled.agg(
+        F.coalesce(F.sum(token_count(F.lower(F.col("text")))), F.lit(0))
+        .cast("long")
+        .alias("total_tokens")
+    )
+    return (
+        cnt(docs, "n_input")
+        .crossJoin(F.broadcast(cnt(quality, "n_quality")))
+        .crossJoin(F.broadcast(cnt(dedup, "n_dedup")))
+        .crossJoin(F.broadcast(cnt(capped, "n_capped")))
+        .crossJoin(F.broadcast(cnt(sampled, "n_sampled")))
+        .crossJoin(F.broadcast(toks))
+    )

@@ -75,6 +75,8 @@ SCALAR_THRESHOLD_QUERIES = {
     # per-relation orphan x total count joins.
     "stats_weighted_median",
     "dq_referential_integrity",
+    # curation funnel: 1-row stage-count crossJoins (funnel audit row).
+    "pipeline_curation_e2e",
     # hard-negative mining: non-equi (label !=) join whose BUILD side is
     # the bounded ~2% anchor panel broadcast — the same bounded-panel
     # contract as ann_quality_eval.
