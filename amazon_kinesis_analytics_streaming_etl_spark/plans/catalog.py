@@ -66,6 +66,7 @@ _STALE_R8 = [
     "stats_weighted_median",
     "dq_referential_integrity",
     "pipeline_curation_e2e",
+    "stream_daily_distinct_users",
     "asof_join_events",  # asof operator refactored for directions
     # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",

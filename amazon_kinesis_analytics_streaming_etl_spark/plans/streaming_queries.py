@@ -624,3 +624,40 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+@register(
+    "stream_daily_distinct_users",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}') AS day_start,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+          <= (SELECT max(ts) FROM events)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed DISTINCT counting in a stream — the DAU panel. Distinct
+    aggregates are unsupported in streaming, so the streaming-native
+    form is dropDuplicates on (type, user, day) with a watermark (state
+    = one tombstone per distinct triple, watermark-evicted) feeding a
+    plain tumbling count — two chained stateful operators, exactly-once
+    per triple. Append mode: the trailing partial day is withheld and
+    the oracle mirrors with its `day + 1 <= max(ts)` predicate (the
+    stream_chained_agg precedent)."""
+    stream = _events_stream(spark, sf_dir)
+    wm = stream.withWatermark("ts", "0 seconds")
+    deduped = wm.select(
+        "event_type", "user_id", "ts", F.date_trunc("day", "ts").alias("d")
+    ).dropDuplicates(["event_type", "user_id", "d"])
+    daily = deduped.groupBy(
+        F.window("ts", "1 day").alias("dwin"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n_users"))
+    out = replay_to_memory(spark, daily, output_mode="append")
+    return out.select(
+        F.date_format("dwin.start", _TS_FMT_SPARK).alias("day_start"),
+        "event_type",
+        "n_users",
+    ).orderBy("day_start", "event_type")

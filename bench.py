@@ -92,6 +92,15 @@ HEADLINE = [
     "markov_event_transitions",
     "scd2_state_runs",
     "anomaly_mad_robust",
+    # round 8 additions (cheap single-pass/bounded-domain shapes; the
+    # heavier new ops — hard-negative mining's QxN scan, the hypothesis
+    # sessionizer — run in the correctness sweep, not here, same rule
+    # as earlier rounds)
+    "stats_welch_ttest",
+    "ts_theilsen_slope",
+    "stats_weighted_median",
+    "asof_join_nearest",
+    "pipeline_curation_e2e",
 ]
 
 
