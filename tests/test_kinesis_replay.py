@@ -781,3 +781,64 @@ def test_pipeline_auto_arms_snapshot_for_capped_available_now(
     Pipeline.from_config(spark, args=args).run_available_now()
     df = spark.read.parquet(f"{out}/job_start=*/pickup_location=*/year=*/month=*")
     assert df.count() == 30  # full drain despite the cap
+
+
+def test_snapshot_slice_partitioning_property(tmp_path):
+    """No-Spark hypothesis sweep of the snapshot-drain slice math: for
+    random shard sizes and caps, partitions() must tile each shard's
+    [0, count) exactly (contiguous, gap-free, <=cap each) and the frozen
+    snapshot must ignore later appends."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kinesis_replay import (
+        _ReplayStreamReader,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 200), min_size=1, max_size=4),
+        cap=st.integers(1, 64),
+    )
+    def run(sizes, cap):
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            for i, n in enumerate(sizes):
+                _write_shard(d, i, [f"s{i}r{j}" for j in range(n)])
+            r = _ReplayStreamReader(
+                {
+                    "path": d,
+                    "maxrecordsperbatch": str(cap),
+                    "availablenowsnapshot": "true",
+                }
+            )
+            start = r.initialOffset()
+            end = r.latestOffset()
+            assert end == {
+                f"shardId-{i:012d}": n for i, n in enumerate(sizes)
+            }
+            slices = r.partitions(start, end)
+            per = {}
+            for sl in slices:
+                if sl.path == "":
+                    continue  # empty-batch sentinel
+                assert 0 < sl.end - sl.start <= cap
+                per.setdefault(sl.shard, []).append((sl.start, sl.end))
+            for i, n in enumerate(sizes):
+                shard = f"shardId-{i:012d}"
+                got = sorted(per.get(shard, []))
+                if n == 0:
+                    assert got == []
+                    continue
+                assert got[0][0] == 0 and got[-1][1] == n
+                assert all(b == c for (_, b), (c, _) in zip(got, got[1:]))
+            # frozen against appends
+            _write_shard(d, 0, ["late"], append=True)
+            assert r.latestOffset() == end
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    run()
