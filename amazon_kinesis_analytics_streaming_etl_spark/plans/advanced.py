@@ -600,3 +600,140 @@ def sketch_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("est_p50") >= F.col("_q45")) & (F.col("est_p50") <= F.col("_q55"))).alias("p50_ok"),
         ((F.col("est_p95") >= F.col("_q93")) & (F.col("est_p95") <= F.col("_q97"))).alias("p95_ok"),
     )
+
+
+@register(
+    "hll_sliding_distinct",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    trail7 AS (
+      SELECT d.day, count(DISTINCT e.user_id) AS exact_users
+      FROM days d JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(exact_users AS BIGINT) AS exact_users,
+           TRUE AS sliding_est_ok
+    FROM trail7 ORDER BY day
+    """,
+)
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from STORED daily HLL
+    sketches — the sliding-window form of hll_sketch_rollup and the
+    reason mergeable sketches exist: the raw stream is scanned ONCE into
+    |days| daily sketches; every trailing window is then a union of <= 7
+    binaries on the day-table (|days| x 7 rows), so adding a new day
+    costs one sketch + 7 merges, never a 7-day rescan. An exact rolling
+    count-distinct cannot be pre-aggregated at all (distinct is not
+    mergeable) — at 100 TB it would re-touch a week of raw data per day.
+
+    Gate: each day's sketch-union estimate must land within 5% of the
+    exact trailing distinct (the verification twin both engines compute;
+    the oracle's exact side is the crossable value)."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch")
+    )
+    daily = daily.localCheckpoint(eager=False)  # spine + union reuse
+    a, b = daily.select("day").alias("a"), daily.alias("b")
+    est = (
+        a.join(
+            b,
+            (F.col("b.day") >= F.date_sub(F.col("a.day"), 6))
+            & (F.col("b.day") <= F.col("a.day")),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+        )
+    )
+    exact = (
+        daily.select("day")
+        .join(
+            ev.select(F.to_date("ts").alias("eday"), "user_id"),
+            (F.col("eday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("eday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return (
+        exact.join(est, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("sliding_est_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "dq_sequence_gaps",
+    """
+    WITH ids AS (SELECT event_id FROM events),
+    stats AS (
+      SELECT min(event_id) AS lo, max(event_id) AS hi,
+             count(*) AS n, count(DISTINCT event_id) AS nd
+      FROM ids
+    ),
+    gap_starts AS (
+      SELECT a.event_id + 1 AS gap_start
+      FROM ids a LEFT JOIN ids b ON b.event_id = a.event_id + 1
+      WHERE b.event_id IS NULL
+        AND a.event_id < (SELECT hi FROM stats)
+      ORDER BY gap_start LIMIT 10
+    )
+    SELECT CAST((SELECT lo FROM stats) AS BIGINT) AS min_id,
+           CAST((SELECT hi FROM stats) AS BIGINT) AS max_id,
+           CAST((SELECT n FROM stats) AS BIGINT) AS n_rows,
+           CAST((SELECT hi - lo + 1 - nd FROM stats) AS BIGINT)
+             AS n_missing,
+           CAST((SELECT n - nd FROM stats) AS BIGINT) AS n_duplicate_ids,
+           CAST((SELECT coalesce(min(gap_start), -1) FROM gap_starts)
+                AS BIGINT) AS first_gap_start
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit on event_id — the missed-delivery / double-
+    delivery screen for any monotonically-assigned id column: total
+    missing ids in [min, max], duplicate-id count, and the first gap
+    start. Gap starts are found WITHOUT a global sort: an id starts a
+    gap iff id+1 is absent — one self hash-join on a shifted key
+    (co-partitioned, no ordering requirement at any scale); the
+    summary aggregates are a single pass. The first-gap probe is a
+    sort-limit on the (small) gap-start set, never on raw rows."""
+    ev = load_events(spark, sf_dir).select("event_id")
+    ev = ev.localCheckpoint(eager=False)  # stats + both join sides
+    stats = ev.agg(
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("nd"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    gap_starts = (
+        a.join(b, F.col("b.event_id") == F.col("a.event_id") + 1, "left_anti")
+        .crossJoin(F.broadcast(stats.select("hi")))
+        .where(F.col("a.event_id") < F.col("hi"))
+        .select((F.col("a.event_id") + 1).alias("gap_start"))
+        .orderBy("gap_start")
+        .limit(10)
+    )
+    first_gap = gap_starts.agg(
+        F.coalesce(F.min("gap_start"), F.lit(-1)).alias("first_gap_start")
+    )
+    return stats.crossJoin(F.broadcast(first_gap)).select(
+        F.col("lo").cast("long").alias("min_id"),
+        F.col("hi").cast("long").alias("max_id"),
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("hi") - F.col("lo") + 1 - F.col("nd"))
+        .cast("long")
+        .alias("n_missing"),
+        (F.col("n") - F.col("nd")).cast("long").alias("n_duplicate_ids"),
+        F.col("first_gap_start").cast("long").alias("first_gap_start"),
+    )

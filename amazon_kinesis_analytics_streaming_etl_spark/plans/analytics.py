@@ -3608,3 +3608,61 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relation")
     )
+
+
+@register(
+    "growth_mom_revenue",
+    """
+    WITH monthly AS (
+      SELECT n.n_name AS nation,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, strftime(month, '%Y-%m') AS month, revenue,
+           round(CAST(CAST(
+             CASE WHEN lag(revenue) OVER (PARTITION BY nation ORDER BY month)
+                       > 0
+                  THEN (revenue / lag(revenue) OVER (PARTITION BY nation
+                                                     ORDER BY month) - 1.0)
+                       * 100.0 END
+             AS REAL) AS DOUBLE) + 0.00000001, 2) AS mom_pct
+    FROM monthly ORDER BY nation, month
+    """,
+)
+def growth_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the standard
+    reporting delta: monthly rollup (orders x customer x broadcast
+    nation, one aggregate), then lag() on the calendar-bounded
+    (nation, month) frame — the window runs on |nations| x |months|
+    rows, never raw orders, so the per-partition sort is dimension-sized
+    at any scale. First month per nation has NULL growth (no prior)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.trunc("o_orderdate", "month").alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "nation",
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "revenue",
+        F.round(
+            F.when(prev > 0, (F.col("revenue") / prev - 1.0) * 100.0)
+            .cast("float")
+            .cast("double")
+            + 0.00000001,
+            2,
+        ).alias("mom_pct"),
+    ).orderBy("nation", "month")

@@ -67,6 +67,10 @@ _STALE_R8 = [
     "dq_referential_integrity",
     "pipeline_curation_e2e",
     "stream_daily_distinct_users",
+    "hll_sliding_distinct",
+    "dq_sequence_gaps",
+    "text_normalize_dedup",
+    "growth_mom_revenue",
     "asof_join_events",  # asof operator refactored for directions
     # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",

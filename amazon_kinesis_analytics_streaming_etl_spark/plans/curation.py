@@ -610,3 +610,41 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "text_normalize_dedup",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_raw,
+           CAST(count(DISTINCT md5(ntext)) AS BIGINT) AS distinct_norm,
+           CAST(count(DISTINCT md5(text)) - count(DISTINCT md5(ntext))
+                AS BIGINT) AS collapsed_by_norm
+    FROM documents JOIN norm USING (doc_id)
+    """,
+)
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup — the canonicalization step that
+    runs BEFORE fingerprinting in every curation pipeline: lowercase +
+    whitespace collapse + trim, then count how many raw-distinct docs
+    collapse into shared canonical forms (case/spacing mirrors that raw
+    md5 dedup misses, cheaper than any near-dup pass). One scan, two
+    count-distinct aggregates over md5 fingerprints — partial-aggregable,
+    no self-join; the normalized fingerprint is the key the exact-dedup
+    stage (`dedup_exact`) would shuffle on at 100 TB. Regex kept to the
+    POSIX-compatible subset both engines tokenize identically."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("distinct_raw"),
+        F.countDistinct(F.md5(norm)).cast("long").alias("distinct_norm"),
+        (
+            F.countDistinct(F.md5("text")) - F.countDistinct(F.md5(norm))
+        ).cast("long").alias("collapsed_by_norm"),
+    )

@@ -77,6 +77,11 @@ SCALAR_THRESHOLD_QUERIES = {
     "dq_referential_integrity",
     # curation funnel: 1-row stage-count crossJoins (funnel audit row).
     "pipeline_curation_e2e",
+    # sliding HLL: day-spine range joins whose build side is the
+    # |days|-row day table (calendar-bounded); sequence gaps: 1-row
+    # stats/first-gap broadcasts.
+    "hll_sliding_distinct",
+    "dq_sequence_gaps",
     # hard-negative mining: non-equi (label !=) join whose BUILD side is
     # the bounded ~2% anchor panel broadcast — the same bounded-panel
     # contract as ann_quality_eval.
