@@ -3120,47 +3120,26 @@ def eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test between two event populations
     (purchase vs click values) with the Welch-Satterthwaite dof — the
-    default two-sample A/B statistic when variances differ. One
-    conditional-aggregate pass over events (six FILTERed aggregates,
-    map-side combined, no join, no shuffle beyond the single global
-    agg); the statistic assembles driver-free from the 1-row aggregate.
-    Engine-float contract: t and dof are assembled from each engine's
-    own exact aggregates, then float32-squashed + half-tie-epsilon
-    rounded, same as the chi2 family."""
-    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
-    p = F.col("event_type") == "purchase"
-    c = F.col("event_type") == "click"
-    s = ev.agg(
-        F.count(F.when(p, 1)).alias("n1"),
-        F.avg(F.when(p, F.col("value"))).alias("m1"),
-        F.var_samp(F.when(p, F.col("value"))).alias("v1"),
-        F.count(F.when(c, 1)).alias("n2"),
-        F.avg(F.when(c, F.col("value"))).alias("m2"),
-        F.var_samp(F.when(c, F.col("value"))).alias("v2"),
-    )
-    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
-    dof = F.pow(se2, 2) / (
-        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
-        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
-    )
+    default two-sample A/B statistic when variances differ. Thin display
+    wrapper over operators/stats.py:welch_ttest (one conditional-
+    aggregate pass, no join, no extra shuffle); float32-squash +
+    half-tie-epsilon rounding on the way out, same as the chi2 family."""
+    from ..operators.stats import welch_ttest
+
+    ev = load_events(spark, sf_dir)
+    s = welch_ttest(ev, "value", "event_type", "purchase", "click")
     return s.select(
-        F.col("n1").cast("long").alias("n1"),
-        F.col("n2").cast("long").alias("n2"),
+        "n1",
+        "n2",
         F.round(
-            (F.col("m1") - F.col("m2")).cast("float").cast("double")
-            + 0.00000001,
-            4,
+            F.col("mean_diff").cast("float").cast("double") + 0.00000001, 4
         ).alias("mean_diff"),
         F.round(
-            ((F.col("m1") - F.col("m2")) / F.sqrt(se2))
-            .cast("float")
-            .cast("double")
-            + 0.00000001,
-            3,
+            F.col("t_stat").cast("float").cast("double") + 0.00000001, 3
         ).alias("t_stat"),
-        F.round(dof.cast("float").cast("double") + 0.00000001, 1).alias(
-            "welch_dof"
-        ),
+        F.round(
+            F.col("welch_dof").cast("float").cast("double") + 0.00000001, 1
+        ).alias("welch_dof"),
     )
 
 
@@ -3202,50 +3181,24 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) between purchase and click
     values with midrank tie handling and the tie-corrected normal
-    approximation — the nonparametric twin of stats_welch_ttest.
+    approximation — the nonparametric twin of stats_welch_ttest. Thin
+    display wrapper over operators/stats.py:mannwhitney_u: values
+    quantize to 3dp and aggregate to the DISTINCT value domain, midranks
+    ride global_cumsum (one range shuffle over the value domain, never a
+    single-partition rank). The oracle mirrors with a SQL window over
+    the same quantized domain."""
+    from ..operators.stats import mannwhitney_u
 
-    Rank-free plan: values quantize to 3dp and aggregate to the DISTINCT
-    value domain first (one map-side-combined shuffle, domain bounded by
-    quantization, not row count); midranks derive from the exclusive
-    running count over that aggregated domain via
-    operators.scale.global_cumsum — ONE range shuffle over the value
-    domain, never a single-partition rank over raw rows. R1/U1/z then
-    assemble from a 1-row aggregate. The oracle mirrors with a SQL
-    window over the same quantized domain."""
-    from ..operators.scale import global_cumsum
-
-    ev = load_events(spark, sf_dir).where(
-        F.col("value").isNotNull()
-        & F.col("event_type").isin("purchase", "click")
-    )
-    pooled = ev.groupBy(F.round("value", 3).alias("v")).agg(
-        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
-        F.count(F.when(F.col("event_type") == "click", 1)).alias("c2"),
-    )
-    pooled = pooled.withColumn("ties", F.col("c1") + F.col("c2"))
-    ranked = global_cumsum(pooled, "v", "ties", "below", exclusive=True)
-    agg = ranked.agg(
-        F.sum("c1").alias("n1"),
-        F.sum("c2").alias("n2"),
-        F.sum(
-            F.col("c1") * (F.col("below") + (F.col("ties") + 1) / 2.0)
-        ).alias("r1"),
-        F.sum(F.pow(F.col("ties"), 3) - F.col("ties")).alias("tie_corr"),
-    )
-    n1, n2 = F.col("n1"), F.col("n2")
-    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
-    sigma = F.sqrt(
-        n1 * n2 / 12.0
-        * ((n1 + n2 + 1) - F.col("tie_corr") / ((n1 + n2) * (n1 + n2 - 1.0)))
-    )
+    ev = load_events(spark, sf_dir)
+    agg = mannwhitney_u(ev, "value", "event_type", "purchase", "click")
     return agg.select(
-        n1.cast("long").alias("n1"),
-        n2.cast("long").alias("n2"),
-        F.round(u1.cast("float").cast("double") + 0.00000001, 1).alias("u1"),
+        "n1",
+        "n2",
         F.round(
-            ((u1 - n1 * n2 / 2.0) / sigma).cast("float").cast("double")
-            + 0.00000001,
-            3,
+            F.col("u1").cast("float").cast("double") + 0.00000001, 1
+        ).alias("u1"),
+        F.round(
+            F.col("z_stat").cast("float").cast("double") + 0.00000001, 3
         ).alias("z_stat"),
     )
 
@@ -3296,17 +3249,13 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival over user lifetimes (first->last event per
     user, in days): a user whose last event predates the corpus end by
     > 3 days churned (observed); later last-events are right-censored.
-    S(t) = prod over event days <= t of (1 - d_i / n_i), computed as
-    exp of the running sum of logs.
-
-    Scale shape: per-user lifetimes are ONE user-keyed aggregate; the
-    day table is bounded by the observation window (|days|, not |users|,
-    rows), so both running quantities (at-risk counts and the log-
-    survival prefix) ride operators.scale.global_cumsum over that
-    bounded domain — the same no-bare-Window.orderBy discipline as the
-    Gini/ABC family. The 1-row user total and corpus max(ts) broadcast
-    as whitelisted scalars."""
-    from ..operators.scale import global_cumsum
+    Thin display wrapper over operators/stats.py:kaplan_meier — per-user
+    lifetimes are ONE user-keyed aggregate; the day table is bounded by
+    the observation window, so both running quantities (at-risk counts
+    and the log-survival prefix) ride global_cumsum over that bounded
+    domain (the Gini/ABC discipline). Corpus max(ts) broadcasts as a
+    whitelisted 1-row scalar."""
+    from ..operators.stats import kaplan_meier
 
     ev = load_events(spark, sf_dir)
     mx = ev.agg(F.max("ts").alias("mts"))
@@ -3323,34 +3272,14 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("observed"),
         )
     )
-    u = u.localCheckpoint(eager=False)  # total + day table reuse one pass
-    n = u.agg(F.count("*").alias("total"))
-    d = u.groupBy("dur").agg(
-        F.sum("observed").alias("d_ev"),
-        F.sum(1 - F.col("observed")).alias("c_cen"),
-    )
-    d = d.withColumn("dropped", F.col("d_ev") + F.col("c_cen"))
-    r = global_cumsum(d, "dur", "dropped", "below", exclusive=True)
-    r = r.crossJoin(F.broadcast(n)).withColumn(
-        "n_risk", F.col("total") - F.col("below")
-    )
-    r = r.withColumn(
-        "ln_term",
-        F.log(
-            F.greatest(
-                F.lit(1.0) - F.col("d_ev").cast("double") / F.col("n_risk"),
-                F.lit(1e-12),
-            )
-        ),
-    )
-    s = global_cumsum(r, "dur", "ln_term", "ln_s")
+    s = kaplan_meier(u, "dur", "observed")
     return s.select(
         F.col("dur").cast("long").alias("dur_days"),
-        F.col("n_risk").cast("long").alias("n_risk"),
-        F.col("d_ev").cast("long").alias("n_events"),
-        F.col("c_cen").cast("long").alias("n_censored"),
+        "n_risk",
+        "n_events",
+        "n_censored",
         F.round(
-            F.exp(F.col("ln_s")).cast("float").cast("double") + 0.00000001, 4
+            F.col("survival").cast("float").cast("double") + 0.00000001, 4
         ).alias("survival"),
     ).orderBy("dur_days")
 
@@ -3380,46 +3309,31 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend per event type: the median of all pairwise
     slopes of the daily-count series — the breakdown-resistant
     complement to ts_trend_ols (a single outlier day shifts OLS, not the
-    pairwise median; Sen 1968).
+    pairwise median; Sen 1968). Thin wrapper over
+    operators/stats.py:theilsen_slope with x = integer day index, so the
+    O(n^2) pairwise stage runs on the AGGREGATED daily series — C(|days|,
+    2) pairs per type at any row count."""
+    from ..operators.stats import theilsen_slope
 
-    Scale shape: the O(n^2) pairwise stage runs on the AGGREGATED daily
-    series, never raw events — |days| points per type (bounded by the
-    observation window), so C(|days|, 2) ~ 400 pairs/type at a 30-day
-    window regardless of row count. One map-side-combined aggregate to
-    daily counts, one broadcast-size self-join per type, exact
-    interpolated median (both engines linear-interpolate), squash+round
-    contract."""
     ev = load_events(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count("*").cast("double").alias("c"))
-    daily = daily.localCheckpoint(eager=False)  # both join sides, one scan
-    a, b = daily.alias("a"), daily.alias("b")
-    slopes = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("a.day") < F.col("b.day")),
-    ).select(
-        F.col("a.event_type").alias("event_type"),
-        (
-            (F.col("b.c") - F.col("a.c"))
-            / F.datediff(F.col("b.day"), F.col("a.day"))
-        ).alias("slope"),
-    )
-    return (
-        slopes.groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n_pairs"),
-            F.round(
-                F.expr("percentile(slope, 0.5)")
-                .cast("float")
-                .cast("double")
-                + 0.00000001,
-                4,
-            ).alias("theilsen_slope"),
-        )
-        .orderBy("event_type")
-    )
+    daily = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01")).alias("x"),
+        F.col("c").alias("y"),
+    ).localCheckpoint(eager=False)  # both join sides, one scan
+    out = theilsen_slope(daily, "x", "y", by="event_type")
+    return out.select(
+        "event_type",
+        "n_pairs",
+        F.round(
+            F.col("theilsen_slope").cast("float").cast("double")
+            + 0.00000001,
+            4,
+        ).alias("theilsen_slope"),
+    ).orderBy("event_type")
 
 
 @register(
