@@ -125,6 +125,10 @@ def _sink_specs(cfg: JobConfig) -> list[tuple[str, Callable[[DataFrame], None]]]
                 region=es_region,
                 bulk_max_size_mb=max_size_mb,
                 bulk_flush_interval_s=flush_interval_s,
+                # Flink parity: setBulkFlushInterval is a background
+                # timer that flushes an idle buffer on wall-clock; arm
+                # it whenever the interval is configured (round 8)
+                bulk_flush_interval_timer=flush_interval_s is not None,
             )
 
         specs.append(("elasticsearch", _es))
