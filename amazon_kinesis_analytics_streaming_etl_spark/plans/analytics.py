@@ -3580,3 +3580,132 @@ def growth_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("mom_pct"),
     ).orderBy("nation", "month")
+
+
+@register(
+    "eval_conformal_interval",
+    f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS pt,
+             {_F32_HOURLY_AVG_SQL} AS v
+      FROM events GROUP BY 1, 2
+    ),
+    cut AS (
+      SELECT (CAST(epoch_ms(min(pt)) AS BIGINT)
+              + CAST(epoch_ms(max(pt)) AS BIGINT)) // 2 AS cut_ms
+      FROM obs
+    ),
+    cal AS (
+      SELECT event_type, v FROM obs CROSS JOIN cut
+      WHERE CAST(epoch_ms(pt) AS BIGINT) < cut_ms
+    ),
+    pred AS (
+      SELECT event_type,
+             round(CAST(CAST(avg(v) AS REAL) AS DOUBLE), 4) AS mu,
+             count(*) AS n_cal
+      FROM cal GROUP BY 1
+    ),
+    resid AS (
+      SELECT c.event_type, abs(c.v - p.mu) AS r,
+             row_number() OVER (PARTITION BY c.event_type
+                                ORDER BY abs(c.v - p.mu), c.v) AS rk,
+             p.n_cal
+      FROM cal c JOIN pred p USING (event_type)
+    ),
+    qhat AS (
+      SELECT event_type, n_cal, r AS q_hat
+      FROM resid
+      WHERE rk = least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+    )
+    SELECT o.event_type,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(CAST(CAST(q.q_hat AS REAL) AS DOUBLE) + 0.00000001, 4)
+             AS q_hat,
+           round(CAST(CAST(avg(CASE WHEN abs(o.v - p.mu) <= q.q_hat
+                                    THEN 1.0 ELSE 0.0 END) AS REAL)
+                      AS DOUBLE) + 0.00000001, 4) AS coverage
+    FROM obs o
+    JOIN pred p USING (event_type)
+    JOIN qhat q USING (event_type)
+    CROSS JOIN cut
+    WHERE CAST(epoch_ms(o.pt) AS BIGINT) >= cut_ms
+    GROUP BY 1, 2, q.q_hat ORDER BY 1
+    """,
+)
+def eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018): the
+    first calendar half calibrates — predictor = per-type calibration
+    mean, q_hat = the ceil((n+1)*0.9)-th smallest |residual| (the exact
+    finite-sample order statistic, NOT an interpolated quantile) — and
+    the second half reports empirical coverage of mu +/- q_hat, which
+    conformal theory puts at >= 90% in expectation for exchangeable
+    data. The distribution-free calibration check a forecast band needs
+    before anyone trusts eval_pinball_loss's quantile constants.
+
+    Scale shape: residual ranking is a window PARTITIONED by type over
+    hourly pre-aggregates (calendar-bounded rows per type, never raw
+    events); everything else is the pinball family's one-scan
+    split-aggregate pattern with the 1-row calendar cut broadcast."""
+    ev = load_events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("pt")
+    ).agg(_f32_avg4().alias("v"))
+    obs = obs.localCheckpoint(eager=False)  # cut + cal + eval, one scan
+    cut = obs.agg(
+        (
+            (F.unix_millis(F.min("pt")) + F.unix_millis(F.max("pt"))) / 2
+        ).cast("long").alias("cut_ms")
+    )
+    withcut = obs.crossJoin(F.broadcast(cut))
+    cal = withcut.where(F.unix_millis("pt") < F.col("cut_ms"))
+    pred = cal.groupBy("event_type").agg(
+        F.round(F.avg("v").cast("float").cast("double"), 4).alias("mu"),
+        F.count("*").alias("n_cal"),
+    )
+    resid = cal.join(F.broadcast(pred), "event_type").select(
+        "event_type",
+        F.abs(F.col("v") - F.col("mu")).alias("r"),
+        "v",
+        "n_cal",
+    )
+    w = Window.partitionBy("event_type").orderBy("r", "v")
+    k = F.least(
+        F.ceil((F.col("n_cal") + 1) * 0.9).cast("long"), F.col("n_cal")
+    )
+    qhat = (
+        resid.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == k)
+        .select("event_type", "n_cal", F.col("r").alias("q_hat"))
+    )
+    return (
+        withcut.where(F.unix_millis("pt") >= F.col("cut_ms"))
+        .join(F.broadcast(pred.select("event_type", "mu")), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "q_hat")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.abs(F.col("v") - F.col("mu")) <= F.col("q_hat"),
+                        1.0,
+                    ).otherwise(0.0)
+                )
+                .cast("float")
+                .cast("double")
+                + 0.00000001,
+                4,
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type",
+            F.col("n_cal").cast("long").alias("n_cal"),
+            "n_eval",
+            F.round(
+                F.col("q_hat").cast("float").cast("double") + 0.00000001, 4
+            ).alias("q_hat"),
+            "coverage",
+        )
+        .orderBy("event_type")
+    )

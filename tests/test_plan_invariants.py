@@ -82,6 +82,8 @@ SCALAR_THRESHOLD_QUERIES = {
     # stats/first-gap broadcasts.
     "hll_sliding_distinct",
     "dq_sequence_gaps",
+    # conformal eval: 1-row calendar-cut broadcast (pinball family).
+    "eval_conformal_interval",
     # hard-negative mining: non-equi (label !=) join whose BUILD side is
     # the bounded ~2% anchor panel broadcast — the same bounded-panel
     # contract as ann_quality_eval.
