@@ -3543,7 +3543,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN (revenue / lag(revenue) OVER (PARTITION BY nation
                                                      ORDER BY month) - 1.0)
                        * 100.0 END
-             AS REAL) AS DOUBLE) + 0.00000001, 2) AS mom_pct
+             AS REAL) AS DOUBLE) + 0.00000001, 2) + 0.0 AS mom_pct
     FROM monthly ORDER BY nation, month
     """,
 )
@@ -3572,12 +3572,18 @@ def growth_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         F.date_format("month", "yyyy-MM").alias("month"),
         "revenue",
-        F.round(
-            F.when(prev > 0, (F.col("revenue") / prev - 1.0) * 100.0)
-            .cast("float")
-            .cast("double")
-            + 0.00000001,
-            2,
+        # + 0.0 on BOTH sides: IEEE -0.0 + 0.0 = +0.0, killing the
+        # negative-zero hash split DuckDB's round() can emit for tiny
+        # negative growth (caught by the sf0.1 sweep)
+        (
+            F.round(
+                F.when(prev > 0, (F.col("revenue") / prev - 1.0) * 100.0)
+                .cast("float")
+                .cast("double")
+                + 0.00000001,
+                2,
+            )
+            + 0.0
         ).alias("mom_pct"),
     ).orderBy("nation", "month")
 
