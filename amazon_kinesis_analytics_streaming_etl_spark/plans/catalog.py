@@ -72,6 +72,7 @@ _STALE_R8 = [
     "text_normalize_dedup",
     "growth_mom_revenue",
     "eval_conformal_interval",
+    "prep_target_encoding",
     "asof_join_events",  # asof operator refactored for directions
     # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",

@@ -943,3 +943,92 @@ def prep_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "hk",
     ).orderBy("position")
+
+
+@register(
+    "prep_target_encoding",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(md5(CAST(event_id AS VARCHAR) || ':fold')
+                  BETWEEN '0' AND '3' AS INT)
+               + CAST(md5(CAST(event_id AS VARCHAR) || ':fold')
+                  BETWEEN '0' AND '7' AS INT)
+               + CAST(md5(CAST(event_id AS VARCHAR) || ':fold')
+                  BETWEEN '0' AND 'b' AS INT) AS fold,
+             value
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT avg(value) AS gmean, count(*) AS gn FROM base),
+    per AS (
+      SELECT event_type, fold,
+             sum(value) AS s, count(*) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(s) AS ts, sum(c) AS tc FROM per GROUP BY 1
+    )
+    SELECT p.event_type, CAST(p.fold AS INT) AS fold,
+           CAST(p.c AS BIGINT) AS n_fold,
+           round(CAST(CAST(
+             ((t.ts - p.s) + 20.0 * (SELECT gmean FROM g))
+             / ((t.tc - p.c) + 20.0)
+             AS REAL) AS DOUBLE) + 0.00000001, 4) AS encoding
+    FROM per p JOIN tot t USING (event_type)
+    ORDER BY 1, 2
+    """,
+)
+def prep_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding with additive
+    smoothing — the categorical-feature workhorse: each (category, fold)
+    cell is encoded by the target mean computed from the OTHER folds
+    (so a row never sees its own target), shrunk toward the global mean
+    with pseudo-count 20 (micci-barreca smoothing). Folds assign by an
+    md5 range split of the row id — deterministic, layout-stable, the
+    same trick as the leak-free train/test split.
+
+    Scale shape: one scan to per-(category, fold) partials (map-side
+    combined), category totals are an aggregate OF those partials
+    (never a rescan), leave-one-fold-out encodings assemble by
+    subtraction on the |categories| x |folds| frame — the full-table
+    encode is then one broadcast join of this tiny table back onto rows.
+    The md5 fold ranges ('0'-'3' / '0'-'7' / '0'-'b') cut hex space into
+    4 equal folds via 3 cumulative indicator sums, identical arithmetic
+    in both engines."""
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":fold")))
+    fold = (
+        h.between("0", "3").cast("int")
+        + h.between("0", "7").cast("int")
+        + h.between("0", "b").cast("int")
+    )
+    base = ev.select("event_type", fold.alias("fold"), "value")
+    base = base.localCheckpoint(eager=False)  # gmean + partials, one scan
+    g = base.agg(F.avg("value").alias("gmean"))
+    per = base.groupBy("event_type", "fold").agg(
+        F.sum("value").alias("s"), F.count("*").alias("c")
+    )
+    per = per.localCheckpoint(eager=False)  # totals reuse the partials
+    tot = per.groupBy("event_type").agg(
+        F.sum("s").alias("ts"), F.sum("c").alias("tc")
+    )
+    enc = (
+        per.join(F.broadcast(tot), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.col("fold").cast("int").alias("fold"),
+            F.col("c").cast("long").alias("n_fold"),
+            F.round(
+                (
+                    (F.col("ts") - F.col("s") + 20.0 * F.col("gmean"))
+                    / (F.col("tc") - F.col("c") + 20.0)
+                )
+                .cast("float")
+                .cast("double")
+                + 0.00000001,
+                4,
+            ).alias("encoding"),
+        )
+    )
+    return enc.orderBy("event_type", "fold")

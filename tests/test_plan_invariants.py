@@ -84,6 +84,9 @@ SCALAR_THRESHOLD_QUERIES = {
     "dq_sequence_gaps",
     # conformal eval: 1-row calendar-cut broadcast (pinball family).
     "eval_conformal_interval",
+    # target encoding: 1-row global-mean broadcast into the
+    # |categories| x |folds| encoding frame.
+    "prep_target_encoding",
     # hard-negative mining: non-equi (label !=) join whose BUILD side is
     # the bounded ~2% anchor panel broadcast — the same bounded-panel
     # contract as ann_quality_eval.
