@@ -588,3 +588,60 @@ def test_available_now_snapshot_drains_capped_backfill(spark, tmp_path):
     assert got.count() in (100, 101)  # snapshot (see Kinesis twin note)
     pre = {f"p{p}r{i}" for p in range(2) for i in range(50)}
     assert pre <= {row.v for row in got.collect()}
+
+
+def test_snapshot_slice_partitioning_property(tmp_path):
+    """Kafka twin of the Kinesis slice-tiling property: random partition
+    sizes x caps x minPartitions — partitions() must tile [0, count)
+    per topic-partition with contiguous <=cap slices, snapshot frozen."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.sources.kafka_replay import (
+        _KafkaReplayStreamReader,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 150), min_size=1, max_size=3),
+        cap=st.integers(1, 50),
+        minp=st.sampled_from([None, 2, 8]),
+    )
+    def run(sizes, cap, minp):
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            for i, n in enumerate(sizes):
+                _produce(d, i, [f"p{i}r{j}" for j in range(n)])
+            opts = {
+                "path": d,
+                "maxoffsetspertrigger": str(cap),
+                "availablenowsnapshot": "true",
+            }
+            if minp is not None:
+                opts["minpartitions"] = str(minp)
+            r = _KafkaReplayStreamReader(opts)
+            start = r.initialOffset()
+            end = r.latestOffset()
+            assert end == {str(i): n for i, n in enumerate(sizes)}
+            per = {}
+            for sl in r.partitions(start, end):
+                if sl.path == "":
+                    continue
+                assert 0 < sl.end - sl.start <= cap
+                per.setdefault(sl.partition, []).append((sl.start, sl.end))
+            for i, n in enumerate(sizes):
+                got = sorted(per.get(i, []))
+                if n == 0:
+                    assert got == []
+                    continue
+                assert got[0][0] == 0 and got[-1][1] == n
+                assert all(b == c for (_, b), (c, _) in zip(got, got[1:]))
+            _produce(d, 0, ["late"], append=True)
+            assert r.latestOffset() == end  # frozen snapshot
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    run()
