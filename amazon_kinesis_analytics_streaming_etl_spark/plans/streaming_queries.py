@@ -661,3 +661,69 @@ def stream_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_users",
     ).orderBy("day_start", "event_type")
+
+
+@register(
+    "stream_dynamic_gap_sessions",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 60 ELSE 30 END AS gm
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, ts, gm,
+             max(ts + INTERVAL 1 MINUTE * gm) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM g
+    ),
+    marked AS (
+      SELECT user_id, ts, gm,
+             CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END
+               AS new_sess
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, ts, gm,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS window_start,
+           strftime(max(ts + INTERVAL 1 MINUTE * gm), '{_TS_FMT_DUCK}')
+             AS window_end,
+           count(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (Spark 3.2+ `session_window` with a
+    gap EXPRESSION): purchases extend their session by 60 minutes,
+    everything else by 30 — the per-event-engagement session model a
+    constant gap can't express. Engine semantics pinned empirically and
+    mirrored in the oracle's islands construction: an event at exactly
+    the current session end MERGES (inclusive boundary), the session
+    end is max(ts_i + gap_i) — a running max over the ordered prefix,
+    NOT last_ts + last_gap (a short-gap straggler must not shrink the
+    end a purchase already extended). State bounds identical to the
+    static-gap session window."""
+    stream = _events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    plan = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = replay_to_memory(spark, plan, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+        F.date_format("w.end", _TS_FMT_SPARK).alias("window_end"),
+        "n",
+    )
