@@ -1923,3 +1923,37 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
         F.col("p_value_right").alias("p_value"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1999
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>`, SPARK-49555): the same filtered
+    rollup written as a left-to-right operator chain — FROM |> WHERE |>
+    AGGREGATE ... GROUP BY |> ORDER BY — the readability front door for
+    multi-stage SQL. Parsed by Spark's own parser into the identical
+    logical plan the classic statement produces (the oracle IS that
+    classic statement), so the feature costs nothing at any scale:
+    pushdown/pruning/codegen all apply unchanged."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1999
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, revenue
+        """
+    )
