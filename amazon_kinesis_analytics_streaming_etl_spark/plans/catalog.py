@@ -73,6 +73,8 @@ _STALE_R8 = [
     "growth_mom_revenue",
     "eval_conformal_interval",
     "prep_target_encoding",
+    "stream_dynamic_gap_sessions",
+    "sql_pipe_syntax",
     "asof_join_events",  # asof operator refactored for directions
     # ---- tier B: never driver-checked (round-7 verdict item #1).
     "stats_chi2_independence",
