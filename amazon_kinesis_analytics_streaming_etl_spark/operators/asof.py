@@ -9,8 +9,10 @@ the join key, linear in |left| + |right|. This beats the naive
 range-join formulation (left x right per key, then argmax) which is
 quadratic per key and un-broadcastable at scale.
 
-Ties: a right row at exactly left.ts matches (>= semantics); the union
-sorts right rows before left rows at equal timestamps to guarantee it.
+Ties: a right row at exactly left.ts matches in every direction; the
+union's in-partition sort places equal-ts right rows on whichever side of
+the left row the active fill frame can see (before for backward/nearest,
+after for pure forward).
 Right-side duplicates at the same (key, ts) must be pre-aggregated by the
 caller for deterministic output (any engine's as-of pick among exact-tie
 rows is arbitrary).
@@ -86,12 +88,21 @@ def asof_join(
         F.lit(0).alias(_SIDE),
     )
 
-    # right rows sort before left rows at equal timestamps => ">=" ties
-    # match in the backward fill; the forward frame starts at currentRow,
-    # so with the same sort an equal-ts right row precedes the left row
-    # and is matched by the backward fill (correct: at zero distance both
-    # directions agree, and nearest ties resolve backward by contract).
-    order = [F.col(on).asc(), F.col(_SIDE).asc()]
+    # Tie handling at equal timestamps (">=" / "<=" both match a zero-
+    # distance right row):
+    #  - backward & nearest: right rows (side 0) sort BEFORE left rows, so
+    #    the backward fill [unboundedPreceding, currentRow] sees them; for
+    #    nearest that suffices — a zero-distance backward match always wins
+    #    (ties resolve backward by contract), so the forward fill missing
+    #    the equal-ts row can never change the pick.
+    #  - pure forward: the ONLY fill is [currentRow, unboundedFollowing],
+    #    so left rows must sort BEFORE equal-ts right rows or the zero-
+    #    distance match falls outside the frame (pandas merge_asof parity
+    #    bug otherwise: left@10 vs right@{10,20} must return right@10).
+    side_order = (
+        F.col(_SIDE).desc() if direction == "forward" else F.col(_SIDE).asc()
+    )
+    order = [F.col(on).asc(), side_order]
     part = Window.partitionBy(*by).orderBy(*order)
     w_back = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)

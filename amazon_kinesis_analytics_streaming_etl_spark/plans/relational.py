@@ -1926,6 +1926,61 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_forward",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts, round(max(value), 2) AS p_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+           p.p_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-direction as-of join (operators/asof.py
+    direction="forward"): each click enriched with the user's NEXT
+    at-or-after purchase — the "next scheduled event after each
+    observation" enrichment. Exercises the round-9 exact-timestamp tie
+    fix: a purchase at exactly click.ts must match (>= semantics, pandas
+    merge_asof parity), which requires left rows to sort before equal-ts
+    right rows inside the single union+window shuffle. Oracle is DuckDB's
+    native forward ASOF (``c.ts <= p.ts``), which shares the >= tie
+    contract. Purchases are pre-aggregated per (user, ts) so exact-tie
+    picks are deterministic in both engines."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("p_value"))
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        value_cols=["p_value"],
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.col("p_value_right").alias("p_value"),
+    )
+
+
+@register(
     "sql_pipe_syntax",
     """
     SELECT o_orderpriority,

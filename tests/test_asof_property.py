@@ -143,3 +143,79 @@ def test_asof_tolerance_applies_per_direction(spark):
     assert pick(45) == 2.0  # forward nearest and within tolerance
     assert pick(90) == 2.0  # both in -> still the nearer (forward)
     assert pick(20) is None  # both out -> nulled
+
+
+def _frames_ties(draw):
+    """Tie-forcing variant of _frames: timestamps from a 0-20 s domain so
+    exact left/right collisions occur in nearly every example (the round-8
+    forward-direction tie bug slipped past the 0-3600 s domain above)."""
+    keys = ["a", "b"]
+    n_left = draw(st.integers(1, 12))
+    left = [
+        (
+            i,
+            draw(st.sampled_from(keys)),
+            _EPOCH + dt.timedelta(seconds=draw(st.integers(0, 20))),
+        )
+        for i in range(n_left)
+    ]
+    right_keys = draw(
+        st.sets(
+            st.tuples(st.sampled_from(keys), st.integers(0, 20)),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    right = [
+        (k, _EPOCH + dt.timedelta(seconds=s), float(s))
+        for k, s in sorted(right_keys)
+    ]
+    # guarantee at least one exact collision when both sides are non-empty
+    if left and right:
+        k0, ts0, _ = right[0]
+        left.append((len(left), k0, ts0))
+    return left, right
+
+
+@given(
+    data=st.data(),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_asof_equal_timestamp_ties_match_pandas(spark, data, direction):
+    """All three directions vs pandas.merge_asof on a tie-dense domain,
+    with an injected guaranteed exact left/right collision."""
+    left_rows, right_rows = _frames_ties(data.draw)
+    left = spark.createDataFrame(left_rows, "id int, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+
+    got = {
+        r["id"]: (r["ts_right"], r["v_right"])
+        for r in asof_join(
+            left, right, on="ts", by="k", direction=direction
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    if rpd.empty:
+        expected = lpd.assign(ts_r=pd.NaT, v=float("nan"))
+    else:
+        expected = pd.merge_asof(
+            lpd,
+            rpd.rename(columns={"ts": "ts_r"}),
+            left_on="ts",
+            right_on="ts_r",
+            by="k",
+            direction=direction,
+        )
+    for row in expected.itertuples():
+        g_ts, g_v = got[row.id]
+        e_ts = None if pd.isna(row.ts_r) else row.ts_r.to_pydatetime()
+        e_v = None if pd.isna(row.v) else row.v
+        assert g_ts == e_ts, f"{direction} id={row.id}: {g_ts} != {e_ts}"
+        assert g_v == e_v, f"{direction} id={row.id}: {g_v} != {e_v}"
