@@ -529,20 +529,24 @@ def duplicated_span_stats(
     k: int = 5,
     min_count: int = 2,
     eager: bool = True,
+    deferred: bool | None = None,
 ) -> DataFrame:
     """Exact-substring duplication metric (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): for each
     document, the fraction of its tokens covered by at least one k-token
     span that occurs >= min_count times in the corpus (including
     self-repeats — boilerplate repeated within one page counts, as in the
-    paper's suffix-array formulation). With ``eager=True`` (default)
-    returns one row per input doc:
-    ``(doc_id, n_tokens, covered_tokens, dup_span_frac)``. With
-    ``eager=False`` returns ``(stats_df, cached_docs)`` — the caller must
-    unpersist ``cached_docs`` after materializing ``stats_df``. (This
-    tuple form replaced an earlier DataFrame-with-attr contract in round
-    7; in-repo callers were migrated, external callers of the old
-    ``eager=False`` shape must unpack the tuple — ADVICE r7.)
+    paper's suffix-array formulation). By default returns one row per
+    input doc: ``(doc_id, n_tokens, covered_tokens, dup_span_frac)``.
+    With ``deferred=True`` returns ``(stats_df, cached_docs)`` — the
+    caller must unpersist ``cached_docs`` after materializing
+    ``stats_df``.
+
+    ``deferred`` is the VERSIONED name for what ``eager=False`` came to
+    mean after its return shape changed (round 7 replaced a
+    DataFrame-with-attr contract with the tuple). ``eager=False`` still
+    works as a deprecated alias for ``deferred=True`` and emits a
+    DeprecationWarning; passing both raises if they conflict.
 
     Spark-first plan instead of a suffix array: positional span hashes
     per row (JVM zip_with chain, linear in tokens) -> global span-hash
@@ -557,16 +561,34 @@ def duplicated_span_stats(
     ``eager`` (default) materializes the per-doc result and releases the
     cached span table (the storage contract of the pair operators).
     Unlike those, this result is one row per DOCUMENT, not a filtered
-    pair set — at full corpus scale pass ``eager=False``, write the
+    pair set — at full corpus scale pass ``deferred=True``, write the
     returned plan straight to storage instead of checkpointing it, and
     then unpersist the second element of the returned tuple (an ad-hoc
     attribute on the DataFrame would be silently lost by the caller's
     first transformation).
 
-    Returns the stats DataFrame when ``eager``; ``(stats, cached_docs)``
-    when ``eager=False`` — the caller owns ``cached_docs.unpersist()``.
+    Returns the stats DataFrame by default; ``(stats, cached_docs)``
+    when ``deferred=True`` — the caller owns ``cached_docs.unpersist()``.
     """
     from ..functions.text import span_hashes, token_count
+
+    if not eager:
+        import warnings
+
+        if deferred is False:
+            raise ValueError(
+                "eager=False (deprecated alias for deferred=True) conflicts "
+                "with explicit deferred=False"
+            )
+        warnings.warn(
+            "duplicated_span_stats(eager=False) is deprecated; its return "
+            "shape changed to (stats_df, cached_docs) in round 7 — pass "
+            "deferred=True for the tuple form",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        deferred = True
+    deferred = bool(deferred)
 
     docs = df.select(
         F.col(id_col).alias("_id"),
@@ -609,7 +631,7 @@ def duplicated_span_stats(
             .alias("dup_span_frac"),
         )
     )
-    if not eager:
+    if deferred:
         return out, docs  # caller unpersists docs after materializing out
     return _checkpoint_released(out, [docs])
 

@@ -145,15 +145,24 @@ def _is_valid(event: Column) -> Column:
 
 
 def split_corrupt(
-    raw: DataFrame, value_col: str = "value"
+    raw: DataFrame, value_col: str = "value", materialize: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Parse and split into (valid_events, corrupt_raw).
 
     ``valid_events`` has the flattened TRIP_EVENT_SCHEMA columns with the
     reference's defaults applied (trip_id->0, padding->""). ``corrupt_raw``
     keeps the original payload for dead-lettering.
+
+    ``materialize=True`` localCheckpoints the PARSED frame (lazily, on
+    the first branch's job) so consumers that run separate actions per
+    branch tokenize each payload once — the production dead-letter
+    topology, where foreachBatch persists the parsed batch before fanning
+    out. Leave False inside a single-action plan (e.g. the pipeline,
+    which persists at the batch level itself).
     """
     parsed = parse_trip_events_raw(raw, value_col)
+    if materialize:
+        parsed = parsed.localCheckpoint(eager=False)
     valid_flag = _is_valid(F.col(PARSED_COL))
 
     valid = (

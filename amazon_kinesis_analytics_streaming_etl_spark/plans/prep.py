@@ -950,12 +950,12 @@ def prep_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
       SELECT event_type,
-             CAST(md5(CAST(event_id AS VARCHAR) || ':fold')
-                  BETWEEN '0' AND '3' AS INT)
-               + CAST(md5(CAST(event_id AS VARCHAR) || ':fold')
-                  BETWEEN '0' AND '7' AS INT)
-               + CAST(md5(CAST(event_id AS VARCHAR) || ':fold')
-                  BETWEEN '0' AND 'b' AS INT) AS fold,
+             CAST(substring(md5(CAST(event_id AS VARCHAR) || ':fold'), 1, 1)
+                  <= '3' AS INT)
+               + CAST(substring(md5(CAST(event_id AS VARCHAR) || ':fold'), 1, 1)
+                  <= '7' AS INT)
+               + CAST(substring(md5(CAST(event_id AS VARCHAR) || ':fold'), 1, 1)
+                  <= 'b' AS INT) AS fold,
              value
       FROM events WHERE value IS NOT NULL
     ),
@@ -992,15 +992,18 @@ def prep_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a rescan), leave-one-fold-out encodings assemble by
     subtraction on the |categories| x |folds| frame — the full-table
     encode is then one broadcast join of this tiny table back onto rows.
-    The md5 fold ranges ('0'-'3' / '0'-'7' / '0'-'b') cut hex space into
-    4 equal folds via 3 cumulative indicator sums, identical arithmetic
-    in both engines."""
+    Folds compare the FIRST hex digit of the md5 (<= '3' / '7' / 'b' via
+    3 cumulative indicator sums), cutting hex space into 4 genuinely
+    equal quarters {0-3, 4-7, 8-b, c-f} — a full-string BETWEEN against
+    1-char bounds would exclude hashes starting with the boundary digit
+    and skew the folds 3/4/4/5 sixteenths. Identical arithmetic in both
+    engines."""
     ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
-    h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":fold")))
+    h1 = F.substring(
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":fold"))), 1, 1
+    )
     fold = (
-        h.between("0", "3").cast("int")
-        + h.between("0", "7").cast("int")
-        + h.between("0", "b").cast("int")
+        (h1 <= "3").cast("int") + (h1 <= "7").cast("int") + (h1 <= "b").cast("int")
     )
     base = ev.select("event_type", fold.alias("fold"), "value")
     base = base.localCheckpoint(eager=False)  # gmean + partials, one scan

@@ -672,7 +672,7 @@ def stream_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     o AS (
-      SELECT user_id, ts, gm,
+      SELECT user_id, ts, event_id, gm,
              max(ts + INTERVAL 1 MINUTE * gm) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -680,14 +680,19 @@ def stream_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     ),
     marked AS (
-      SELECT user_id, ts, gm,
+      SELECT user_id, ts, event_id, gm,
              CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END
                AS new_sess
       FROM o
     ),
     sess AS (
+      -- cumsum MUST use the same (ts, event_id) order as prev_end's
+      -- window: with ts-only ordering, an equal-ts sibling of a
+      -- session-start row can nondeterministically land in the
+      -- previous session
       SELECT user_id, ts, gm,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) AS sid
       FROM marked

@@ -668,3 +668,39 @@ def test_hard_negatives_are_other_label_argmax(spark):
                 best = (key, vid, c)
         assert r.negative_id == best[1]
         assert abs(r.cos_sim - best[2]) < 2e-6
+
+
+def test_duplicated_span_stats_deferred_and_deprecated_alias(spark):
+    """Round-9 library-surface versioning: deferred=True is the named
+    tuple-returning mode; eager=False still works as a deprecated alias
+    (its return shape changed in round 7) and warns; conflicting flags
+    raise."""
+    import warnings
+
+    import pytest as _pytest
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "a b c d e x y z w q")],
+        ["doc_id", "text"],
+    )
+    stats, cached = duplicated_span_stats(docs, k=3, deferred=True)
+    assert {r["doc_id"] for r in stats.collect()} == {1, 2}
+    cached.unpersist()
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stats2, cached2 = duplicated_span_stats(docs, k=3, eager=False)
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert {r["doc_id"] for r in stats2.collect()} == {1, 2}
+    cached2.unpersist()
+
+    with _pytest.raises(ValueError):
+        duplicated_span_stats(docs, k=3, eager=False, deferred=False)
+
+    # default (eager) path still returns a bare DataFrame
+    out = duplicated_span_stats(docs, k=3)
+    assert not isinstance(out, tuple)
