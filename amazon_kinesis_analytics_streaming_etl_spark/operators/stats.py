@@ -178,3 +178,244 @@ def theilsen_slope(
         F.count("*").cast("long").alias("n_pairs"),
         F.expr("percentile(slope, 0.5)").alias("theilsen_slope"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: int | None = 3,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test of ``group_a`` vs ``group_b``:
+    one row ``(n1, n2, ks_d, ks_stat)`` (raw doubles) where ``ks_d`` is
+    the sup-norm ECDF distance max_v |F1(v) - F2(v)| and ``ks_stat`` the
+    asymptotic scale sqrt(n1*n2/(n1+n2)) * D (compare to the
+    Kolmogorov distribution for a p-value).
+
+    Scale shape: values quantize (bounding the aggregated domain like
+    :func:`mannwhitney_u`), per-distinct-value counts are one hash
+    aggregate, and F1-F2 at every distinct value is ONE
+    :func:`global_cumsum` of the signed per-value mass c1/n1 - c2/n2 —
+    the ECDF difference needs no second cumsum because both ECDFs step
+    at the same pooled points. Never a sort of raw rows."""
+    v = (
+        F.round(F.col(value_col), quantize)
+        if quantize is not None
+        else F.col(value_col)
+    )
+    src = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isin(group_a, group_b)
+    )
+    pooled = src.groupBy(v.alias("v")).agg(
+        F.count(F.when(F.col(group_col) == group_a, 1)).alias("c1"),
+        F.count(F.when(F.col(group_col) == group_b, 1)).alias("c2"),
+    )
+    pooled = pooled.localCheckpoint(eager=False)  # totals + cumsum, one pass
+    n = pooled.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    diff = pooled.crossJoin(F.broadcast(n)).select(
+        "v",
+        "n1",
+        "n2",
+        (
+            F.col("c1").cast("double") / F.col("n1")
+            - F.col("c2").cast("double") / F.col("n2")
+        ).alias("dmass"),
+    )
+    ecdf = global_cumsum(diff, "v", "dmass", "fdiff")
+    out = ecdf.agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.max(F.abs(F.col("fdiff"))).alias("ks_d"),
+    )
+    return out.select(
+        "n1",
+        "n2",
+        F.col("ks_d"),
+        (
+            F.col("ks_d")
+            * F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            )
+        ).alias("ks_stat"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: str | list[str] | None = None,
+    quantize: int | None = 3,
+) -> DataFrame:
+    """Spearman rank correlation (midrank ties) per group:
+    ``(…by, n, spearman_rho)`` — Pearson correlation of the two
+    variables' midranks, the standard tie-aware definition.
+
+    Scale shape: each variable's midranks come from its DISTINCT
+    (quantized) value domain — one hash aggregate + one
+    :func:`global_cumsum` range shuffle per variable — and join back to
+    rows by the quantized value (hash joins; the rank tables are
+    domain-sized, not row-sized). ``corr`` is then a plain partial
+    aggregate. ``by`` groups share the pooled rank domain (ranks are
+    computed over ALL rows, per-variable), so pass pre-filtered frames
+    if per-group ranking is wanted."""
+    by = [by] if isinstance(by, str) else list(by or [])
+
+    def q(c: str) -> Column:
+        return F.round(F.col(c), quantize) if quantize is not None else F.col(c)
+
+    src = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *by, q(x_col).alias("_x"), q(y_col).alias("_y")
+    )
+
+    def ranks(col: str, out: str) -> DataFrame:
+        dom = src.groupBy(F.col(col).alias("_v")).agg(F.count("*").alias("_t"))
+        r = global_cumsum(dom, "_v", "_t", "_below", exclusive=True)
+        return r.select(
+            F.col("_v").alias(col),
+            (F.col("_below") + (F.col("_t") + 1) / 2.0).alias(out),
+        )
+
+    withranks = src.join(ranks("_x", "_rx"), "_x").join(ranks("_y", "_ry"), "_y")
+    grouped = withranks.groupBy(*by) if by else withranks.groupBy()
+    return grouped.agg(
+        F.count("*").cast("long").alias("n"),
+        F.corr("_rx", "_ry").alias("spearman_rho"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantize: int | None = 3,
+) -> DataFrame:
+    """Kruskal-Wallis H (one-way rank ANOVA over k groups) with midrank
+    ties and tie correction: one row ``(n_total, n_groups, h_stat)``
+    (raw doubles) — the k-sample generalization of
+    :func:`mannwhitney_u`. H = (12/(N(N+1))) * sum_g R_g^2/n_g - 3(N+1),
+    divided by 1 - sum(t^3 - t)/(N^3 - N).
+
+    Scale shape: midranks ride ONE global_cumsum over the pooled
+    distinct-value domain; per-(value, group) counts join to it by value
+    (domain-sized hash join); the rest is partial aggregates."""
+    v = (
+        F.round(F.col(value_col), quantize)
+        if quantize is not None
+        else F.col(value_col)
+    )
+    src = df.where(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+    per_vg = src.groupBy(v.alias("v"), F.col(group_col).alias("g")).agg(
+        F.count("*").alias("c")
+    )
+    per_v = per_vg.groupBy("v").agg(F.sum("c").alias("ties"))
+    ranked = global_cumsum(per_v, "v", "ties", "below", exclusive=True)
+    ranked = ranked.withColumn(
+        "midrank", F.col("below") + (F.col("ties") + 1) / 2.0
+    )
+    joined = per_vg.join(ranked.select("v", "midrank"), "v")
+    per_g = joined.groupBy("g").agg(
+        F.sum("c").alias("n_g"), F.sum(F.col("c") * F.col("midrank")).alias("r_g")
+    )
+    ties_tot = ranked.agg(
+        F.sum("ties").alias("n_total"),
+        F.sum(F.pow(F.col("ties"), 3) - F.col("ties")).alias("tie_corr"),
+    )
+    agg = per_g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.pow(F.col("r_g"), 2) / F.col("n_g")).alias("rsq_over_n"),
+    ).crossJoin(F.broadcast(ties_tot))
+    n = F.col("n_total").cast("double")
+    h_raw = 12.0 / (n * (n + 1)) * F.col("rsq_over_n") - 3.0 * (n + 1)
+    corr = 1.0 - F.col("tie_corr") / (F.pow(n, 3) - n)
+    return agg.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        "n_groups",
+        # degenerate pool (every value tied) -> correction 0 -> NULL
+        F.when(corr > 0, h_raw / corr).alias("h_stat"),
+    )
+
+
+def median_abs_deviation(
+    df: DataFrame,
+    value_col: str,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """Per-group median absolute deviation around the group median:
+    ``(…by, n, median, mad)`` with exact interpolated medians (the
+    robust scale estimate; multiply mad by 1.4826 for the normal-
+    consistent sigma).
+
+    Scale shape: two exact-percentile aggregate passes (Spark's
+    ``percentile`` is a partial-aggregable sketch over the group, no
+    global sort) joined by the group key; the deviation pass joins the
+    domain-sized median table back by key (broadcast when small)."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    src = df.where(F.col(value_col).isNotNull()).select(
+        *by, F.col(value_col).alias("_v")
+    )
+    g1 = src.groupBy(*by) if by else src.groupBy()
+    med = g1.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("percentile(_v, 0.5)").alias("median"),
+    )
+    dev = src.join(F.broadcast(med), by) if by else src.crossJoin(F.broadcast(med))
+    dev = dev.select(*by, "n", "median", F.abs(F.col("_v") - F.col("median")).alias("_d"))
+    g2 = dev.groupBy(*by, "n", "median")
+    return g2.agg(F.expr("percentile(_d, 0.5)").alias("mad"))
+
+
+def levene_bf(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity across k groups
+    (Levene's test with the MEDIAN center — robust to non-normality):
+    one row ``(n_total, n_groups, w_stat, dof1, dof2)`` (raw doubles),
+    W = ((N-k)/(k-1)) * sum_g n_g (zbar_g - zbar)^2
+      / sum_g sum_i (z_gi - zbar_g)^2,  z_gi = |x_gi - median_g|.
+
+    Scale shape: group medians are one partial-aggregable percentile
+    pass; deviations join the (k-row, broadcast) median table back by
+    key; the W pieces are plain FILTERed aggregates — two scans, no
+    sort of raw rows."""
+    src = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    )
+    med = src.groupBy("_g").agg(F.expr("percentile(_v, 0.5)").alias("_med"))
+    z = src.join(F.broadcast(med), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("_med")).alias("_z")
+    )
+    per_g = z.groupBy("_g").agg(
+        F.count("*").alias("n_g"),
+        F.avg("_z").alias("zbar_g"),
+        # sum of squared within-group deviations via the variance identity
+        (F.var_pop("_z") * F.count("*")).alias("ss_within_g"),
+    )
+    agg = per_g.agg(
+        F.sum("n_g").alias("n_total"),
+        F.count("*").alias("k"),
+        (F.sum(F.col("zbar_g") * F.col("n_g")) / F.sum("n_g")).alias("zbar"),
+        F.sum("ss_within_g").alias("ss_within"),
+        F.sum(F.col("n_g") * F.pow(F.col("zbar_g"), 2)).alias("sum_n_zbar2"),
+    )
+    n = F.col("n_total").cast("double")
+    k = F.col("k").cast("double")
+    # sum n_g (zbar_g - zbar)^2 = sum n_g zbar_g^2 - N zbar^2
+    ss_between = F.col("sum_n_zbar2") - n * F.pow(F.col("zbar"), 2)
+    w = ((n - k) / (k - 1.0)) * ss_between / F.col("ss_within")
+    return agg.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("n_groups"),
+        # all-identical z within every group -> 0/0, NULL not a raise
+        F.when(F.col("ss_within") > 0, w).alias("w_stat"),
+        (k - 1.0).alias("dof1"),
+        (n - k).alias("dof2"),
+    )

@@ -3715,3 +3715,231 @@ def eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# round 9: distributional-testing family — the distribution-shift and
+# variance-structure checks run next to the round-8 location tests (KS
+# two-sample, Spearman rank correlation, Kruskal-Wallis rank ANOVA,
+# Brown-Forsythe variance homogeneity)
+# --------------------------------------------------------------------------
+
+@register(
+    "stats_ks_two_sample",
+    """
+    WITH pooled AS (
+      SELECT round(value, 3) AS v,
+             count(*) FILTER (event_type = 'purchase') AS c1,
+             count(*) FILTER (event_type = 'click') AS c2
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pooled),
+    e AS (
+      SELECT sum(c1 * 1.0 / n1 - c2 * 1.0 / n2) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS fdiff
+      FROM pooled CROSS JOIN n
+    )
+    SELECT (SELECT CAST(n1 AS BIGINT) FROM n) AS n1,
+           (SELECT CAST(n2 AS BIGINT) FROM n) AS n2,
+           round(CAST(CAST(max(abs(fdiff)) AS REAL) AS DOUBLE)
+                 + 0.00000001, 6) AS ks_d,
+           round(CAST(CAST(max(abs(fdiff))
+                 * sqrt((SELECT n1 * n2 * 1.0 / (n1 + n2) FROM n))
+                 AS REAL) AS DOUBLE) + 0.00000001, 4) AS ks_stat
+    FROM e
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the purchase and
+    click value distributions — the whole-distribution companion to
+    stats_welch_ttest (location) and stats_mannwhitney_u (rank shift):
+    detects ANY distributional difference, not just a mean move. Thin
+    display wrapper over operators/stats.py:ks_two_sample: values
+    quantize to 3dp, per-distinct-value masses aggregate once, and the
+    ECDF difference is ONE global_cumsum of the signed mass c1/n1-c2/n2
+    (one range shuffle; both ECDFs step at the same pooled points, so no
+    second cumsum). The oracle mirrors with a SQL window over the same
+    quantized domain."""
+    from ..operators.stats import ks_two_sample
+
+    ev = load_events(spark, sf_dir)
+    s = ks_two_sample(ev, "value", "event_type", "purchase", "click")
+    return s.select(
+        "n1",
+        "n2",
+        F.round(
+            F.col("ks_d").cast("float").cast("double") + 0.00000001, 6
+        ).alias("ks_d"),
+        F.round(
+            F.col("ks_stat").cast("float").cast("double") + 0.00000001, 4
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "stats_spearman_corr",
+    """
+    WITH src AS (
+      SELECT round(l_quantity, 2) AS x, round(l_extendedprice, 2) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    rx AS (
+      SELECT x, coalesce(sum(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (cnt + 1) / 2.0 AS rxv
+      FROM (SELECT x, count(*) AS cnt FROM src GROUP BY 1)
+    ),
+    ry AS (
+      SELECT y, coalesce(sum(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (cnt + 1) / 2.0 AS ryv
+      FROM (SELECT y, count(*) AS cnt FROM src GROUP BY 1)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(CAST(corr(rxv, ryv) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS spearman_rho
+    FROM src JOIN rx USING (x) JOIN ry USING (y)
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (midrank ties) between order quantity
+    and extended price — the monotone-association measure that survives
+    the price column's heavy skew where Pearson saturates. Thin display
+    wrapper over operators/stats.py:spearman_corr: each variable's
+    midranks come from its DISTINCT quantized domain (one hash aggregate
+    + one global_cumsum range shuffle per variable, never a rank over
+    raw rows), join back to rows by value (domain-sized hash joins), and
+    rho is a plain partial-aggregable corr. The oracle mirrors rank
+    construction with SQL windows over the same domains."""
+    from ..operators.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    s = spearman_corr(li, "l_quantity", "l_extendedprice", quantize=2)
+    return s.select(
+        "n",
+        F.round(
+            F.col("spearman_rho").cast("float").cast("double") + 0.00000001, 4
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "stats_kruskal_wallis",
+    """
+    WITH src AS (
+      SELECT round(value, 3) AS v, event_type AS g
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per_vg AS (SELECT v, g, count(*) AS c FROM src GROUP BY 1, 2),
+    per_v AS (SELECT v, sum(c) AS ties FROM per_vg GROUP BY 1),
+    ranked AS (
+      SELECT v, ties,
+             coalesce(sum(ties) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (ties + 1) / 2.0 AS midrank
+      FROM per_v
+    ),
+    per_g AS (
+      SELECT g, sum(c) AS n_g, sum(c * midrank) AS r_g
+      FROM per_vg JOIN ranked USING (v) GROUP BY 1
+    ),
+    tt AS (SELECT sum(ties) AS n_total,
+                  sum(pow(ties, 3) - ties) AS tie_corr FROM ranked),
+    ag AS (SELECT count(*) AS n_groups,
+                  sum(pow(r_g, 2) / n_g) AS rsq FROM per_g)
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           round(CAST(CAST(
+             (12.0 / (n_total * (n_total + 1.0)) * rsq - 3.0 * (n_total + 1))
+             / (1.0 - tie_corr / (pow(n_total, 3) - n_total))
+             AS REAL) AS DOUBLE) + 0.00000001, 4) AS h_stat
+    FROM ag CROSS JOIN tt
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL five event types at once — the
+    k-sample generalization of stats_mannwhitney_u (one omnibus rank
+    ANOVA instead of 10 pairwise tests). Thin display wrapper over
+    operators/stats.py:kruskal_wallis: midranks ride one global_cumsum
+    over the pooled 3dp-quantized value domain; per-(value, group)
+    counts hash-join to it by value; H assembles from partial
+    aggregates with the standard tie correction. The oracle mirrors the
+    islands construction with a SQL window over the same domain."""
+    from ..operators.stats import kruskal_wallis
+
+    ev = load_events(spark, sf_dir)
+    s = kruskal_wallis(ev, "value", "event_type", quantize=3)
+    return s.select(
+        "n_total",
+        "n_groups",
+        F.round(
+            F.col("h_stat").cast("float").cast("double") + 0.00000001, 4
+        ).alias("h_stat"),
+    )
+
+
+@register(
+    "stats_levene_bf",
+    """
+    WITH src AS (
+      SELECT event_type AS g, round(value, 3) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    med AS (SELECT g, median(v) AS m FROM src GROUP BY 1),
+    z AS (SELECT src.g AS g, abs(v - m) AS z FROM src JOIN med USING (g)),
+    per_g AS (
+      SELECT g, count(*) AS n_g, avg(z) AS zbar_g,
+             var_pop(z) * count(*) AS ssw
+      FROM z GROUP BY 1
+    ),
+    ag AS (
+      SELECT sum(n_g) AS n, count(*) AS k,
+             sum(zbar_g * n_g) / sum(n_g) AS zbar,
+             sum(ssw) AS ss_within,
+             sum(n_g * zbar_g * zbar_g) AS sum_n_zbar2
+      FROM per_g
+    )
+    SELECT CAST(n AS BIGINT) AS n_total, CAST(k AS BIGINT) AS n_groups,
+           round(CAST(CAST(
+             ((n - k) / (k - 1.0)) * (sum_n_zbar2 - n * zbar * zbar)
+             / ss_within
+             AS REAL) AS DOUBLE) + 0.00000001, 4) AS w_stat,
+           CAST(k - 1 AS BIGINT) AS dof1,
+           CAST(n - k AS BIGINT) AS dof2
+    FROM ag
+    """,
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity across the five event types — the guard check before
+    trusting any pooled-variance statistic on this panel, robust to the
+    value column's non-normality because deviations center on group
+    MEDIANS. Thin display wrapper over operators/stats.py:levene_bf:
+    one partial-aggregable percentile pass for the k medians, one
+    broadcast join of the k-row median table back onto rows, and W
+    assembles from FILTERed aggregates (the within-group sum of squares
+    via the var_pop*n identity — no second pass over deviations).
+    Values quantize to 3dp so both engines interpolate the same median
+    multiset."""
+    from ..operators.stats import levene_bf
+
+    ev = load_events(spark, sf_dir).where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    src = ev.select("event_type", F.round("value", 3).alias("v3"))
+    s = levene_bf(src, "v3", "event_type")
+    return s.select(
+        "n_total",
+        "n_groups",
+        F.round(
+            F.col("w_stat").cast("float").cast("double") + 0.00000001, 4
+        ).alias("w_stat"),
+        F.col("dof1").cast("long").alias("dof1"),
+        F.col("dof2").cast("long").alias("dof2"),
+    )

@@ -31,71 +31,33 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 
 # Tier 1 rotates by signal AGE each round, with one override: queries
 # whose CODE changed this round outrank everything — a stale green on
-# old code is safer than no green on new code. Order inside _STALE_R8:
-# (A) code changed in round 8 (front of list; grows as the round
-# progresses), (B) the 16 queries that have NEVER appeared in any
-# driver window (the round-7 verdict's #1 item — all have committed
-# local oracle greens and a judge re-proof, but no driver signal),
-# (C) the 32 queries whose latest driver signal is round 3 — the
-# oldest in the catalog, (D) round-4 signals as window spill. The
-# driver window is ~50 queries: canary + A + B + most of C fit.
-_STALE_R8 = [
-    # ---- tier A: code CHANGED in round 8 — must be re-proved first.
-    # (availableNow snapshot-drain touched both replay sources + the
-    # pipeline trigger wiring)
-    "pipeline_fanout_replay",
-    "kinesis_sink_roundtrip",
-    "kafka_sink_roundtrip",
-    # (sessionizer strict-< close, ES transport interval timer, bloom
-    # fp gate derived from design fpp)
-    "stream_timeout_sessions",
-    "es_upsert_idempotent",
-    "join_bloom_prefilter",
-    # NEW in round 8 (no driver signal yet; committed local oracle
-    # greens at sf0.001 on landing, full-sweep greens at round close)
-    "stats_welch_ttest",
-    "stats_mannwhitney_u",
-    "survival_kaplan_meier",
-    "ts_theilsen_slope",
-    "stats_benford_digits",
-    "prep_winsorize_stats",
-    "prep_shuffle_deterministic",
-    "agg_unpivot",
-    "sim_hard_negatives",
+# old code is safer than no green on new code. Order inside _STALE_R9:
+# (A) code changed or NEW in round 9 (front of list; grows as the
+# round progresses), (B) the queries whose latest driver signal is
+# round 3 — the oldest in the catalog (q3/q8 got r8 signals, the rest
+# did not), (C) round-4 signals as window spill. The driver window is
+# ~50 queries: canary + A + B + the head of C fit. Everything that was
+# r8-tier-A/B is now freshly green in CORRECTNESS_r08 and drops to the
+# family-ordered tail.
+_STALE_R9 = [
+    # ---- tier A: code CHANGED or NEW in round 9 — re-proved first.
+    # asof.py order flip (forward tie fix) touches all three directions;
+    # asof_join_forward is the new driver gate for the fixed path
+    "asof_join_forward",
     "asof_join_nearest",
-    "stats_weighted_median",
-    "dq_referential_integrity",
-    "pipeline_curation_e2e",
-    "stream_daily_distinct_users",
-    "hll_sliding_distinct",
-    "dq_sequence_gaps",
-    "text_normalize_dedup",
-    "growth_mom_revenue",
-    "eval_conformal_interval",
+    "asof_join_events",
+    # parse gate: repartition + materialize=True through split_corrupt
+    "parse_dead_letter",
+    # md5 fold bounds now first-hex-digit comparisons (equal quarters)
     "prep_target_encoding",
+    # oracle cumsum window tiebreak (ts, event_id)
     "stream_dynamic_gap_sessions",
-    "sql_pipe_syntax",
-    "asof_join_events",  # asof operator refactored for directions
-    # ---- tier B: never driver-checked (round-7 verdict item #1).
-    "stats_chi2_independence",
-    "funnel_time_to_convert",
-    "stats_gini_spend",
-    "ts_forecast_eval",
-    "path_trigrams",
-    "abc_classification",
-    "scd2_point_in_time_join",
-    "embedding_spectrum",
-    "ts_cross_correlation",
-    "eval_pinball_loss",
-    "dedup_clusters_scale",
-    "sim_topk_ivfpq",
-    "text_winnow_fingerprints",
-    "io_schema_evolution",
-    "ts_trend_ols",
-    "ann_quality_eval",
-    # ---- tier C: latest driver signal is round 3 (oldest in catalog).
-    "q3_shipping_priority",
-    "q8_market_share",
+    # NEW in round 9: distributional-testing family
+    "stats_ks_two_sample",
+    "stats_spearman_corr",
+    "stats_kruskal_wallis",
+    "stats_levene_bf",
+    # ---- tier B: latest driver signal is round 3 (oldest in catalog).
     "q10_returned_items",
     "q11_important_stock",
     "q12_priority_class",
@@ -126,7 +88,7 @@ _STALE_R8 = [
     "sim_topk_bruteforce",
     "dedup_clusters",
     "dedup_embedding",
-    # ---- tier D: round-4 signals — window spill, leads the r9 window.
+    # ---- tier C: round-4 signals — window spill.
     "sim_topk_pairs_per_label",
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -177,12 +139,12 @@ _FAMILY_PRIORITY = {
 
 def _reorder() -> None:
     names = list(QUERIES)
-    unknown = (set(_CANARY) | set(_STALE_R8)) - set(names)
+    unknown = (set(_CANARY) | set(_STALE_R9)) - set(names)
     if unknown:  # a typo here silently strands a query past the window
         raise ValueError(f"catalog priority lists name unknown queries: {unknown}")
     original_pos = {n: i for i, n in enumerate(names)}
     canary_pos = {n: i for i, n in enumerate(_CANARY)}
-    stale_pos = {n: i for i, n in enumerate(_STALE_R8)}
+    stale_pos = {n: i for i, n in enumerate(_STALE_R9)}
 
     def key(name: str) -> tuple[int, int]:
         if name in canary_pos:

@@ -101,6 +101,11 @@ HEADLINE = [
     "stats_weighted_median",
     "asof_join_nearest",
     "pipeline_curation_e2e",
+    # round 9 additions (cheap single-pass/bounded-domain shapes: the
+    # forward as-of direction and the distributional-testing family)
+    "asof_join_forward",
+    "stats_ks_two_sample",
+    "stats_kruskal_wallis",
 ]
 
 

@@ -178,3 +178,188 @@ def test_theilsen_matches_reference(spark, pts):
     )
     assert got.n_pairs == n
     assert abs(got.theilsen_slope - ref) < 1e-9
+
+
+@settings(**_SET)
+@given(
+    a=st.lists(st.integers(0, 15), min_size=2, max_size=25),
+    b=st.lists(st.integers(0, 15), min_size=2, max_size=25),
+)
+def test_ks_two_sample_matches_reference(spark, a, b):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.stats import (
+        ks_two_sample,
+    )
+
+    rows = [(float(x), "A") for x in a] + [(float(x), "B") for x in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = ks_two_sample(df, "v", "g", "A", "B", quantize=None).head()
+
+    n1, n2 = len(a), len(b)
+    pts = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            sum(1 for x in a if x <= p) / n1
+            - sum(1 for x in b if x <= p) / n2
+        )
+        for p in pts
+    )
+    assert got.n1 == n1 and got.n2 == n2
+    assert abs(got.ks_d - d) < 1e-9
+    assert abs(got.ks_stat - d * math.sqrt(n1 * n2 / (n1 + n2))) < 1e-9
+
+
+@settings(**_SET)
+@given(
+    xy=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=3,
+        max_size=30,
+    ),
+)
+def test_spearman_matches_reference(spark, xy):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.stats import (
+        spearman_corr,
+    )
+
+    xs = [float(x) for x, _ in xy]
+    ys = [float(y) for _, y in xy]
+    # constant columns make rho undefined (zero rank variance)
+    if len(set(xs)) == 1 or len(set(ys)) == 1:
+        return
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = spearman_corr(df, "x", "y", quantize=None).head()
+
+    rx_map, ry_map = _py_midranks(xs), _py_midranks(ys)
+    rx = [rx_map[v] for v in xs]
+    ry = [ry_map[v] for v in ys]
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((p - mx) * (q - my) for p, q in zip(rx, ry))
+    sx = math.sqrt(sum((p - mx) ** 2 for p in rx))
+    sy = math.sqrt(sum((q - my) ** 2 for q in ry))
+    assert got.n == n
+    if sx == 0 or sy == 0:
+        assert got.spearman_rho is None
+    else:
+        assert abs(got.spearman_rho - cov / (sx * sy)) < 1e-9
+
+
+@settings(**_SET)
+@given(
+    groups=st.lists(
+        st.lists(st.integers(0, 10), min_size=2, max_size=15),
+        min_size=2,
+        max_size=4,
+    ),
+)
+def test_kruskal_wallis_matches_reference(spark, groups):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    rows = [
+        (float(x), f"g{i}") for i, grp in enumerate(groups) for x in grp
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = kruskal_wallis(df, "v", "g", quantize=None).head()
+
+    pooled = [float(x) for grp in groups for x in grp]
+    ranks = _py_midranks(pooled)
+    n = len(pooled)
+    rsq = sum(
+        sum(ranks[float(x)] for x in grp) ** 2 / len(grp) for grp in groups
+    )
+    h = 12.0 / (n * (n + 1)) * rsq - 3.0 * (n + 1)
+    # tie correction
+    from collections import Counter
+
+    tc = sum(t**3 - t for t in Counter(pooled).values())
+    corr = 1.0 - tc / (n**3 - n)
+    assert got.n_total == n and got.n_groups == len(groups)
+    if corr == 0:
+        assert got.h_stat is None
+    else:
+        assert abs(got.h_stat - h / corr) < 1e-9
+
+
+@settings(**_SET)
+@given(
+    vals=st.lists(
+        st.floats(-50, 50, allow_nan=False, width=32), min_size=1, max_size=30
+    ),
+)
+def test_mad_matches_reference(spark, vals):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.stats import (
+        median_abs_deviation,
+    )
+
+    def py_median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = median_abs_deviation(df, "v").head()
+    med = py_median(vals)
+    mad = py_median([abs(v - med) for v in vals])
+    assert got.n == len(vals)
+    assert abs(got.median - med) < 1e-6
+    assert abs(got.mad - mad) < 1e-6
+
+
+def test_mad_grouped(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.stats import (
+        median_abs_deviation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    rows = {r["g"]: r for r in median_abs_deviation(df, "v", by="g").collect()}
+    assert rows["a"]["median"] == 2.0 and rows["a"]["mad"] == 1.0
+    assert rows["b"]["median"] == 5.0 and rows["b"]["mad"] == 0.0
+
+
+@settings(**_SET)
+@given(
+    groups=st.lists(
+        st.lists(
+            st.floats(0, 40, allow_nan=False, width=32),
+            min_size=3,
+            max_size=15,
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+)
+def test_levene_bf_matches_reference(spark, groups):
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.stats import (
+        levene_bf,
+    )
+
+    def py_median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+    rows = [(float(x), f"g{i}") for i, grp in enumerate(groups) for x in grp]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = levene_bf(df, "v", "g").head()
+
+    zs = [
+        [abs(x - py_median(grp)) for x in grp] for grp in groups
+    ]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    zbar_g = [sum(g) / len(g) for g in zs]
+    zbar = sum(sum(g) for g in zs) / n
+    ss_b = sum(len(g) * (m - zbar) ** 2 for g, m in zip(zs, zbar_g))
+    ss_w = sum(sum((x - m) ** 2 for x in g) for g, m in zip(zs, zbar_g))
+    assert got.n_total == n and got.n_groups == k
+    assert got.dof1 == k - 1 and got.dof2 == n - k
+    if ss_w == 0:
+        assert got.w_stat is None
+    else:
+        w = ((n - k) / (k - 1)) * ss_b / ss_w
+        assert abs(got.w_stat - w) < 1e-6 * max(1.0, abs(w))
