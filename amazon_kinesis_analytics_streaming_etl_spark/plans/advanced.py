@@ -737,3 +737,125 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("nd")).cast("long").alias("n_duplicate_ids"),
         F.col("first_gap_start").cast("long").alias("first_gap_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# round 9: governance audits — k-anonymity / l-diversity and freshness lag
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "privacy_k_anonymity",
+    f"""
+    WITH g AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(floor(value / 50.0) AS BIGINT) AS vb,
+             count(*) AS sz, count(DISTINCT user_id) AS l_div
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(sz) AS BIGINT) AS min_group_size,
+           CAST(count(*) FILTER (sz < {_KANON_K}) AS BIGINT)
+             AS groups_below_k,
+           CAST(sum(sz) FILTER (sz < {_KANON_K}) AS BIGINT)
+             AS rows_below_k,
+           round(CAST(CAST(coalesce(sum(sz) FILTER (sz < {_KANON_K}), 0)
+                 * 1.0 / sum(sz) AS REAL) AS DOUBLE) + 0.00000001, 4)
+             AS frac_rows_below_k,
+           CAST(min(l_div) AS BIGINT) AS min_l_diversity
+    FROM g
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier tuple
+    (event_type, event date, value bucket) — the re-identification-risk
+    report a training-data compliance pass runs before release: how many
+    QI groups are smaller than k=5, what fraction of ROWS sit in them
+    (the actual exposure), and the minimum l-diversity (distinct users —
+    the sensitive attribute — within any group; l=1 means a group maps
+    to one person even when it is k-large).
+
+    Scale shape: one hash aggregate to the QI-group frame (count +
+    count-distinct in the same pass), then a 1-row reduction over the
+    group table — group cardinality is the product of bounded QI
+    domains, never row count. No sort, no join."""
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    g = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("vb"),
+    ).agg(
+        F.count("*").alias("sz"),
+        F.countDistinct("user_id").alias("l_div"),
+    )
+    below = F.col("sz") < _KANON_K
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("min_group_size"),
+        F.count(F.when(below, 1)).cast("long").alias("groups_below_k"),
+        F.sum(F.when(below, F.col("sz"))).cast("long").alias("rows_below_k"),
+        F.round(
+            (
+                F.coalesce(F.sum(F.when(below, F.col("sz"))), F.lit(0))
+                / F.sum("sz")
+            )
+            .cast("float")
+            .cast("double")
+            + 0.00000001,
+            4,
+        ).alias("frac_rows_below_k"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+    )
+
+
+@register(
+    "dq_freshness_lag",
+    """
+    WITH mx AS (SELECT max(ts) AS global_max FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
+           CAST(floor(date_diff('second', max(ts),
+                                (SELECT global_max FROM mx)) / 60.0)
+                AS BIGINT) AS lag_minutes,
+           CAST(date_diff('second', max(ts), (SELECT global_max FROM mx))
+                > 1800 AS INT) AS stale
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness audit — the staleness panel an ingest
+    pipeline alarms on: each event type's latest arrival, its lag in
+    whole minutes behind the freshest record anywhere in the corpus,
+    and a stale flag at a 30-minute SLA. (Lag is measured against the
+    corpus max, not wall clock, so the audit is deterministic and
+    replayable.)
+
+    Scale shape: one partial-aggregable scan to the per-type (count,
+    max) frame, then the global max is an aggregate OF that k-row frame
+    broadcast back — the source is never rescanned. No sort beyond the
+    k-row display order."""
+    ev = load_events(spark, sf_dir)
+    per = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("ts").alias("max_ts"),
+    )
+    per = per.localCheckpoint(eager=False)  # global max reuses the k rows
+    mx = per.agg(F.max("max_ts").alias("global_max"))
+    lag_s = F.col("global_max").cast("double") - F.col("max_ts").cast("double")
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            "n",
+            F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+            F.floor(lag_s / 60.0).cast("long").alias("lag_minutes"),
+            (lag_s > 1800).cast("int").alias("stale"),
+        )
+        .orderBy("event_type")
+    )

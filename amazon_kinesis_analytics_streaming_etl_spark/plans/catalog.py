@@ -57,6 +57,10 @@ _STALE_R9 = [
     "stats_spearman_corr",
     "stats_kruskal_wallis",
     "stats_levene_bf",
+    # NEW in round 9: governance audits + time-bounded streaming dedup
+    "privacy_k_anonymity",
+    "dq_freshness_lag",
+    "stream_dedup_within_watermark",
     # ---- tier B: latest driver signal is round 3 (oldest in catalog).
     "q10_returned_items",
     "q11_important_stock",

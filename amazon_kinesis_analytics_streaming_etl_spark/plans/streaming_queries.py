@@ -732,3 +732,51 @@ def stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("w.end", _TS_FMT_SPARK).alias("window_end"),
         "n",
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded streaming dedup via Spark 3.5+'s
+    ``dropDuplicatesWithinWatermark`` — the at-least-once-ingest
+    repair: the source is unioned with a +10-minute-shifted duplicate
+    of itself (same event_id, the redelivery model), and the operator
+    keeps ONE row per event_id among duplicates arriving within the
+    1-hour watermark delay, evicting state once the watermark passes —
+    bounded state where plain ``dropDuplicates`` would hold every key
+    forever. The oracle is the clean per-type aggregate of the
+    un-duplicated table (every duplicate is within the delay by
+    construction, so exactly the original multiset survives); count and
+    value are duplicate-copy-invariant, so which copy survives a tie is
+    immaterial.
+
+    Scale shape: dedup state is one tombstone per event_id within the
+    watermark horizon (time-bounded, unlike the 100-day dropDuplicates
+    in stream_dedup_users which models a bounded replay); the downstream
+    per-type rollup is a tiny shuffle."""
+    base = _events_stream(spark, sf_dir)
+    shifted = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")
+    )
+    dup_stream = base.unionByName(shifted)
+    deduped = dup_stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = replay_to_memory(spark, deduped, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

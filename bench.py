@@ -106,6 +106,8 @@ HEADLINE = [
     "asof_join_forward",
     "stats_ks_two_sample",
     "stats_kruskal_wallis",
+    "privacy_k_anonymity",
+    "dq_freshness_lag",
 ]
 
 

@@ -45,6 +45,12 @@ SCALAR_THRESHOLD_QUERIES = {
     "text_pmi_collocations",
     # etl: valid x corrupt 1-row summary aggregates (dead-letter split).
     "parse_dead_letter",
+    # freshness audit: 1-row global-max broadcast into the k-row frame.
+    "dq_freshness_lag",
+    # round-9 rank stats: 1-row (n1,n2)/(N,tie_corr) broadcasts into the
+    # domain-sized rank frames.
+    "stats_ks_two_sample",
+    "stats_kruskal_wallis",
     # bloom prefilter gate: crossJoins of 1-row count aggregates
     # (prefiltered-join x exact-join x pass-rate summaries).
     "join_bloom_prefilter",
