@@ -3943,3 +3943,94 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dof1").cast("long").alias("dof1"),
         F.col("dof2").cast("long").alias("dof2"),
     )
+
+
+@register(
+    "attribution_time_decay",
+    """
+    WITH touches AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.event_id, p.value, t.event_type AS channel,
+             exp(-(epoch_ms(p.ts) - epoch_ms(t.ts)) / 1000.0
+                 * 0.0000080225546) AS w
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT channel,
+             value * w / sum(w) OVER (PARTITION BY event_id) AS credit
+      FROM pairs
+    )
+    SELECT channel,
+           round(CAST(CAST(sum(credit) AS REAL) AS DOUBLE) + 0.00000001, 2)
+             AS credited_value,
+           CAST(count(*) AS BIGINT) AS n_touchpoints
+    FROM credited GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — the fairer sibling of
+    attribution_last_touch: EVERY click/view/signup in the 7 days before
+    a purchase shares that purchase's value, weighted exp(-lambda * age)
+    with a 1-day half-life (lambda = ln2/86400 per second), normalized
+    per purchase so credits sum to the purchase value; channels then
+    roll up total credited revenue.
+
+    Plan: purchases x prior touches is a USER-KEYED hash join with the
+    [ts-7d, ts) residual (the scd2_point_in_time_join family — never a
+    time-only cross join; per-user event counts bound the pair fan-out);
+    per-purchase weight normalization is a window ON THE SAME user-keyed
+    shuffle (purchase_id is user-local), and the channel rollup is a
+    map-side-combined aggregate over 3 groups. The decayed weight is
+    pure arithmetic on epoch seconds — deterministic in both engines,
+    with the float32-squash + epsilon display contract absorbing
+    summation-order ulps."""
+    ev = load_events(spark, sf_dir)
+    touches = ev.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    lam = 0.0000080225546  # ln(2) / 86400 s — 1-day half-life
+    pairs = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        "channel",
+        F.exp(
+            -(F.col("ts").cast("double") - F.col("t_ts").cast("double")) * lam
+        ).alias("w"),
+    )
+    wsum = Window.partitionBy("event_id")
+    credited = pairs.select(
+        "channel",
+        (F.col("value") * F.col("w") / F.sum("w").over(wsum)).alias("credit"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.round(
+                F.sum("credit").cast("float").cast("double") + 0.00000001, 2
+            ).alias("credited_value"),
+            F.count("*").cast("long").alias("n_touchpoints"),
+        )
+        .orderBy("channel")
+    )

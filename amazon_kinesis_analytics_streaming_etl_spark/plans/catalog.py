@@ -61,6 +61,10 @@ _STALE_R9 = [
     "privacy_k_anonymity",
     "dq_freshness_lag",
     "stream_dedup_within_watermark",
+    # NEW in round 9: attribution / corpus-health / drift monitors
+    "attribution_time_decay",
+    "text_zipf_fit",
+    "embedding_drift_shift",
     # ---- tier B: latest driver signal is round 3 (oldest in catalog).
     "q10_returned_items",
     "q11_important_stock",

@@ -648,3 +648,75 @@ def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.md5("text")) - F.countDistinct(F.md5(norm))
         ).cast("long").alias("collapsed_by_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# round 9: Zipf-law fit — the corpus-health power-law diagnostic
+# --------------------------------------------------------------------------
+
+@register(
+    "text_zipf_fit",
+    f"""
+    WITH tf AS (
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest({_T}) AS term FROM documents)
+      WHERE term <> ''
+      GROUP BY term
+    ),
+    top AS (
+      SELECT term, n,
+             row_number() OVER (ORDER BY n DESC, term) AS rnk
+      FROM tf
+      ORDER BY n DESC, term
+      LIMIT 200
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           (SELECT term FROM top WHERE rnk = 1) AS top_term,
+           round(CAST(CAST(regr_slope(ln(n), ln(rnk)) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS zipf_slope,
+           round(CAST(CAST(regr_r2(ln(n), ln(rnk)) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS zipf_r2
+    FROM top
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus term-frequency head: OLS slope and
+    r^2 of ln(freq) vs ln(rank) for the top-200 terms — natural text
+    fits a power law with slope near -1; a synthetic/templated or
+    boilerplate-heavy corpus bends the head (slope far from -1, low
+    r^2). The corpus-health diagnostic a curation pass runs next to
+    language-ID and repetition scoring.
+
+    Scale shape: one explode + hash aggregate to the term-frequency
+    table; the head is TakeOrdered top-200 (no global sort shuffle);
+    rank assignment and the regression run on the bounded 200-row frame
+    (the single-partition window is 200 rows by construction). Ties
+    break by term text so both engines pick the same head."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(F.explode(lower_tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    top = tf.orderBy(F.col("n").desc(), "term").limit(200)
+    w = Window.orderBy(F.col("n").desc(), "term")  # bounded: 200 rows post-limit
+    ranked = top.select(
+        "term", "n", F.row_number().over(w).alias("rnk")
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.max(F.when(F.col("rnk") == 1, F.col("term"))).alias("top_term"),
+        F.round(
+            F.expr("regr_slope(ln(n), ln(rnk))").cast("float").cast("double")
+            + 0.00000001,
+            4,
+        ).alias("zipf_slope"),
+        F.round(
+            F.expr("regr_r2(ln(n), ln(rnk))").cast("float").cast("double")
+            + 0.00000001,
+            4,
+        ).alias("zipf_r2"),
+    )

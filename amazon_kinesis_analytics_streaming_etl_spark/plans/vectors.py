@@ -375,3 +375,98 @@ def embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n long, trace double, effective_rank double, "
         "eig_identities_ok boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# round 9: embedding drift between cohorts
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_drift_shift",
+    """
+    WITH d AS (
+      SELECT label, vec_id % 2 AS half, r.i - 1 AS dim,
+             CAST(embedding[r.i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    cent AS (
+      SELECT label, dim,
+             avg(v) FILTER (half = 0) AS a,
+             avg(v) FILTER (half = 1) AS b
+      FROM d GROUP BY label, dim
+    ),
+    per AS (
+      SELECT label,
+             sum(a * b) AS ab, sum(a * a) AS aa, sum(b * b) AS bb,
+             sum((a - b) * (a - b)) AS d2
+      FROM cent GROUP BY label
+    ),
+    n AS (
+      SELECT label,
+             count(*) FILTER (vec_id % 2 = 0) AS n_a,
+             count(*) FILTER (vec_id % 2 = 1) AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT CAST(p.label AS INT) AS label,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(CAST(CAST(ab / sqrt(aa * bb) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS centroid_cos,
+           round(CAST(CAST(sqrt(d2) AS REAL) AS DOUBLE) + 0.00000001, 4)
+             AS shift_l2
+    FROM per p JOIN n USING (label)
+    ORDER BY label
+    """,
+)
+def embedding_drift_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: split the corpus into two deterministic
+    cohorts (vec_id parity — the stand-in for 'last index build' vs
+    'today'), compute each label's centroid in both cohorts, and report
+    the centroid cosine and L2 shift per label — the re-index/retrain
+    trigger a production vector store watches (cos near 1 = stable
+    space; a drifting label is re-embedded or its IVF lists retrained).
+
+    Scale shape: one posexplode to (label, half, dim, v) narrow tuples,
+    a |labels| x |dims| hash aggregate with FILTERed means (both cohorts
+    in the SAME pass — the corpus is scanned once), then the cosine /
+    shift reduce over the |labels| x |dims| frame and a |labels|-row
+    join for cohort counts. No per-row vector math, no driver traffic
+    beyond |labels| rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v0"),
+    ).select("label", "half", "dim", F.col("v0").cast("double").alias("v"))
+    cent = d.groupBy("label", "dim").agg(
+        F.avg(F.when(F.col("half") == 0, F.col("v"))).alias("a"),
+        F.avg(F.when(F.col("half") == 1, F.col("v"))).alias("b"),
+    )
+    per = cent.groupBy("label").agg(
+        F.sum(F.col("a") * F.col("b")).alias("ab"),
+        F.sum(F.col("a") * F.col("a")).alias("aa"),
+        F.sum(F.col("b") * F.col("b")).alias("bb"),
+        F.sum(F.pow(F.col("a") - F.col("b"), 2)).alias("d2"),
+    )
+    n = emb.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).cast("long").alias("n_b"),
+    )
+    return (
+        per.join(n, "label")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("ab") / F.sqrt(F.col("aa") * F.col("bb")))
+                .cast("float")
+                .cast("double")
+                + 0.00000001,
+                4,
+            ).alias("centroid_cos"),
+            F.round(
+                F.sqrt(F.col("d2")).cast("float").cast("double") + 0.00000001, 4
+            ).alias("shift_l2"),
+        )
+        .orderBy("label")
+    )

@@ -108,6 +108,8 @@ HEADLINE = [
     "stats_kruskal_wallis",
     "privacy_k_anonymity",
     "dq_freshness_lag",
+    "attribution_time_decay",
+    "embedding_drift_shift",
 ]
 
 
