@@ -4034,3 +4034,55 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "stats_mad_by_type",
+    """
+    WITH src AS (
+      SELECT event_type AS g, round(value, 3) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (SELECT g, count(*) AS n, median(v) AS m FROM src GROUP BY 1)
+    SELECT s.g AS event_type,
+           CAST(any_value(n) AS BIGINT) AS n,
+           round(CAST(CAST(any_value(m) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS median_value,
+           round(CAST(CAST(median(abs(v - m)) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS mad,
+           round(CAST(CAST(median(abs(v - m)) * 1.4826 AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS robust_sigma
+    FROM src s JOIN med USING (g)
+    GROUP BY s.g ORDER BY event_type
+    """,
+)
+def stats_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust location/scale summary — exact median and median
+    absolute deviation (x1.4826 for the normal-consistent sigma), the
+    outlier-immune replacement for mean/stddev on heavy-tailed value
+    columns. Thin display wrapper over
+    operators/stats.py:median_abs_deviation (two partial-aggregable
+    percentile passes with a k-row broadcast median join between them);
+    values quantize to 3dp so both engines interpolate the same
+    multiset. anomaly_mad_robust applies the same estimator per HOUR to
+    flag rows; this is the per-population summary face."""
+    from ..operators.stats import median_abs_deviation
+
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    src = ev.select(
+        F.col("event_type"), F.round("value", 3).alias("v3")
+    )
+    s = median_abs_deviation(src, "v3", by="event_type")
+    return s.select(
+        F.col("event_type"),
+        "n",
+        F.round(
+            F.col("median").cast("float").cast("double") + 0.00000001, 4
+        ).alias("median_value"),
+        F.round(
+            F.col("mad").cast("float").cast("double") + 0.00000001, 4
+        ).alias("mad"),
+        F.round(
+            (F.col("mad") * 1.4826).cast("float").cast("double") + 0.00000001, 4
+        ).alias("robust_sigma"),
+    ).orderBy("event_type")

@@ -65,6 +65,7 @@ _STALE_R9 = [
     "attribution_time_decay",
     "text_zipf_fit",
     "embedding_drift_shift",
+    "stats_mad_by_type",
     # ---- tier B: latest driver signal is round 3 (oldest in catalog).
     "q10_returned_items",
     "q11_important_stock",
