@@ -39,8 +39,18 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     partitions: int | None = None,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, pagerank).
+
+    ``seeds``: PERSONALIZED PageRank (random walk with restart, Haveliwala
+    2002 / the GraphX ``personalizedPageRank`` contract): the (1 - d)
+    teleport mass lands only on the seed nodes instead of uniformly, and
+    ranks initialize to the seed indicator — the resulting scores measure
+    proximity to the seed set, the recommendation/related-items primitive.
+    Seeds ride as a broadcast literal (bounded seed sets by contract);
+    everything else — supersteps, message combine, lineage truncation —
+    is identical to the uniform walk.
 
     Pregel-style formulation (Page et al. 1999; the GraphX default):
     ``pr(v) = (1 - d) + d * sum(pr(u) / outdeg(u))`` over in-neighbors
@@ -70,7 +80,14 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    ranks = nodes.withColumn("pr", F.lit(1.0))
+    if seeds is None:
+        floor = F.lit(1.0 - damping)
+        init = F.lit(1.0)
+    else:
+        is_seed = F.col("node").isin([int(s) for s in seeds])
+        floor = F.when(is_seed, F.lit(1.0 - damping)).otherwise(F.lit(0.0))
+        init = F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = nodes.withColumn("pr", init)
     for _ in range(iterations):
         msgs = (
             weighted.join(ranks, weighted["_src"] == ranks["node"])
@@ -83,7 +100,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(1.0 - damping)
+                    floor
                     + F.lit(damping) * F.coalesce(F.col("_msum"), F.lit(0.0))
                 ).alias("pr"),
             )

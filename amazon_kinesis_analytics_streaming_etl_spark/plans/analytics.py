@@ -4086,3 +4086,87 @@ def stats_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mad") * 1.4826).cast("float").cast("double") + 0.00000001, 4
         ).alias("robust_sigma"),
     ).orderBy("event_type")
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized-PageRank recurrence — the SQL twin of
+    operators/graph.py:pagerank(seeds=[...]): teleport mass lands only
+    on the seed node, ranks init to the seed indicator."""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""pr{i} AS (
+      SELECT n.node,
+             CASE WHEN n.node = (SELECT s FROM seed)
+                  THEN {1 - _PR_DAMP} ELSE 0.0 END
+             + {_PR_DAMP} * COALESCE(SUM(p.pr / d.outdeg), 0) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN pr{i - 1} p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.node
+    )"""
+        )
+    its = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    seed AS (SELECT min(c) AS s FROM pairs),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    pr0 AS (
+      SELECT node,
+             CASE WHEN node = (SELECT s FROM seed) THEN 1.0 ELSE 0.0 END AS pr
+      FROM nodes
+    ),
+    {its}
+    SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey,
+           ROUND(pr + 0.00000001, 6) AS ppr
+    FROM pr{_PR_ITERS}
+    WHERE node % 2 = 1 AND pr > 0
+    ORDER BY ppr DESC, s_suppkey
+    LIMIT 15
+    """
+
+
+@register("graph_personalized_pagerank", _ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from ONE seed
+    customer — 'suppliers related to this customer' by graph proximity,
+    the recommendation primitive the uniform graph_pagerank cannot
+    express (its scores measure global importance, not closeness to a
+    query node). Seed = the lowest trading custkey (deterministic across
+    SFs); teleport mass lands only on the seed; top-15 suppliers by
+    restart-walk score, zero-score nodes excluded (disconnected
+    components never receive seed mass, by construction).
+
+    Same Pregel plan as graph_pagerank (edges persisted once, map-side
+    message combine, per-superstep localCheckpoint); the seed rides as a
+    1-element broadcast literal from a bounded 1-row collect (the seeded
+    centroid-list pattern). Oracle unrolls the same recurrence
+    CTE-for-CTE, so every superstep's float math is checked."""
+    from ..operators.graph import pagerank
+
+    edges = _undirected_trade_edges(spark, sf_dir)
+    seed = int(
+        edges.where(F.col("src") % 2 == 0).agg(F.min("src")).head()[0]
+    )
+    ranks = pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMP, seeds=[seed]
+    )
+    return (
+        ranks.where((F.col("node") % 2 == 1) & (F.col("pagerank") > 0))
+        .select(
+            ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+            F.round(F.col("pagerank") + 0.00000001, 6).alias("ppr"),
+        )
+        .orderBy(F.col("ppr").desc(), "s_suppkey")
+        .limit(15)
+    )

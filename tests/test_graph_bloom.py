@@ -564,3 +564,47 @@ def test_bellman_ford_property_random_weighted_digraphs(spark):
         assert got == _bf_reference(triples, seeds, rounds)
 
     run()
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """seeds=: teleport mass lands only on the seed and ranks init to
+    the seed indicator — pinned against the pure-Python recurrence on a
+    path graph + a disconnected pair; the disconnected component must
+    score exactly zero (it never receives seed mass), while the uniform
+    walk reaches every node."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import (
+        pagerank,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    edge_list = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    ppr = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges, iterations=4, seeds=[1]).collect()
+    }
+
+    # pure-Python twin of the seeded recurrence
+    damping, seed = 0.85, 1
+    nodes = sorted({n for e in edge_list for n in e})
+    out = {n: 0 for n in nodes}
+    for u, _ in edge_list:
+        out[u] += 1
+    pr = {n: (1.0 if n == seed else 0.0) for n in nodes}
+    for _ in range(4):
+        msgs = {n: 0.0 for n in nodes}
+        for u, v in edge_list:
+            msgs[v] += pr[u] / out[u]
+        pr = {
+            n: ((1 - damping) if n == seed else 0.0) + damping * msgs[n]
+            for n in nodes
+        }
+    assert set(ppr) == set(pr)
+    for n in pr:
+        assert ppr[n] == pytest.approx(pr[n], abs=1e-12)
+    assert ppr[10] == 0.0 and ppr[11] == 0.0  # unreachable from the seed
+    uni = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges, iterations=4).collect()
+    }
+    assert uni[10] > 0.0  # uniform teleport reaches every node
