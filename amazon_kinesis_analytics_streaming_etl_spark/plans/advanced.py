@@ -847,7 +847,14 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = per.localCheckpoint(eager=False)  # global max reuses the k rows
     mx = per.agg(F.max("max_ts").alias("global_max"))
-    lag_s = F.col("global_max").cast("double") - F.col("max_ts").cast("double")
+    # DuckDB date_diff('second') counts BOUNDARY CROSSINGS, i.e.
+    # floor(b) - floor(a) on epoch seconds — neither the fractional
+    # difference (flips `stale` inside (1800, 1801) s) nor
+    # floor(b - a) (off by one when the fractional parts straddle a
+    # boundary) is its twin
+    lag_s = F.floor(F.col("global_max").cast("double")) - F.floor(
+        F.col("max_ts").cast("double")
+    )
     return (
         per.crossJoin(F.broadcast(mx))
         .select(

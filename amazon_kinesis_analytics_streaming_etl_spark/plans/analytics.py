@@ -4015,8 +4015,16 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "value",
         "channel",
+        # epoch MILLISECONDS exactly like the oracle's epoch_ms (floor of
+        # the fractional-second tail) so the exp() argument is bit-equal
+        # in both engines, not merely squash-close
         F.exp(
-            -(F.col("ts").cast("double") - F.col("t_ts").cast("double")) * lam
+            -(
+                F.floor(F.col("ts").cast("double") * 1000)
+                - F.floor(F.col("t_ts").cast("double") * 1000)
+            )
+            / 1000.0
+            * lam
         ).alias("w"),
     )
     wsum = Window.partitionBy("event_id")
