@@ -80,6 +80,11 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
+    if seeds is not None and not seeds:
+        raise ValueError(
+            "seeds=[] would zero every rank (no teleport mass anywhere); "
+            "pass None for the uniform walk or a non-empty seed list"
+        )
     if seeds is None:
         floor = F.lit(1.0 - damping)
         init = F.lit(1.0)

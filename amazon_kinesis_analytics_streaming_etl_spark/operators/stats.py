@@ -258,13 +258,16 @@ def spearman_corr(
     variables' midranks, the standard tie-aware definition.
 
     Scale shape: each variable's midranks come from its DISTINCT
-    (quantized) value domain — one hash aggregate + one
-    :func:`global_cumsum` range shuffle per variable — and join back to
-    rows by the quantized value (hash joins; the rank tables are
-    domain-sized, not row-sized). ``corr`` is then a plain partial
-    aggregate. ``by`` groups share the pooled rank domain (ranks are
-    computed over ALL rows, per-variable), so pass pre-filtered frames
-    if per-group ranking is wanted."""
+    (quantized) value domain — one hash aggregate, then an exclusive
+    running count over that domain-sized frame (a single
+    :func:`global_cumsum` range shuffle when ungrouped; a
+    group-partitioned window over the per-group domain when ``by`` is
+    given — per-group ranks are the standard grouped-Spearman
+    semantics, and the window frame is bounded by the quantized domain,
+    never raw rows) — and join back to rows by (group, value) hash
+    keys. ``corr`` is then a plain partial aggregate."""
+    from pyspark.sql import Window
+
     by = [by] if isinstance(by, str) else list(by or [])
 
     def q(c: str) -> Column:
@@ -275,19 +278,45 @@ def spearman_corr(
     )
 
     def ranks(col: str, out: str) -> DataFrame:
-        dom = src.groupBy(F.col(col).alias("_v")).agg(F.count("*").alias("_t"))
-        r = global_cumsum(dom, "_v", "_t", "_below", exclusive=True)
+        dom = src.groupBy(*by, F.col(col).alias("_v")).agg(
+            F.count("*").alias("_t")
+        )
+        if by:
+            w = (
+                Window.partitionBy(*by)
+                .orderBy("_v")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            r = dom.withColumn(
+                "_below", F.coalesce(F.sum("_t").over(w), F.lit(0))
+            )
+        else:
+            r = global_cumsum(dom, "_v", "_t", "_below", exclusive=True)
         return r.select(
+            *by,
             F.col("_v").alias(col),
             (F.col("_below") + (F.col("_t") + 1) / 2.0).alias(out),
         )
 
-    withranks = src.join(ranks("_x", "_rx"), "_x").join(ranks("_y", "_ry"), "_y")
-    grouped = withranks.groupBy(*by) if by else withranks.groupBy()
-    return grouped.agg(
-        F.count("*").cast("long").alias("n"),
-        F.corr("_rx", "_ry").alias("spearman_rho"),
+    withranks = src.join(ranks("_x", "_rx"), [*by, "_x"]).join(
+        ranks("_y", "_ry"), [*by, "_y"]
     )
+    grouped = withranks.groupBy(*by) if by else withranks.groupBy()
+    # rho assembled from covar/stddev partials instead of F.corr: corr's
+    # internal ck/(sqrt(xMk)*sqrt(yMk)) raises DIVIDE_BY_ZERO under ANSI
+    # when either rank column is constant — here a zero/NULL stddev
+    # yields NULL rho (undefined correlation), never a throw
+    agg = grouped.agg(
+        F.count("*").cast("long").alias("n"),
+        F.covar_samp("_rx", "_ry").alias("_cov"),
+        F.stddev_samp("_rx").alias("_sx"),
+        F.stddev_samp("_ry").alias("_sy"),
+    )
+    rho = F.when(
+        (F.col("_sx") > 0) & (F.col("_sy") > 0),
+        F.col("_cov") / (F.col("_sx") * F.col("_sy")),
+    )
+    return agg.select(*by, "n", rho.alias("spearman_rho"))
 
 
 def kruskal_wallis(

@@ -363,3 +363,59 @@ def test_levene_bf_matches_reference(spark, groups):
     else:
         w = ((n - k) / (k - 1)) * ss_b / ss_w
         assert abs(got.w_stat - w) < 1e-6 * max(1.0, abs(w))
+
+
+@settings(**_SET)
+@given(
+    ga=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=3,
+        max_size=20,
+    ),
+    gb=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=3,
+        max_size=20,
+    ),
+)
+def test_spearman_grouped_ranks_within_groups(spark, ga, gb):
+    """by= ranks WITHIN each group (standard grouped Spearman): each
+    group's rho equals the ungrouped operator run on that group's rows
+    alone, and equals the pure-Python midrank Pearson."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.stats import (
+        spearman_corr,
+    )
+
+    rows = [("a", float(x), float(y)) for x, y in ga] + [
+        ("b", float(x), float(y)) for x, y in gb
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["n"], r["spearman_rho"])
+        for r in spearman_corr(df, "x", "y", by="g", quantize=None).collect()
+    }
+    for gname, pairs in (("a", ga), ("b", gb)):
+        xs = [float(x) for x, _ in pairs]
+        ys = [float(y) for _, y in pairs]
+        rx_map, ry_map = _py_midranks(xs), _py_midranks(ys)
+        rx = [rx_map[v] for v in xs]
+        ry = [ry_map[v] for v in ys]
+        n = len(xs)
+        mx, my = sum(rx) / n, sum(ry) / n
+        cov = sum((p - mx) * (q - my) for p, q in zip(rx, ry))
+        sx = math.sqrt(sum((p - mx) ** 2 for p in rx))
+        sy = math.sqrt(sum((q - my) ** 2 for q in ry))
+        gn, grho = got[gname]
+        assert gn == n
+        if sx == 0 or sy == 0:
+            assert grho is None
+        else:
+            assert abs(grho - cov / (sx * sy)) < 1e-9
+        # parity with the ungrouped operator on the single group
+        solo = spearman_corr(
+            df.where(df.g == gname), "x", "y", quantize=None
+        ).head()
+        if grho is None:
+            assert solo.spearman_rho is None
+        else:
+            assert abs(solo.spearman_rho - grho) < 1e-9
