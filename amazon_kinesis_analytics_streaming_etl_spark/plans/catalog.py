@@ -67,6 +67,7 @@ _STALE_R9 = [
     "embedding_drift_shift",
     "stats_mad_by_type",
     "graph_personalized_pagerank",
+    "text_readability",
     # ---- tier B: latest driver signal is round 3 (oldest in catalog).
     "q10_returned_items",
     "q11_important_stock",

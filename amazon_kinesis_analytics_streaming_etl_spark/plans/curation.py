@@ -720,3 +720,68 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_r2"),
     )
+
+
+@register(
+    "text_readability",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len({_T}) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           round(CAST(CAST(
+             206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                     - 84.6 * (n_syllables * 1.0 / n_words)
+             AS REAL) AS DOUBLE) + 0.00000001, 3) AS flesch
+    FROM scored
+    WHERE n_words > 0
+    ORDER BY flesch ASC, doc_id
+    LIMIT 15
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with the standard vowel-group
+    syllable approximation — the readability signal quality-filter
+    stacks (C4/Gopher descendants) use to drop machine-generated or
+    degenerate text; reports the 15 hardest documents (lowest score,
+    doc_id ties deterministic). Sentences floor at 1 (fragments without
+    terminal punctuation are one sentence); vowel-group counting is the
+    classic hyphenation-free syllable proxy, identical regex in both
+    engines (verified: Java and RE2 agree on '[aeiouy]+' group counts).
+
+    Scale shape: one narrow per-row projection (tokenizer size +
+    two regexp_count calls, all JVM codegen), then TakeOrdered top-15 —
+    no shuffle beyond the bounded top-k, no UDF."""
+    docs = _docs(spark, sf_dir)
+    n_words = F.size(lower_tokens("text"))
+    n_sent = F.greatest(F.expr("regexp_count(text, '[.!?]+')"), F.lit(1))
+    n_syll = F.expr("regexp_count(lower(text), '[aeiouy]+')")
+    scored = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words") / F.col("n_sentences"))
+        - 84.6 * (F.col("n_syllables") / F.col("n_words"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            F.round(
+                flesch.cast("float").cast("double") + 0.00000001, 3
+            ).alias("flesch"),
+        )
+        .orderBy("flesch", "doc_id")
+        .limit(15)
+    )
