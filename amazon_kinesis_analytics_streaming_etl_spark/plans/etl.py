@@ -535,30 +535,53 @@ def serialize_projection_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     number-typed trip_id fails.
 
     Scale: one narrow scan — synthesis, parse, serialize, and the JSON
-    re-extraction are all codegen projections into a single aggregate."""
+    re-extraction are all codegen projections into a single aggregate.
+    Like parse_dead_letter, the single-file small-SF source is spread
+    across cores first: the per-row JSON work is the gate's whole cost
+    and would otherwise run single-threaded (measured 3.2s -> ~1.2s at
+    sf0.1 on 32 cores; a real corpus arrives pre-partitioned). The
+    consumer-side re-extraction parses each outbound payload ONCE
+    (from_json into an own-attribute struct — the operators/parse.py
+    single-tokenization contract) instead of five get_json_object calls,
+    each of which would re-tokenize the payload."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     from ..operators.parse import parse_trip_events
     from ..operators.serialize import trip_event_to_json
 
-    events = load_events(spark, sf_dir)
+    events = load_events(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     trips = parse_trip_events(_trip_event_lines(events, corrupt=False))
     out = trip_event_to_json(trips).select("value")
-    j = F.col("value")
-    return out.agg(
+    probe_schema = StructType(
+        [
+            StructField("trip_id", StringType()),
+            StructField("pickup_datetime", StringType()),
+            StructField("payment_type", StringType()),
+            StructField("padding", StringType()),
+        ]
+    )
+    probed = out.select(
+        "value", F.from_json("value", probe_schema).alias("__probe")
+    )
+    s = F.col("__probe")
+    return probed.agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum(F.get_json_object(j, "$.trip_id").cast("long"))
+        F.sum(s.getField("trip_id").cast("long"))
         .cast("long")
         .alias("trip_id_sum"),
-        F.sum(F.get_json_object(j, "$.pickup_datetime").cast("long"))
+        F.sum(s.getField("pickup_datetime").cast("long"))
         .cast("long")
         .alias("pickup_millis_sum"),
-        F.bool_and(F.get_json_object(j, "$.payment_type").isNull()).alias(
+        F.bool_and(s.getField("payment_type").isNull()).alias(
             "payment_type_omitted"
         ),
-        F.bool_and(F.get_json_object(j, "$.padding").isNull()).alias(
-            "padding_omitted"
-        ),
+        F.bool_and(s.getField("padding").isNull()).alias("padding_omitted"),
         # quoted string in the raw bytes, not a bare number
-        F.bool_and(j.rlike('"trip_id":"\\d+"')).alias("trip_id_quoted"),
+        F.bool_and(F.col("value").rlike('"trip_id":"\\d+"')).alias(
+            "trip_id_quoted"
+        ),
     )
 
 
