@@ -17,6 +17,7 @@ from . import advanced as _advanced  # noqa: F401  (registration side effects)
 from . import analytics as _analytics  # noqa: F401
 from . import curation as _curation  # noqa: F401
 from . import etl as _etl  # noqa: F401
+from . import geo as _geo  # noqa: F401
 from . import layout as _layout  # noqa: F401
 from . import lexical as _lexical  # noqa: F401
 from . import llm as _llm  # noqa: F401
@@ -41,6 +42,12 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # family-ordered tail.
 _STALE_R9 = [
     # ---- tier A: code CHANGED or NEW in round 9 — re-proved first.
+    # NEW in round 9 (late window): geospatial family
+    "geo_haversine_speed",
+    "geo_grid_hotspots",
+    "geo_geohash_hotspots",
+    "geo_zone_cell_join",
+    "geo_nearest_poi",
     # asof.py order flip (forward tie fix) touches all three directions;
     # asof_join_forward is the new driver gate for the fixed path
     "asof_join_forward",
