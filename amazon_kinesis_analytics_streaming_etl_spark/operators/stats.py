@@ -448,3 +448,91 @@ def levene_bf(
         (k - 1.0).alias("dof1"),
         (n - k).alias("dof2"),
     )
+
+
+# --------------------------------------------------------------------------
+# round 9: Poisson bootstrap — the distributed resampling scheme
+# --------------------------------------------------------------------------
+
+#: Cumulative Poisson(1) probabilities P(X <= k), k = 0..6; a weight of 7
+#: absorbs the 8e-5 tail. Written once here and interpolated as full-
+#: precision literals into BOTH engines' CASE ladder, so the inverse-CDF
+#: draw is bit-identical.
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+]
+
+
+def poisson_weight_expr(u_sql: str) -> str:
+    """Engine-neutral CASE ladder mapping a uniform ``u_sql`` in [0,1) to
+    a Poisson(1) draw by inverse CDF. Deterministic (the uniform comes
+    from an md5 of the row key + replicate id), so resampling is
+    reproducible and oracle-replayable — the same design rule as the
+    mixture sampler (plans/prep.py)."""
+    whens = " ".join(
+        f"WHEN {u_sql} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"(CASE {whens} ELSE 7 END)"
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    replicates: int = 64,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Bootstrap CI for the mean of ``value_col`` via the POISSON
+    bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for
+    Massive Data Streams"): instead of resampling n rows with
+    replacement (which needs global coordination), each row contributes
+    an independent Poisson(1) weight per replicate — the multinomial
+    resample's limit for large n — so every replicate statistic
+    assembles from ONE partial-aggregable pass.
+
+    Plan shape: explode ``replicates`` ids per row (map-side flatMap, no
+    raw-row shuffle), weight via the deterministic inverse-CDF ladder,
+    partial-aggregate (sum w*v, sum w) per replicate — the shuffle moves
+    only ``replicates`` rows per task — then an exact percentile over
+    the ``replicates`` replicate means (a bounded 64-row reduce). At
+    100 TB the cost is the scan times replicates' worth of md5s, all in
+    whole-stage codegen; nothing driver-side.
+
+    Returns one row: (n_rows, n_replicates, point_mean, ci_lo, ci_hi) —
+    raw doubles, callers round."""
+    v = F.col(value_col)
+    base = df.where(v.isNotNull()).select(
+        F.col(key_col).cast("string").alias("k"), v.alias("v")
+    )
+    rep = base.select(
+        "k", "v", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("r")
+    )
+    u = (
+        "(CAST(conv(substr(md5(concat(k, '#', CAST(r AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) / 4294967296.0)"
+    )
+    w = F.expr(poisson_weight_expr(u))
+    means = (
+        rep.select("r", (w * F.col("v")).alias("wv"), w.alias("w"))
+        .groupBy("r")
+        .agg((F.sum("wv") / F.sum("w")).alias("mu"))
+    )
+    lo, hi = alpha / 2, 1 - alpha / 2
+    ci = means.agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        F.expr(f"percentile(mu, {lo!r})").alias("ci_lo"),
+        F.expr(f"percentile(mu, {hi!r})").alias("ci_hi"),
+    )
+    point = base.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.avg("v").alias("point_mean"),
+    )
+    return point.crossJoin(ci).select(
+        "n_rows", "n_replicates", "point_mean", "ci_lo", "ci_hi"
+    )

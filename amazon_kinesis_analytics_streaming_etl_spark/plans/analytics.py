@@ -4178,3 +4178,60 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ppr").desc(), "s_suppkey")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): Poisson-bootstrap CI for the mean
+# --------------------------------------------------------------------------
+
+def _bootstrap_oracle() -> str:
+    from ..operators.stats import poisson_weight_expr
+
+    u = (
+        "(CAST(('0x' || substr(md5(concat(k, '#', CAST(r AS STRING))), 1, 8))"
+        " AS BIGINT) / 4294967296.0)"
+    )
+    w = poisson_weight_expr(u)
+    return f"""
+    WITH base AS (
+      SELECT CAST(event_id AS STRING) AS k, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    rep AS (
+      SELECT k, v, unnest(generate_series(0, 63)) AS r FROM base
+    ),
+    wtd AS (SELECT r, {w} * v AS wv, {w} AS w FROM rep),
+    m AS (SELECT r, sum(wv) / sum(w) AS mu FROM wtd GROUP BY r)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           round(CAST(CAST((SELECT avg(v) FROM base) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS point_mean,
+           round(CAST(CAST(quantile_cont(mu, 0.025) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS ci_lo,
+           round(CAST(CAST(quantile_cont(mu, 0.975) AS REAL) AS DOUBLE)
+                 + 0.00000001, 4) AS ci_hi
+    FROM m
+    """
+
+
+@register("stats_bootstrap_ci", _bootstrap_oracle())
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean event value via the Poisson
+    bootstrap — 64 replicates, each row contributing a deterministic
+    md5-seeded Poisson(1) weight per replicate (operators/stats.py:
+    poisson_bootstrap_ci; Chamandy et al. 2012). The distributed-native
+    resampler: no with-replacement coordination, one partial-aggregable
+    pass, the shuffle carries 64 rows per task; the percentile runs on
+    the bounded 64-row replicate frame. Exact-percentile interpolation
+    (type 7) matches DuckDB quantile_cont; float32-squash + epsilon
+    rounding on the sensitive tail stats, repo stats convention."""
+    from ..operators.stats import poisson_bootstrap_ci
+
+    ev = load_events(spark, sf_dir)
+    ci = poisson_bootstrap_ci(ev, "value", "event_id", replicates=64)
+    sq = lambda c: F.round(  # noqa: E731
+        F.col(c).cast("float").cast("double") + 0.00000001, 4
+    ).alias(c)
+    return ci.select(
+        "n_rows", "n_replicates", sq("point_mean"), sq("ci_lo"), sq("ci_hi")
+    )

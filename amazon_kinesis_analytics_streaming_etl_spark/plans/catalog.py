@@ -48,6 +48,7 @@ _STALE_R9 = [
     "geo_geohash_hotspots",
     "geo_zone_cell_join",
     "geo_nearest_poi",
+    "stats_bootstrap_ci",
     # asof.py order flip (forward tie fix) touches all three directions;
     # asof_join_forward is the new driver gate for the fixed path
     "asof_join_forward",

@@ -419,3 +419,58 @@ def test_spearman_grouped_ranks_within_groups(spark, ga, gb):
             assert solo.spearman_rho is None
         else:
             assert abs(solo.spearman_rho - grho) < 1e-9
+
+
+def _py_poisson_w(key: str, r: int) -> int:
+    import hashlib
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.stats import (
+        _POISSON1_CDF,
+    )
+
+    u = int(hashlib.md5(f"{key}#{r}".encode()).hexdigest()[:8], 16) / 4294967296.0
+    for k, c in enumerate(_POISSON1_CDF):
+        if u < c:
+            return k
+    return 7
+
+
+@settings(**_SET)
+@given(vals=st.lists(st.floats(1.0, 100.0).map(lambda v: round(v, 2)),
+                     min_size=5, max_size=40))
+def test_poisson_bootstrap_matches_reference(spark, vals):
+    """The operator's replicate means and percentile CI must equal a
+    pure-Python replay of the same md5 inverse-CDF weights (type-7
+    percentile interpolation, like numpy default)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.stats import (
+        poisson_bootstrap_ci,
+    )
+
+    R = 16
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = poisson_bootstrap_ci(df, "v", "k", replicates=R).collect()[0]
+
+    mus = []
+    for r in range(R):
+        sw = swv = 0.0
+        for i, v in rows:
+            w = _py_poisson_w(str(i), r)
+            sw += w
+            swv += w * v
+        # an all-zero-weight replicate yields a NULL mean, which both
+        # engines' percentile ignores — mirror that here
+        if sw:
+            mus.append(swv / sw)
+    s = sorted(mus)
+
+    def pctl(q):
+        pos = (len(s) - 1) * q
+        lo, frac = int(pos), pos - int(pos)
+        return s[lo] if frac == 0 else s[lo] + frac * (s[lo + 1] - s[lo])
+
+    assert got["n_rows"] == len(vals)
+    assert got["n_replicates"] == R
+    assert math.isclose(got["point_mean"], sum(vals) / len(vals), rel_tol=1e-9)
+    assert math.isclose(got["ci_lo"], pctl(0.025), rel_tol=1e-9)
+    assert math.isclose(got["ci_hi"], pctl(0.975), rel_tol=1e-9)
