@@ -49,6 +49,8 @@ _STALE_R9 = [
     "geo_zone_cell_join",
     "geo_nearest_poi",
     "stats_bootstrap_ci",
+    "prep_dsir_weights",
+    "prep_quantile_normalize",
     # asof.py order flip (forward tie fix) touches all three directions;
     # asof_join_forward is the new driver gate for the fixed path
     "asof_join_forward",

@@ -1035,3 +1035,206 @@ def prep_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return enc.orderBy("event_type", "fold")
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): DSIR — importance resampling weights
+# --------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hashed-feature buckets
+_DSIR_T = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+@register(
+    "prep_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             (CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) % {_DSIR_B})
+               AS b
+      FROM (SELECT doc_id, lang, unnest({_DSIR_T}) AS term FROM documents)
+      WHERE term <> ''
+    ),
+    bc AS (
+      SELECT b, count(*) AS n_r,
+             count(*) FILTER (lang = 'en') AS n_t
+      FROM toks GROUP BY b
+    ),
+    tot AS (SELECT sum(n_r) AS tot_r, sum(n_t) AS tot_t FROM bc),
+    lr AS (
+      SELECT b, ln((n_t + 1.0) / (tot_t + {_DSIR_B}))
+                - ln((n_r + 1.0) / (tot_r + {_DSIR_B})) AS logr
+      FROM bc CROSS JOIN tot
+    )
+    SELECT t.doc_id, max(t.lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(CAST(sum(lr.logr) AS REAL) AS DOUBLE) + 0.00000001, 3)
+             AS log_weight
+    FROM toks t JOIN lr ON t.b = lr.b
+    GROUP BY t.doc_id
+    ORDER BY log_weight DESC, t.doc_id
+    LIMIT 20
+    """,
+)
+def prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every document by how target-like its
+    hashed n-gram features are — log w(d) = sum over tokens of
+    log p_target(bucket) / log p_raw(bucket), with the 'en' slice as the
+    target domain, 4096 md5-hashed unigram buckets, and +1 smoothing.
+    The top-weight docs are what an importance-resampled pre-training
+    mix would keep.
+
+    Plan: one explode to (doc, bucket) pairs; bucket stats are ONE
+    conditional-aggregate pass (4096 groups, map-side partials); the
+    log-ratio table is bounded (|buckets| rows) and broadcast back onto
+    the token stream, so the only data-sized shuffle is the per-doc sum
+    — the same shape as TF-IDF. At 100 TB: scan-bound; nothing global
+    except two bounded frames."""
+    return (
+        dsir_doc_weights(spark, sf_dir)
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-document DSIR frame (doc_id, lang, n_tokens, log_weight)
+    — the library face of ``prep_dsir_weights`` (which keeps only the
+    top-20 display head). See that query's docstring for the plan."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            "doc_id", "lang", F.explode(lower_tokens("text")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
+    bc = toks.groupBy("b").agg(
+        F.count("*").alias("n_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+    )
+    tot = bc.agg(
+        F.sum("n_r").alias("tot_r"), F.sum("n_t").alias("tot_t")
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("n_t") + 1.0) / (F.col("tot_t") + _DSIR_B))
+            - F.log((F.col("n_r") + 1.0) / (F.col("tot_r") + _DSIR_B))
+        ).alias("logr"),
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("logr").cast("float").cast("double") + 0.00000001, 3
+            ).alias("log_weight"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): cross-source quantile normalization
+# --------------------------------------------------------------------------
+
+@register(
+    "prep_quantile_normalize",
+    """
+    WITH g AS (
+      SELECT source, n_chars, count(*) AS cnt
+      FROM documents GROUP BY source, n_chars
+    ),
+    c AS (
+      SELECT source, n_chars, cnt,
+             COALESCE(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             sum(cnt) OVER (PARTITION BY source) AS nsrc
+      FROM g
+    ),
+    d AS (
+      SELECT source, cnt, n_chars,
+             least(CAST(floor((below + cnt / 2.0) / nsrc * 10) AS INT) + 1,
+                   10) AS decile
+      FROM c
+    ),
+    cell AS (
+      SELECT source, decile, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             sum(cnt * n_chars) / sum(cnt) AS raw_mean
+      FROM d GROUP BY source, decile
+    ),
+    norm AS (SELECT decile, avg(raw_mean) AS nv FROM cell GROUP BY decile)
+    SELECT source, decile, n_docs,
+           round(CAST(CAST(raw_mean AS REAL) AS DOUBLE) + 0.00000001, 4)
+             AS raw_mean,
+           round(CAST(CAST(nv AS REAL) AS DOUBLE) + 0.00000001, 4)
+             AS norm_value
+    FROM cell JOIN norm USING (decile)
+    ORDER BY source, decile
+    """,
+)
+def prep_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document length — map each
+    source's per-decile mean onto the cross-source decile mean, the
+    classic rank-based batch-effect correction (Bolstad 2003) applied to
+    corpus features: after normalization every source shares the same
+    length distribution, so a length-based quality filter can't encode a
+    source bias.
+
+    Deciles are VALUE-based (midpoint percentile of each distinct
+    n_chars, split-ties-never), not ntile — that keeps every window on
+    the bounded (source x distinct-value) aggregate frame, never a
+    per-source sort of raw rows: the same quantized-domain rank
+    discipline as Mann-Whitney (operators/stats.py). At 100 TB the
+    windowed frame is |sources| x |length domain| rows; the only
+    raw-data pass is the initial groupBy."""
+    docs = _docs(spark, sf_dir)
+    g = docs.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("source").orderBy("n_chars")
+    below = F.coalesce(
+        F.sum("cnt").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    nsrc = F.sum("cnt").over(Window.partitionBy("source"))
+    d = g.select(
+        "source",
+        "cnt",
+        "n_chars",
+        F.least(
+            F.floor((below + F.col("cnt") / 2.0) / nsrc * 10).cast("int") + 1,
+            F.lit(10),
+        ).alias("decile"),
+    )
+    cell = d.groupBy("source", "decile").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("cnt") * F.col("n_chars")) / F.sum("cnt")
+        ).alias("raw_mean"),
+    )
+    norm = cell.groupBy("decile").agg(F.avg("raw_mean").alias("nv"))
+    sq = lambda c, a: F.round(  # noqa: E731
+        F.col(c).cast("float").cast("double") + 0.00000001, 4
+    ).alias(a)
+    return (
+        cell.join(F.broadcast(norm), "decile")
+        .select(
+            "source",
+            "decile",
+            "n_docs",
+            sq("raw_mean", "raw_mean"),
+            sq("nv", "norm_value"),
+        )
+        .orderBy("source", "decile")
+    )

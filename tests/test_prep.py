@@ -271,3 +271,53 @@ def test_calibration_bins_partition_population_and_bound_rates(spark):
     assert all(0.0 <= r.pos_rate <= 1.0 for r in rows)
     means = [r.avg_score for r in sorted(rows, key=lambda r: r.bin)]
     assert means == sorted(means)
+
+
+def test_dsir_weights_favor_target_lang(spark):
+    """DSIR importance weights must score target-domain ('en') docs above
+    off-target docs on average — the defining property of the score. The
+    synthetic corpus shares most unigrams across langs, so the
+    separation lives in the PER-TOKEN weight (raw sums are dominated by
+    length, as in the paper's fixed-length formulation)."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.prep import (
+        dsir_doc_weights,
+        prep_dsir_weights,
+    )
+
+    top = prep_dsir_weights(spark, SF_SMOKE).collect()
+    assert len(top) == 20
+    ws = [(r["log_weight"], r["doc_id"]) for r in top]
+    assert ws == sorted(ws, key=lambda t: (-t[0], t[1]))
+
+    per = dsir_doc_weights(spark, SF_SMOKE).collect()
+    def mean_pt(pred):
+        xs = [r["log_weight"] / r["n_tokens"] for r in per if pred(r)]
+        return sum(xs) / len(xs)
+
+    assert mean_pt(lambda r: r["lang"] == "en") > mean_pt(
+        lambda r: r["lang"] != "en"
+    )
+
+
+def test_quantile_normalize_target_is_cross_source_mean(spark):
+    """norm_value at each decile must equal the mean of raw_mean across
+    the sources present in that decile, and be monotone in decile."""
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.prep import (
+        prep_quantile_normalize,
+    )
+
+    rows = prep_quantile_normalize(spark, SF_SMOKE).collect()
+    by_dec: dict[int, list] = {}
+    for r in rows:
+        by_dec.setdefault(r["decile"], []).append(r)
+    for dec, cell in by_dec.items():
+        target = cell[0]["norm_value"]
+        assert all(abs(c["norm_value"] - target) < 1e-9 for c in cell)
+        mean_raw = sum(c["raw_mean"] for c in cell) / len(cell)
+        # norm_value was rounded from the unrounded raw means; comparing
+        # against the mean of ROUNDED raw means can differ by the
+        # rounding quantum, no more
+        assert abs(target - mean_raw) < 1e-3
+    # normalized targets increase with decile (longer docs per decile)
+    targets = [by_dec[d][0]["norm_value"] for d in sorted(by_dec)]
+    assert targets == sorted(targets)
