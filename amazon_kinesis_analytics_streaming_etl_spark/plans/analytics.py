@@ -4235,3 +4235,97 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ci.select(
         "n_rows", "n_replicates", sq("point_mean"), sq("ci_lo"), sq("ci_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): Holt's linear-trend exponential smoothing
+# --------------------------------------------------------------------------
+
+_HOLT_A = 0.5  # level smoothing
+_HOLT_B = 0.3  # trend smoothing
+
+
+@register(
+    "ts_holt_linear",
+    f"""
+    WITH RECURSIVE obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS pt,
+             {_F32_HOURLY_AVG_SQL} AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('hour', ts)) AS rn
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    hw AS (
+      SELECT o2.event_type, 2 AS t, o2.v AS l, o2.v - o1.v AS b
+      FROM obs o1 JOIN obs o2
+        ON o1.event_type = o2.event_type AND o1.rn = 1 AND o2.rn = 2
+      UNION ALL
+      SELECT h.event_type, h.t + 1,
+             {_HOLT_A} * o.v + {1 - _HOLT_A} * (h.l + h.b),
+             {_HOLT_B} * (({_HOLT_A} * o.v + {1 - _HOLT_A} * (h.l + h.b))
+                          - h.l) + {1 - _HOLT_B} * h.b
+      FROM hw h JOIN obs o
+        ON o.event_type = h.event_type AND o.rn = h.t + 1
+    ),
+    last AS (
+      SELECT event_type, t, l, b,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY t DESC) AS rk
+      FROM hw
+    )
+    SELECT event_type, CAST(t AS BIGINT) AS n_hours,
+           round(l + 0.00000001, 4) AS level,
+           round(b + 0.00000001, 5) AS trend,
+           round(l + 1 * b + 0.00000001, 4) AS forecast_1h,
+           round(l + 3 * b + 0.00000001, 4) AS forecast_3h
+    FROM last WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957) over each
+    type's hourly series, with h-step-ahead forecasts l + h*b — the
+    trend-aware upgrade of ewma_hourly (which has no trend term and
+    lags ramps).
+
+    The recurrence (l_t = a*x_t + (1-a)(l+b); b_t = B*(l_t-l)+(1-B)*b)
+    is inherently sequential, so it runs as ONE JVM ``aggregate`` fold
+    over the per-type hourly array — bounded by the calendar (types x
+    hours, ~744 points/month/type), the same bounded-series contract as
+    the ewma/seasonal family; the raw 100 TB scan reduces to that array
+    via the hourly aggregate first. Inputs are float32-squashed like
+    every hourly-series query, and the fold's float ops are sequential
+    and identical in both engines, so the oracle (which unrolls the SAME
+    recurrence as a recursive CTE, the pagerank precedent) matches
+    bit-for-bit before display rounding."""
+    ev = load_events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("pt")
+    ).agg(_f32_avg4().alias("v"))
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("pt", "v"))), lambda s: s["v"]
+    )
+    series = obs.groupBy("event_type").agg(arr.alias("xs"))
+    a, bb = _HOLT_A, _HOLT_B
+    new_l = f"({a} * x + {1 - a} * (acc.l + acc.b))"
+    fold = F.expr(
+        "aggregate(slice(xs, 3, size(xs) - 2), "
+        "struct(CAST(element_at(xs, 2) AS DOUBLE) AS l, "
+        "CAST(element_at(xs, 2) - element_at(xs, 1) AS DOUBLE) AS b), "
+        f"(acc, x) -> struct({new_l} AS l, "
+        f"({bb} * ({new_l} - acc.l) + {1 - bb} * acc.b) AS b))"
+    )
+    out = series.where(F.size("xs") >= 2).select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_hours"),
+        fold.alias("hw"),
+    )
+    l, b = F.col("hw.l"), F.col("hw.b")
+    return out.select(
+        "event_type",
+        "n_hours",
+        F.round(l + 0.00000001, 4).alias("level"),
+        F.round(b + 0.00000001, 5).alias("trend"),
+        F.round(l + 1 * b + 0.00000001, 4).alias("forecast_1h"),
+        F.round(l + 3 * b + 0.00000001, 4).alias("forecast_3h"),
+    ).orderBy("event_type")

@@ -51,6 +51,7 @@ _STALE_R9 = [
     "stats_bootstrap_ci",
     "prep_dsir_weights",
     "prep_quantile_normalize",
+    "ts_holt_linear",
     # asof.py order flip (forward tie fix) touches all three directions;
     # asof_join_forward is the new driver gate for the fixed path
     "asof_join_forward",

@@ -5,6 +5,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 from amazon_kinesis_analytics_streaming_etl_spark.operators.timeseries import (
     znorm_series_topk,
     znormalize,
@@ -50,3 +52,38 @@ def test_znorm_topk_excludes_short_series(spark):
         "event_id long, user_id long, ts long, value double",
     ).withColumn("ts", F.timestamp_seconds("ts"))
     assert znorm_series_topk(df, [1.0] * 8, k=5).count() == 0
+
+
+def test_holt_linear_recovers_exact_trend(spark):
+    """On a noiseless linear series x_t = 10 + 2t, Holt's recurrences are
+    exact: level tracks the last point and trend equals the slope."""
+    from pyspark.sql import functions as F
+
+    n = 40
+    xs = [10.0 + 2.0 * t for t in range(n)]
+    df = spark.createDataFrame([(xs,)], "xs array<double>")
+    a, bb = 0.5, 0.3
+    new_l = f"({a} * x + {1 - a} * (acc.l + acc.b))"
+    fold = F.expr(
+        "aggregate(slice(xs, 3, size(xs) - 2), "
+        "struct(CAST(element_at(xs, 2) AS DOUBLE) AS l, "
+        "CAST(element_at(xs, 2) - element_at(xs, 1) AS DOUBLE) AS b), "
+        f"(acc, x) -> struct({new_l} AS l, "
+        f"({bb} * ({new_l} - acc.l) + {1 - bb} * acc.b) AS b))"
+    )
+    r = df.select(fold.alias("hw")).collect()[0]["hw"]
+    assert abs(r["l"] - xs[-1]) < 1e-9
+    assert abs(r["b"] - 2.0) < 1e-9
+
+
+def test_holt_linear_catalog_shape(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.analytics import (
+        ts_holt_linear,
+    )
+
+    rows = ts_holt_linear(spark, SF_SMOKE).collect()
+    assert [r["event_type"] for r in rows] == sorted(r["event_type"] for r in rows)
+    for r in rows:
+        assert r["n_hours"] >= 2
+        # one-step forecast = level + trend (display-rounded algebra)
+        assert abs(r["forecast_1h"] - (r["level"] + r["trend"])) < 2e-4
