@@ -227,3 +227,96 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         ).alias("meta"),
     )
     return base
+
+
+# --------------------------------------------------------------------------
+# round 9: perceptual average-hash (aHash) signatures for image near-dup
+# --------------------------------------------------------------------------
+
+AHASH_PX = 64  # 8x8 grayscale thumbnail
+AHASH_BANDS = 8  # 8 bands x 8 bits: pigeonhole-exact for hamming <= 7
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sig", LongType()),
+        StructField("bands", ArrayType(IntegerType())),
+    ]
+)
+
+
+def synthetic_media_pairs(spark, groups: int = 128) -> DataFrame:
+    """Near-duplicate media corpus: ``groups`` base images, each with an
+    original (v=0) and a lightly perturbed variant (v=1) — payload text
+    ``img-{g}-{v}`` stands in for the encoded bytes. The fake decoder
+    below derives pixels from (g, v), flipping ~8% of the variant's
+    pixels, so variant pairs are near in aHash space and cross-group
+    pairs are ~32 bits apart: the controlled fixture for the perceptual
+    dedup pipeline."""
+    return spark.range(groups * 2).select(
+        F.col("id").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("img-"),
+                (F.col("id") / 2).cast("long").cast("string"),
+                F.lit("-"),
+                (F.col("id") % 2).cast("string"),
+            ),
+            "utf-8",
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+
+
+def _fake_pixels(media_id: int, g: int, v: int) -> list[int]:
+    """Deterministic 8x8 grayscale stand-in (same md5 arithmetic the
+    DuckDB oracle replays): base pixel from md5('img{g}#{i}'); a v=1
+    variant replaces a pixel with noise when the md5-uniform of
+    ('noise{media_id}#{i}') is under 0.08."""
+    px = []
+    for i in range(AHASH_PX):
+        h = hashlib.md5(f"img{g}#{i}".encode()).hexdigest()
+        p = int(h[:2], 16)
+        if v == 1:
+            nh = hashlib.md5(f"noise{media_id}#{i}".encode()).hexdigest()
+            if int(nh[:8], 16) / 4294967296.0 < 0.08:
+                p = int(nh[8:10], 16)
+        px.append(p)
+    return px
+
+
+def ahash_signatures(df: DataFrame) -> DataFrame:
+    """payload -> 64-bit average-hash signature + LSH bands, via
+    mapInPandas (Arrow batches — the real multimodal plumbing; a real
+    deployment swaps ``_fake_pixels`` for decode+resize(8x8)+grayscale).
+
+    aHash (the classic perceptual hash): bit_i = pixel_i > mean(pixels).
+    Bit i lands at position i of the packed int64 (two's-complement
+    wrap); bands are the 8 bytes of the signature, band j = bits
+    [8j, 8j+8) — signatures within hamming distance <= 7 MUST share at
+    least one exact band (pigeonhole), which makes the banded join an
+    exact-recall prefilter at that threshold."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs, bands = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                text = (payload or b"").decode()
+                _, g, v = text.split("-")
+                px = _fake_pixels(int(mid), int(g), int(v))
+                mean = sum(px) / float(AHASH_PX)
+                sig = 0
+                for i, p in enumerate(px):
+                    if p > mean:
+                        sig |= 1 << i
+                bands.append(
+                    [(sig >> (8 * j)) & 255 for j in range(AHASH_BANDS)]
+                )
+                if sig >= 1 << 63:  # pack into signed int64
+                    sig -= 1 << 64
+                ids.append(mid)
+                sigs.append(sig)
+            yield pd.DataFrame({"media_id": ids, "sig": sigs, "bands": bands})
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -1673,3 +1673,99 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cnt(sampled, "n_sampled")))
         .crossJoin(F.broadcast(toks))
     )
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): perceptual near-dup via banded aHash signatures
+# --------------------------------------------------------------------------
+
+_AHASH_GROUPS = 128
+_AHASH_T = 7  # hamming threshold; < band count, so banding is exact-recall
+
+
+@register(
+    "multimodal_ahash_dedup",
+    f"""
+    WITH m AS (
+      SELECT g, v, g * 2 + v AS media_id
+      FROM (SELECT unnest(generate_series(0, {_AHASH_GROUPS - 1})) AS g),
+           (SELECT unnest(generate_series(0, 1)) AS v)
+    ),
+    px AS (
+      SELECT media_id, i,
+        CASE WHEN v = 1
+              AND (CAST(('0x' || substr(md5('noise' || CAST(media_id AS STRING)
+                    || '#' || CAST(i AS STRING)), 1, 8)) AS BIGINT)
+                   / 4294967296.0) < 0.08
+          THEN CAST(('0x' || substr(md5('noise' || CAST(media_id AS STRING)
+                    || '#' || CAST(i AS STRING)), 9, 2)) AS INT)
+          ELSE CAST(('0x' || substr(md5('img' || CAST(g AS STRING)
+                    || '#' || CAST(i AS STRING)), 1, 2)) AS INT)
+        END AS pixel
+      FROM m, (SELECT unnest(generate_series(0, 63)) AS i)
+    ),
+    bits AS (
+      SELECT media_id, i,
+             CASE WHEN pixel > avg(pixel) OVER (PARTITION BY media_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM px
+    ),
+    ham AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT)
+               AS hamming
+      FROM bits a JOIN bits b ON a.i = b.i AND a.media_id < b.media_id
+      GROUP BY a.media_id, b.media_id
+    )
+    SELECT id_a, id_b, hamming
+    FROM ham WHERE hamming <= {_AHASH_T}
+    ORDER BY hamming, id_a, id_b
+    LIMIT 20
+    """,
+)
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: 8x8 average-hash signatures (aHash —
+    the classic mean-threshold perceptual hash) computed over Arrow
+    batches, then a BANDED signature join — 8 bands of 8 bits, so any
+    pair within hamming <= 7 shares an exact band (pigeonhole) and the
+    join has perfect recall at the threshold with zero all-pairs work.
+    The oracle computes brute-force pairwise hamming over the same fake
+    pixels (md5 arithmetic, operators/multimodal.py:_fake_pixels), so a
+    banding bug that dropped a true pair would hash-mismatch.
+
+    Scale: the pair candidate stream shuffles on (band_pos, band_value)
+    — the SimHash/MinHash-LSH shape; signatures are 8 bytes + 8 band
+    ints per image regardless of image size; verification is one
+    bit_count(xor) per candidate. At 100 TB of images the decode
+    dominates and is embarrassingly parallel (mapInPandas, no
+    shuffle)."""
+    from ..operators.multimodal import ahash_signatures, synthetic_media_pairs
+
+    sigs = ahash_signatures(synthetic_media_pairs(spark, _AHASH_GROUPS))
+    banded = sigs.select(
+        "media_id", "sig", F.posexplode("bands").alias("pos", "band")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= _AHASH_T)
+        .orderBy("hamming", "id_a", "id_b")
+        .limit(20)
+    )

@@ -194,3 +194,59 @@ def test_winnow_no_miss_guarantee_on_shared_substring(spark):
     }
     assert got[0] & got[1], "shared 12-token run must share a fingerprint"
     assert not (got[0] & got[2]) and not (got[1] & got[2])
+
+
+def test_ahash_banding_has_exact_recall_at_threshold(spark):
+    """Banded candidate generation must find EVERY pair with hamming <= 7
+    (8 bands x 8 bits, pigeonhole) — compare against brute force over
+    all signature pairs."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.multimodal import (
+        ahash_signatures,
+        synthetic_media_pairs,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.llm import (
+        multimodal_ahash_dedup,
+    )
+
+    sigs = ahash_signatures(synthetic_media_pairs(spark, 32)).collect()
+    brute = []
+    for x in sigs:
+        for y in sigs:
+            if x["media_id"] < y["media_id"]:
+                h = bin((x["sig"] ^ y["sig"]) & (2**64 - 1)).count("1")
+                if h <= 7:
+                    brute.append((x["media_id"], y["media_id"], h))
+
+    banded = ahash_signatures(synthetic_media_pairs(spark, 32)).select(
+        "media_id", "sig", F.posexplode("bands").alias("pos", "band")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    got = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("ia"),
+            F.col("b.media_id").alias("ib"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("int")
+            .alias("h"),
+        )
+        .where(F.col("h") <= 7)
+        .distinct()
+        .collect()
+    )
+    assert sorted((r["ia"], r["ib"], r["h"]) for r in got) == sorted(brute)
+    # the fixture guarantees near-dups exist: variant pairs (2g, 2g+1)
+    assert len(brute) >= 16
+    variant_pairs = sum(1 for ia, ib, _ in brute if ib == ia + 1 and ia % 2 == 0)
+    assert variant_pairs >= 16
+
+    out = multimodal_ahash_dedup(spark, "unused").collect()
+    assert len(out) == 20
+    assert all(r["hamming"] <= 7 for r in out)
