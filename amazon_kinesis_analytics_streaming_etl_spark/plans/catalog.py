@@ -53,6 +53,7 @@ _STALE_R9 = [
     "prep_quantile_normalize",
     "ts_holt_linear",
     "multimodal_ahash_dedup",
+    "stream_geo_hotspots",
     # asof.py order flip (forward tie fix) touches all three directions;
     # asof_join_forward is the new driver gate for the fixed path
     "asof_join_forward",

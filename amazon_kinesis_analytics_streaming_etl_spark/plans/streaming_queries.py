@@ -780,3 +780,70 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): streaming geo hotspots (windowed grid-cell counts)
+# --------------------------------------------------------------------------
+
+def _geo_cell_sqls() -> tuple[str, str]:
+    """(duckdb_sql, spark_sql) for the 0.05-degree grid-cell key over
+    md5-derived coordinates — shared text from functions/geo.py so the
+    streaming plan and the batch oracle bucket identically."""
+    from ..functions import geo
+
+    key = "CAST(event_id AS STRING)"
+    cell = geo.cell_expr(geo.lat_expr(key), geo.lon_expr(key), 0.05)
+    return cell, geo.spark_expr(cell)
+
+
+_GEO_CELL_DUCK, _GEO_CELL_SPARK = _geo_cell_sqls()
+
+
+@register(
+    "stream_geo_hotspots",
+    f"""
+    WITH c AS (
+      SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}')
+               AS window_start,
+             {_GEO_CELL_DUCK} AS cell,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start, cell, n
+    FROM c
+    ORDER BY n DESC, window_start, cell
+    LIMIT 20
+    """,
+)
+def stream_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming spatial hotspots: tumbling 1-hour event-time windows per
+    0.05-degree grid cell — the live pickup-heatmap a taxi dispatch
+    dashboard tails. The cell key is the same engine-neutral expression
+    the batch geo family uses (functions/geo.py), derived map-side
+    BEFORE the windowed aggregation, so streaming state is keyed on
+    (window, cell) — bounded by active-city-area x watermark horizon,
+    never by raw traffic. Complete-mode replay per module convention;
+    production runs append + 1h watermark and state stays bounded.
+    Batch oracle: date_trunc group-by over the same derived cells."""
+    ev = _events_stream(spark, sf_dir)
+    cells = ev.select("ts", F.expr(_GEO_CELL_SPARK).alias("cell"))
+    plan = tumbling_window_agg(
+        cells,
+        ts_col="ts",
+        window_size="1 hour",
+        watermark="1 hour",
+        group_cols=["cell"],
+        aggs=[F.count("*").alias("n")],
+    )
+    out = replay_to_memory(spark, plan, output_mode="complete")
+    return (
+        out.select(
+            F.date_format("window_start", _TS_FMT_SPARK).alias("window_start"),
+            "cell",
+            "n",
+        )
+        .orderBy(F.col("n").desc(), "window_start", "cell")
+        .limit(20)
+    )
