@@ -395,3 +395,74 @@ def bellman_ford(
         )
     e.unpersist()
     return dist
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, the "authoritative
+    sources" algorithm) over a DIRECTED edge list; returns one row per
+    node appearing on either side: (node, hub, authority) — nodes with
+    no out-edges carry hub 0.0, no in-edges authority 0.0.
+
+    Per iteration (the textbook synchronous update):
+      auth(v) = sum of hub(u) over in-neighbors, then L2-normalize;
+      hub(u)  = sum of auth(v) over out-neighbors, then L2-normalize.
+    Fixed iterations keep it deterministic and SQL-expressible (the
+    oracle unrolls the same recurrence CTE-for-CTE, the pagerank
+    precedent). Each half-step is one join + map-side-combinable
+    groupBy-sum; the L2 norm is a 1-row aggregate broadcast back — no
+    driver loop over data, lineage truncated per iteration the same way
+    pagerank does."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
+    srcs = e.select(F.col("_src").alias("node")).distinct()
+    dsts = e.select(F.col("_dst").alias("node")).distinct()
+    hubs = srcs.withColumn("hub", F.lit(1.0)).localCheckpoint()
+    auths = None
+    for _ in range(iterations):
+        raw_a = (
+            e.join(hubs, e["_src"] == hubs["node"])
+            .groupBy("_dst")
+            .agg(F.sum("hub").alias("_s"))
+        )
+        a_norm = raw_a.agg(F.sqrt(F.sum(F.pow("_s", 2))).alias("_n"))
+        auths = (
+            dsts.join(raw_a, dsts["node"] == raw_a["_dst"], "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select(
+                "node",
+                (F.coalesce(F.col("_s"), F.lit(0.0)) / F.col("_n")).alias(
+                    "authority"
+                ),
+            )
+            .localCheckpoint()
+        )
+        raw_h = (
+            e.join(auths, e["_dst"] == auths["node"])
+            .groupBy("_src")
+            .agg(F.sum("authority").alias("_s"))
+        )
+        h_norm = raw_h.agg(F.sqrt(F.sum(F.pow("_s", 2))).alias("_n"))
+        hubs = (
+            srcs.join(raw_h, srcs["node"] == raw_h["_src"], "left")
+            .crossJoin(F.broadcast(h_norm))
+            .select(
+                "node",
+                (F.coalesce(F.col("_s"), F.lit(0.0)) / F.col("_n")).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes = srcs.union(dsts).distinct()
+    return (
+        nodes.join(hubs.withColumnRenamed("node", "_h"), nodes["node"] == F.col("_h"), "left")
+        .join(auths.withColumnRenamed("node", "_a"), nodes["node"] == F.col("_a"), "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )

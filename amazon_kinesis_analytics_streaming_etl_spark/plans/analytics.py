@@ -4329,3 +4329,96 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l + 1 * b + 0.00000001, 4).alias("forecast_1h"),
         F.round(l + 3 * b + 0.00000001, 4).alias("forecast_3h"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): HITS hubs/authorities over the trade graph
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    """Unroll the fixed-iteration HITS recurrence as chained CTEs — the
+    SQL twin of operators/graph.py:hits (same init, same L2
+    normalization, same LEFT-JOIN zero for message-less nodes)."""
+    steps = []
+    for i in range(1, _HITS_ITERS + 1):
+        h_prev = f"h{i - 1}"
+        steps.append(
+            f"""ra{i} AS (
+      SELECT e.dst, SUM(h.hub) AS s
+      FROM edges e JOIN {h_prev} h ON h.node = e.src GROUP BY e.dst
+    ),
+    a{i} AS (
+      SELECT d.node,
+             COALESCE(r.s, 0) / (SELECT sqrt(SUM(s * s)) FROM ra{i})
+               AS authority
+      FROM dsts d LEFT JOIN ra{i} r ON r.dst = d.node
+    ),
+    rh{i} AS (
+      SELECT e.src, SUM(a.authority) AS s
+      FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+    ),
+    h{i} AS (
+      SELECT s2.node,
+             COALESCE(r.s, 0) / (SELECT sqrt(SUM(s * s)) FROM rh{i}) AS hub
+      FROM srcs s2 LEFT JOIN rh{i} r ON r.src = s2.node
+    )"""
+        )
+    its = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT c AS src, s AS dst FROM pairs),
+    srcs AS (SELECT DISTINCT src AS node FROM edges),
+    dsts AS (SELECT DISTINCT dst AS node FROM edges),
+    h0 AS (SELECT node, 1.0 AS hub FROM srcs),
+    {its}
+    SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey,
+           ROUND(authority + 0.00000001, 4) AS authority
+    FROM a{_HITS_ITERS}
+    ORDER BY authority DESC, s_suppkey
+    LIMIT 15
+    """
+
+
+@register("graph_hits_trade", _hits_oracle())
+def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the DIRECTED customer->supplier trade
+    graph: customers are hubs (good buyers point at good suppliers),
+    suppliers are authorities; top-15 supplier authorities after 2
+    synchronous iterations with per-step L2 normalization. Complements
+    graph_pagerank (undirected prestige) with the bipartite
+    endorsement-flow view.
+
+    Plan per half-step: edges persisted once, one join + map-side
+    combinable groupBy-sum, a 1-row L2-norm aggregate broadcast back,
+    lineage truncated per iteration (operators/graph.py:hits). The
+    oracle unrolls both iterations CTE-for-CTE, so every half-step's
+    float math is checked; the 4dp + epsilon rounding absorbs
+    summation-order drift, the pagerank precedent."""
+    from ..operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits(pairs, iterations=_HITS_ITERS)
+    return (
+        scores.where(F.col("node") % 2 == 1)
+        .select(
+            ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+            F.round(F.col("authority") + 0.00000001, 4).alias("authority"),
+        )
+        .orderBy(F.col("authority").desc(), "s_suppkey")
+        .limit(15)
+    )

@@ -54,6 +54,8 @@ _STALE_R9 = [
     "ts_holt_linear",
     "multimodal_ahash_dedup",
     "stream_geo_hotspots",
+    "text_token_fertility",
+    "graph_hits_trade",
     # asof.py order flip (forward tie fix) touches all three directions;
     # asof_join_forward is the new driver gate for the fixed path
     "asof_join_forward",

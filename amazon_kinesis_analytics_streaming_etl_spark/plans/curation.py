@@ -785,3 +785,69 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("flesch", "doc_id")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): tokenizer fertility by language
+# --------------------------------------------------------------------------
+
+_BPE_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+
+
+@register(
+    "text_token_fertility",
+    f"""
+    WITH d AS (
+      SELECT lang,
+             {_BPE_SQL} AS n_bpe,
+             len({_T}) AS n_words
+      FROM documents
+      WHERE trim(text) <> ''
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(n_bpe AS DOUBLE) / n_words) + 0.00000001, 4)
+             AS avg_fertility,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words) + 0.00000001, 4)
+             AS corpus_fertility,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish pre-tokens per
+    whitespace word, the standard multilingual-tokenizer efficiency
+    metric (a language whose fertility is far above the corpus mean pays
+    proportionally more sequence length per word, which skews compute
+    budgets and length-based quality filters). Both the per-doc average
+    and the token-weighted corpus ratio, per language.
+
+    Plan: one scan, two regex counts per row in codegen, one hash
+    aggregate on the 5-value lang key — partial-aggregable, no shuffle
+    of raw text. The BPE twin regex is the shared Java/RE2-safe subset
+    (functions/text.py:BPE_SPLIT_PATTERN)."""
+    from ..functions.text import bpe_token_count, token_count
+
+    d = _docs(spark, sf_dir).where(F.trim(F.col("text")) != "")
+    n_bpe = bpe_token_count(F.col("text"))
+    n_words = token_count(F.col("text"))
+    return (
+        d.select("lang", n_bpe.alias("n_bpe"), n_words.alias("n_words"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.avg(F.col("n_bpe").cast("double") / F.col("n_words"))
+                + 0.00000001,
+                4,
+            ).alias("avg_fertility"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_words") + 0.00000001,
+                4,
+            ).alias("corpus_fertility"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )

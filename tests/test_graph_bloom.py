@@ -608,3 +608,24 @@ def test_personalized_pagerank_seed_locality(spark):
         for r in pagerank(edges, iterations=4).collect()
     }
     assert uni[10] > 0.0  # uniform teleport reaches every node
+
+
+def test_hits_matches_hand_computed_two_iterations(spark):
+    """3-edge bipartite graph, 2 iterations, hand-computed closed form:
+    a1 = 5/sqrt(34), a2 = 3/sqrt(34); hubs keep unit L2 norm."""
+    import math
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (20, 1)], "src long, dst long"
+    )
+    rows = {r["node"]: r for r in hits(edges, iterations=2).collect()}
+    assert abs(rows[1]["authority"] - 5 / math.sqrt(34)) < 1e-12
+    assert abs(rows[2]["authority"] - 3 / math.sqrt(34)) < 1e-12
+    # hub scores L2-normalized; authority side too
+    h2 = sum(rows[n]["hub"] ** 2 for n in (10, 20))
+    a2 = sum(rows[n]["authority"] ** 2 for n in (1, 2))
+    assert abs(h2 - 1.0) < 1e-12 and abs(a2 - 1.0) < 1e-12
+    # sources have no in-edges -> authority 0; sinks no out-edges -> hub 0
+    assert rows[10]["authority"] == 0.0 and rows[1]["hub"] == 0.0
