@@ -56,6 +56,7 @@ _STALE_R9 = [
     "stream_geo_hotspots",
     "text_token_fertility",
     "graph_hits_trade",
+    "sim_mmr_rerank",
     # asof.py order flip (forward tie fix) touches all three directions;
     # asof_join_forward is the new driver gate for the fixed path
     "asof_join_forward",

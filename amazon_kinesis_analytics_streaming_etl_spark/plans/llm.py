@@ -1769,3 +1769,141 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "id_a", "id_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): MMR diversified re-ranking
+# --------------------------------------------------------------------------
+
+_MMR_CAND = 30
+_MMR_K = 10
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unroll the greedy MMR selection step-for-step as chained CTEs
+    (the pagerank/HITS precedent for sequential recurrences): step k
+    picks argmax of lambda*rel - (1-lambda)*max-sim-to-selected over the
+    remaining candidates, ties to the smallest vec_id."""
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    steps = [
+        f"""p1 AS MATERIALIZED (
+      SELECT 1 AS rank, vec_id, rel, {lam} * rel - {mu} * 0.0 AS mmr_score
+      FROM cand ORDER BY mmr_score DESC, vec_id LIMIT 1
+    ),
+    pk1 AS MATERIALIZED (SELECT vec_id FROM p1)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        steps.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT {k} AS rank, c.vec_id, c.rel,
+             {lam} * c.rel - {mu} * (
+               SELECT max(p.s) FROM pair p
+               WHERE p.ib = c.vec_id
+                 AND p.ia IN (SELECT vec_id FROM pk{k - 1})) AS mmr_score
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM pk{k - 1})
+      ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+    ),
+    pk{k} AS MATERIALIZED (SELECT vec_id FROM pk{k - 1}
+              UNION ALL SELECT vec_id FROM p{k})"""
+        )
+    its = ",\n    ".join(steps)
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM p{k}" for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0
+    ),
+    cand AS MATERIALIZED (
+      SELECT b.vec_id, CAST(b.embedding AS DOUBLE[]) AS v,
+             round(list_cosine_similarity(q.qv,
+                   CAST(b.embedding AS DOUBLE[])), 6) AS rel
+      FROM embeddings b, q
+      ORDER BY rel DESC, b.vec_id LIMIT {_MMR_CAND}
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_cosine_similarity(a.v, b.v), 6) AS s
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    {its}
+    SELECT rank, vec_id, rel AS cos_sim,
+           round(mmr_score + 0.00000001, 4) AS mmr_score
+    FROM ({union})
+    ORDER BY rank
+    """
+
+
+@register("sim_mmr_rerank", _mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from the exact cosine top-30 to the vec_id=0 query, greedily
+    select 10 results maximizing lambda*relevance - (1-lambda)*max
+    similarity to the already-selected set — the diversity-aware final
+    stage of a retrieval/dedup pipeline (near-identical hits crowd out
+    coverage in a plain top-k).
+
+    Plan: candidate generation is the brute-force scan shape (scan ->
+    project(cosine) -> TakeOrdered-30, no shuffle); the greedy itself is
+    inherently sequential, so it runs as ONE Arrow-batched grouped-map
+    over the BOUNDED 30-row candidate frame (the documented pandas
+    exception, same contract as Theil-Sen's bounded pairwise stage) —
+    at 100 TB only candidate generation grows; the re-rank stays 30
+    rows. Both engines round cosines to 6dp BEFORE the greedy, so the
+    argmax decisions are taken on identical numbers; the oracle unrolls
+    all 10 selection steps CTE-for-CTE."""
+    import numpy as np
+
+    from ..functions.vectors import cosine
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    scored = emb.select(
+        "vec_id",
+        "embedding",
+        F.round(cosine(F.col("embedding"), qlit), 6).alias("rel"),
+    )
+    cand = scored.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_CAND)
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+
+    def greedy(pdf):
+        import pandas as pd
+
+        vs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        norms = np.sqrt((vs * vs).sum(axis=1))
+        sims = np.round(vs @ vs.T / np.outer(norms, norms), 6)
+        ids = pdf["vec_id"].to_numpy()
+        rels = pdf["rel"].to_numpy()
+        order = np.argsort(ids)  # stable id order for deterministic ties
+        chosen: list[int] = []
+        out = []
+        remaining = set(range(len(ids)))
+        for rank in range(1, _MMR_K + 1):
+            best = None
+            for j in sorted(remaining, key=lambda j: ids[j]):
+                ms = max((sims[j][c] for c in chosen), default=0.0)
+                score = lam * rels[j] - mu * ms
+                if best is None or score > best[0]:
+                    best = (score, j)
+            score, j = best
+            chosen.append(j)
+            remaining.discard(j)
+            out.append((rank, int(ids[j]), float(rels[j]), float(score)))
+        _ = order
+        return pd.DataFrame(
+            out, columns=["rank", "vec_id", "cos_sim", "mmr_score"]
+        )
+
+    out = cand.groupBy(F.lit("all").alias("_g")).applyInPandas(
+        greedy, schema="rank int, vec_id long, cos_sim double, mmr_score double"
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        "cos_sim",
+        F.round(F.col("mmr_score") + 0.00000001, 4).alias("mmr_score"),
+    ).orderBy("rank")

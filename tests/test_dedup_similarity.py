@@ -704,3 +704,42 @@ def test_duplicated_span_stats_deferred_and_deprecated_alias(spark):
     # default (eager) path still returns a bare DataFrame
     out = duplicated_span_stats(docs, k=3)
     assert not isinstance(out, tuple)
+
+
+def test_mmr_rerank_diversifies_vs_plain_topk(spark):
+    """MMR output: rank 1 is the pure-relevance argmax (the query vector
+    itself), every selected id is unique, and the selection's mean
+    pairwise cosine is no higher than the plain top-10's — the diversity
+    property MMR exists for."""
+    import numpy as np
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.llm import (
+        sim_mmr_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = sim_mmr_rerank(spark, sf).collect()
+    assert [r["rank"] for r in out] == list(range(1, 11))
+    assert out[0]["vec_id"] == 0 and out[0]["cos_sim"] >= 0.999999
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == 10
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+
+    def mean_pairwise(sel):
+        tot, n = 0.0, 0
+        for i, a in enumerate(sel):
+            for b in sel[i + 1 :]:
+                va, vb = emb[a], emb[b]
+                tot += va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                n += 1
+        return tot / n
+
+    q = emb[0]
+    plain = sorted(
+        emb, key=lambda i: (-(emb[i] @ q / (np.linalg.norm(emb[i]) * np.linalg.norm(q))), i)
+    )[:10]
+    assert mean_pairwise(ids) <= mean_pairwise(plain) + 1e-12
