@@ -110,6 +110,19 @@ HEADLINE = [
     "dq_freshness_lag",
     "attribution_time_decay",
     "embedding_drift_shift",
+    # round 9 late window (cheap codegen/bounded shapes: geo geometry is
+    # pure expression work, MMR's greedy is a bounded 30-row grouped-map,
+    # Holt folds the calendar-bounded hourly array; the heavier new ops —
+    # the 64-replicate bootstrap, DSIR's double token pass, grid DBSCAN's
+    # CC rounds, HITS supersteps — run in the correctness sweep, not
+    # here, same rule as earlier rounds)
+    "geo_grid_hotspots",
+    "geo_geohash_hotspots",
+    "geo_zone_cell_join",
+    "geo_nearest_poi",
+    "ts_holt_linear",
+    "sim_mmr_rerank",
+    "text_token_fertility",
 ]
 
 
