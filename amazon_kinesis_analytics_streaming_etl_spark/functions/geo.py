@@ -32,8 +32,8 @@ LON0, LON_SPAN = -74.25, 0.50
 def u32_expr(key_sql: str, start: int = 1) -> str:
     """md5-derived uniform in [0,1) from 8 hex chars of ``md5(key_sql)``.
 
-    ``start`` picks the hex window (1 or 9) so one md5 yields two
-    independent uniforms. Spark ``conv(x,16,10)`` and DuckDB
+    ``start`` picks the hex window (1, 9, 17, or 25) so one 32-hex md5
+    yields up to four independent uniforms. Spark ``conv(x,16,10)`` and DuckDB
     ``('0x'||x)::bigint`` agree; the Spark side uses this exact text via
     a tiny rewrite in :func:`spark_expr` (DuckDB's ``::`` cast is not
     Spark syntax, so the one non-shared token is centralized here).
@@ -84,15 +84,25 @@ def haversine_km_expr(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
 
 
 def lon_bits_expr(lon: str, chars: int = 6) -> str:
-    """Top ``5*chars/2`` bits of the normalized longitude as an integer."""
+    """Top ``5*chars/2`` bits of the normalized longitude as an integer.
+    The ``least`` clamp keeps the exact domain edge (lon = 180) in the
+    top cell instead of overflowing one bit past the interleave width."""
     nbits = 5 * chars // 2
-    return f"CAST(floor((({lon}) + 180.0) / 360.0 * {1 << nbits}) AS BIGINT)"
+    return (
+        f"CAST(least(floor((({lon}) + 180.0) / 360.0 * {1 << nbits}),"
+        f" {(1 << nbits) - 1}) AS BIGINT)"
+    )
 
 
 def lat_bits_expr(lat: str, chars: int = 6) -> str:
-    """Top ``5*chars/2`` bits of the normalized latitude as an integer."""
+    """Top ``5*chars/2`` bits of the normalized latitude as an integer.
+    Clamped like :func:`lon_bits_expr` so lat = 90 stays in the top cell
+    (without it the pole wrapped to the -90 cell)."""
     nbits = 5 * chars // 2
-    return f"CAST(floor((({lat}) + 90.0) / 180.0 * {1 << nbits}) AS BIGINT)"
+    return (
+        f"CAST(least(floor((({lat}) + 90.0) / 180.0 * {1 << nbits}),"
+        f" {(1 << nbits) - 1}) AS BIGINT)"
+    )
 
 
 def interleave_expr(x: str, y: str, chars: int = 6) -> str:

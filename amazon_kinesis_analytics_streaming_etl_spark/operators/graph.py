@@ -417,6 +417,11 @@ def hits(
     groupBy-sum; the L2 norm is a 1-row aggregate broadcast back — no
     driver loop over data, lineage truncated per iteration the same way
     pagerank does."""
+    if iterations < 1:
+        raise ValueError(
+            "hits() needs iterations >= 1 (0 would return unnormalized "
+            "init scores and no authority side)"
+        )
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).persist()
     srcs = e.select(F.col("_src").alias("node")).distinct()
     dsts = e.select(F.col("_dst").alias("node")).distinct()

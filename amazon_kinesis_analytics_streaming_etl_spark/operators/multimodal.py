@@ -302,8 +302,11 @@ def ahash_signatures(df: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, sigs, bands = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                text = (payload or b"").decode()
-                _, g, v = text.split("-")
+                if payload is None:
+                    # undecodable media has no perceptual signature; a
+                    # real pipeline routes it to the dead-letter side
+                    continue
+                _, g, v = payload.decode().split("-")
                 px = _fake_pixels(int(mid), int(g), int(v))
                 mean = sum(px) / float(AHASH_PX)
                 sig = 0
@@ -317,6 +320,10 @@ def ahash_signatures(df: DataFrame) -> DataFrame:
                     sig -= 1 << 64
                 ids.append(mid)
                 sigs.append(sig)
-            yield pd.DataFrame({"media_id": ids, "sig": sigs, "bands": bands})
+            if ids:  # an all-skipped batch yields nothing (empty numpy
+                # columns can't Arrow-convert to list<int>)
+                yield pd.DataFrame(
+                    {"media_id": ids, "sig": sigs, "bands": bands}
+                )
 
     return df.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -506,6 +506,8 @@ def poisson_bootstrap_ci(
 
     Returns one row: (n_rows, n_replicates, point_mean, ci_lo, ci_hi) —
     raw doubles, callers round."""
+    from ..functions import geo
+
     v = F.col(value_col)
     base = df.where(v.isNotNull()).select(
         F.col(key_col).cast("string").alias("k"), v.alias("v")
@@ -513,13 +515,18 @@ def poisson_bootstrap_ci(
     rep = base.select(
         "k", "v", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("r")
     )
-    u = (
-        "(CAST(conv(substr(md5(concat(k, '#', CAST(r AS STRING))), 1, 8),"
-        " 16, 10) AS BIGINT) / 4294967296.0)"
-    )
-    w = F.expr(poisson_weight_expr(u))
+    # the md5-uniform recipe is the ONE shared definition (functions/
+    # geo.py) the oracle also interpolates — never hand-duplicated.
+    # Project u ONCE, then ladder over the column: interpolating u into
+    # the CASE text would recompute the md5 in every WHEN arm (up to 7x
+    # per row-replicate), and a combined w*v / w select would double it
+    # again — the two-step projection keeps exactly one md5 per draw.
+    u = geo.spark_expr(geo.u32_expr("concat(k, '#', CAST(r AS STRING))"))
+    w = F.expr(poisson_weight_expr("u"))
     means = (
-        rep.select("r", (w * F.col("v")).alias("wv"), w.alias("w"))
+        rep.withColumn("u", F.expr(u))
+        .withColumn("w", w)
+        .select("r", (F.col("w") * F.col("v")).alias("wv"), "w")
         .groupBy("r")
         .agg((F.sum("wv") / F.sum("w")).alias("mu"))
     )

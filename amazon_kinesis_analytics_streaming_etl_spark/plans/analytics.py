@@ -4185,13 +4185,11 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _bootstrap_oracle() -> str:
+    from ..functions import geo
     from ..operators.stats import poisson_weight_expr
 
-    u = (
-        "(CAST(('0x' || substr(md5(concat(k, '#', CAST(r AS STRING))), 1, 8))"
-        " AS BIGINT) / 4294967296.0)"
-    )
-    w = poisson_weight_expr(u)
+    u = geo.u32_expr("concat(k, '#', CAST(r AS STRING))")
+    w = poisson_weight_expr("u")
     return f"""
     WITH base AS (
       SELECT CAST(event_id AS STRING) AS k, value AS v
@@ -4200,7 +4198,8 @@ def _bootstrap_oracle() -> str:
     rep AS (
       SELECT k, v, unnest(generate_series(0, 63)) AS r FROM base
     ),
-    wtd AS (SELECT r, {w} * v AS wv, {w} AS w FROM rep),
+    uni AS (SELECT v, r, {u} AS u FROM rep),
+    wtd AS (SELECT r, {w} * v AS wv, {w} AS w FROM uni),
     m AS (SELECT r, sum(wv) / sum(w) AS mu FROM wtd GROUP BY r)
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_rows,
            CAST(count(*) AS BIGINT) AS n_replicates,

@@ -369,25 +369,28 @@ def geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded facility dimension. Ties break toward the lower poi_id on
     both engines (strict ``<`` fold left-to-right vs ORDER BY km,
     poi_id)."""
-    pois = F.array(
+    # least() over one (km, poi_id) struct per POI: the whole argmin is
+    # a flat codegen expression — each haversine evaluated ONCE (an
+    # aggregate-fold formulation paid 2x trig, and higher-order-function
+    # lambdas are interpreted per element, outside codegen) — and struct
+    # ordering breaks km ties toward the lower poi_id, matching the
+    # oracle's ORDER BY km, poi_id.
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    best = F.least(
         *[
             F.struct(
+                F.expr(
+                    geo.haversine_km_expr(d(la), d(lo), "lat", "lon")
+                ).alias("km"),
                 F.lit(i).alias("poi_id"),
-                F.lit(la).alias("plat"),
-                F.lit(lo).alias("plon"),
             )
             for i, la, lo in _poi_coords()
         ]
     )
-    hav = geo.haversine_km_expr("p.plat", "p.plon", "lat", "lon")
-    best = F.expr(
-        "aggregate(pois, struct(CAST(1e18 AS DOUBLE) AS km, -1 AS poi_id), "
-        f"(acc, p) -> CASE WHEN {hav} < acc.km "
-        f"THEN struct({hav} AS km, p.poi_id AS poi_id) ELSE acc END)"
-    )
     assigned = (
         _pts(spark, sf_dir)
-        .withColumn("pois", pois)
         .withColumn("best", best)
         .select(
             "value",
@@ -458,12 +461,15 @@ def geo_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo_grid_hotspots; the density gate is a 1-row broadcast; adjacency
     is an EQUI-join — each core cell explodes its 9 neighbor keys and
     joins back on the cell key (never a theta-join over cells); the CC
-    runs operators/dedup.py:dup_clusters (min-label to convergence,
-    localCheckpoint per round) over the BOUNDED core-cell graph. At
+    runs operators/dedup.py:dup_clusters_alternating (Kiveris
+    large-star/small-star — O(log^2 n) rounds on ANY shape, RAISES
+    rather than return an unconverged labeling; a long hotspot corridor
+    is exactly the high-diameter case that starves min-label's
+    O(diameter) rounds) over the BOUNDED core-cell graph. At
     100 TB the raw data appears only in the first aggregate; everything
     after is city-area-bounded. Oracle: recursive-CTE transitive
     closure, the dedup_clusters precedent."""
-    from ..operators.dedup import dup_clusters
+    from ..operators.dedup import dup_clusters_alternating
 
     pts = _pts(spark, sf_dir)
     cells = pts.groupBy(
@@ -497,7 +503,7 @@ def geo_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = probes.join(
         core.select(F.col("cell").alias("ncell")), "ncell"
     ).select("cell", "ncell")
-    labels = dup_clusters(pairs, id_a="cell", id_b="ncell")
+    labels = dup_clusters_alternating(pairs, id_a="cell", id_b="ncell")
     return (
         core.join(labels, core["cell"] == labels["doc_id"], "left")
         .select(

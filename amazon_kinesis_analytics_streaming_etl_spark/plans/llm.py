@@ -1878,11 +1878,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = np.round(vs @ vs.T / np.outer(norms, norms), 6)
         ids = pdf["vec_id"].to_numpy()
         rels = pdf["rel"].to_numpy()
-        order = np.argsort(ids)  # stable id order for deterministic ties
         chosen: list[int] = []
         out = []
         remaining = set(range(len(ids)))
         for rank in range(1, _MMR_K + 1):
+            if not remaining:  # fewer candidates than k: shorter ranking
+                break
             best = None
             for j in sorted(remaining, key=lambda j: ids[j]):
                 ms = max((sims[j][c] for c in chosen), default=0.0)
@@ -1893,7 +1894,6 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             chosen.append(j)
             remaining.discard(j)
             out.append((rank, int(ids[j]), float(rels[j]), float(score)))
-        _ = order
         return pd.DataFrame(
             out, columns=["rank", "vec_id", "cos_sim", "mmr_score"]
         )

@@ -188,8 +188,6 @@ def test_nearest_poi_argmin_matches_bruteforce(spark):
     assert got_rows.columns == ["poi_id", "n_assigned", "avg_km", "sum_value"]
 
     sub = _pts(spark, SF_SMOKE).limit(200)
-    from amazon_kinesis_analytics_streaming_etl_spark.plans import geo as geoplan
-
     poisl = F.array(
         *[
             F.struct(
@@ -202,9 +200,8 @@ def test_nearest_poi_argmin_matches_bruteforce(spark):
     )
     havs = geo.haversine_km_expr("p.plat", "p.plon", "lat", "lon")
     best = F.expr(
-        "aggregate(pois, struct(CAST(1e18 AS DOUBLE) AS km, -1 AS poi_id), "
-        f"(acc, p) -> CASE WHEN {havs} < acc.km "
-        f"THEN struct({havs} AS km, p.poi_id AS poi_id) ELSE acc END)"
+        "array_min(transform(pois, "
+        f"p -> struct({havs} AS km, p.poi_id AS poi_id)))"
     )
     got = {
         r["poi_id"]: r["n"]
@@ -258,3 +255,12 @@ def test_dbscan_cells_clusters_are_disjoint_and_dense(spark):
     n_core = sum(1 for r in cells if r["n"] > 2 * avg)
     # top-10 clusters cannot exceed the core-cell population
     assert sum(r["n_cells"] for r in out) <= n_core
+
+
+def test_geohash_domain_edges_clamp_to_top_cell(spark):
+    """lat=90 / lon=180 must encode as the all-ones top cell (matching
+    bisection, where every compare takes the upper half) instead of
+    overflowing one bit past the interleave width."""
+    assert sql_geohash(spark, 90.0, 180.0, 6) == ref_geohash(90.0, 180.0, 6)
+    assert sql_geohash(spark, 90.0, 180.0, 6) == "zzzzzz"
+    assert sql_geohash(spark, -90.0, -180.0, 6) == "000000"

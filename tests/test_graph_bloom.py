@@ -629,3 +629,13 @@ def test_hits_matches_hand_computed_two_iterations(spark):
     assert abs(h2 - 1.0) < 1e-12 and abs(a2 - 1.0) < 1e-12
     # sources have no in-edges -> authority 0; sinks no out-edges -> hub 0
     assert rows[10]["authority"] == 0.0 and rows[1]["hub"] == 0.0
+
+
+def test_hits_rejects_zero_iterations(spark):
+    import pytest as _pytest
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)

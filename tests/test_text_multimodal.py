@@ -250,3 +250,19 @@ def test_ahash_banding_has_exact_recall_at_threshold(spark):
     out = multimodal_ahash_dedup(spark, "unused").collect()
     assert len(out) == 20
     assert all(r["hamming"] <= 7 for r in out)
+
+
+def test_ahash_skips_null_payloads(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.multimodal import (
+        ahash_signatures,
+        synthetic_media_pairs,
+    )
+
+    media = synthetic_media_pairs(spark, 4).withColumn(
+        "payload",
+        F.when(F.col("media_id") % 2 == 0, F.col("payload")),
+    )
+    got = ahash_signatures(media).collect()
+    assert sorted(r["media_id"] for r in got) == [0, 2, 4, 6]
