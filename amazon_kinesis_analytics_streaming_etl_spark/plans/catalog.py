@@ -59,6 +59,8 @@ _STALE_R9 = [
     "sim_mmr_rerank",
     "geo_dbscan_cells",
     "text_vocab_coverage",
+    "agg_listagg",
+    "scalar_try_arithmetic",
     # asof.py order flip (forward tie fix) touches all three directions;
     # asof_join_forward is the new driver gate for the fixed path
     "asof_join_forward",

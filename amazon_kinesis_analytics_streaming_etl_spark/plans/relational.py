@@ -2012,3 +2012,93 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, revenue
         """
     )
+
+
+# --------------------------------------------------------------------------
+# round 9 (late window): Spark 4 SQL-surface additions
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_listagg",
+    """
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4.0's ANSI ``listagg(...)
+    WITHIN GROUP (ORDER BY ...)`` (SQL:2016 T625), the report-formatting
+    aggregate users previously hand-rolled as
+    ``array_join(array_sort(collect_list(...)))``. DuckDB twin:
+    ``string_agg(expr, sep ORDER BY expr)``. Per-group member lists are
+    dimension-bounded (nations per region); at scale the deterministic
+    ORDER BY inside the aggregate is what keeps shards mergeable without
+    a global sort."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "scalar_try_arithmetic",
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_extendedprice,
+             CAST(l_quantity AS INT) % 3 AS d,
+             CASE WHEN l_orderkey % 2 = 1 THEN NULL
+                  ELSE 9223372036854775807 END AS big_add,
+             (CASE WHEN CAST(l_quantity AS INT) % 3 = 0 THEN NULL
+                   ELSE l_extendedprice / (CAST(l_quantity AS INT) % 3)
+              END) AS safe_div
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (safe_div IS NULL) AS BIGINT)
+             AS div_by_zero_rows,
+           round(sum(safe_div) + 0.00000001, 2) AS sum_safe_div,
+           CAST(count(*) FILTER (big_add IS NULL) AS BIGINT)
+             AS overflow_rows
+    FROM t
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface — ``try_divide`` (NULL on division
+    by zero) and ``try_add`` (NULL on bigint overflow) — the ANSI-mode
+    story at scale: under ``spark.sql.ansi.enabled`` a single bad row
+    would fail a 100 TB job, and the ``try_`` family is the documented
+    per-expression opt-out (errors become NULLs you can count, quarantine
+    and audit — the same philosophy as the P2 dead-letter split). The
+    oracle states the equivalent CASE semantics explicitly."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.expr("try_divide(l_extendedprice, CAST(l_quantity AS INT) % 3)")
+        .alias("safe_div"),
+        F.expr(
+            "try_add(CASE WHEN l_orderkey % 2 = 1 "
+            "THEN 9223372036854775807 ELSE 9223372036854775806 END, 1)"
+        ).alias("big_add"),
+    )
+    return t.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(F.when(F.col("safe_div").isNull(), 1))
+        .cast("long")
+        .alias("div_by_zero_rows"),
+        F.round(F.sum("safe_div") + 0.00000001, 2).alias("sum_safe_div"),
+        F.count(F.when(F.col("big_add").isNull(), 1))
+        .cast("long")
+        .alias("overflow_rows"),
+    )
