@@ -61,6 +61,7 @@ _STALE_R9 = [
     "text_vocab_coverage",
     "agg_listagg",
     "scalar_try_arithmetic",
+    "geo_od_flows",
     # asof.py order flip (forward tie fix) touches all three directions;
     # asof_join_forward is the new driver gate for the fixed path
     "asof_join_forward",

@@ -518,3 +518,64 @@ def geo_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_points").desc(), "cluster_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# origin-destination flow matrix (top movement corridors)
+# --------------------------------------------------------------------------
+
+_OD_CELL_O = geo.cell_expr("plat", "plon", 0.05)
+_OD_CELL_D = geo.cell_expr("lat", "lon", 0.05)
+
+@register(
+    "geo_od_flows",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    hops AS (
+      SELECT lat, lon,
+             lag(lat) OVER w AS plat,
+             lag(lon) OVER w AS plon
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT {_OD_CELL_O} AS origin_cell,
+           {_OD_CELL_D} AS dest_cell,
+           CAST(count(*) AS BIGINT) AS n_trips,
+           round(avg({geo.haversine_km_expr('plat', 'plon', 'lat', 'lon')})
+                 + 0.00000001, 4) AS avg_km
+    FROM hops
+    WHERE plat IS NOT NULL
+    GROUP BY origin_cell, dest_cell
+    ORDER BY n_trips DESC, origin_cell, dest_cell
+    LIMIT 20
+    """,
+)
+def geo_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix — the top movement corridors
+    between 0.05-degree cells, the classic taxi-demand analytic over the
+    reference's trip stream (which zone feeds which). Plan: the SAME
+    per-user lag shuffle as geo_haversine_speed (one Exchange on the
+    trajectory key), then a hash aggregate on the (origin, dest) cell
+    pair — the OD key is two bounded integers, so the aggregate state is
+    area^2-bounded, not traffic-bounded; TakeOrdered top-20."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = _pts(spark, sf_dir).select(
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    km = F.expr(geo.haversine_km_expr("plat", "plon", "lat", "lon"))
+    return (
+        hops.where(F.col("plat").isNotNull())
+        .groupBy(
+            F.expr(_OD_CELL_O).alias("origin_cell"),
+            F.expr(_OD_CELL_D).alias("dest_cell"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_trips"),
+            F.round(F.avg(km) + 0.00000001, 4).alias("avg_km"),
+        )
+        .orderBy(F.col("n_trips").desc(), "origin_cell", "dest_cell")
+        .limit(20)
+    )
