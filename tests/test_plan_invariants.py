@@ -51,6 +51,12 @@ SCALAR_THRESHOLD_QUERIES = {
     # domain-sized rank frames.
     "stats_ks_two_sample",
     "stats_kruskal_wallis",
+    # round-9 late window: 1-row scalar broadcasts — the mean-density
+    # gate (dbscan), the (tot_r, tot_t) corpus totals (DSIR), and the
+    # point-estimate x CI crossJoin (bootstrap).
+    "geo_dbscan_cells",
+    "prep_dsir_weights",
+    "stats_bootstrap_ci",
     # bloom prefilter gate: crossJoins of 1-row count aggregates
     # (prefiltered-join x exact-join x pass-rate summaries).
     "join_bloom_prefilter",
