@@ -474,3 +474,31 @@ def test_poisson_bootstrap_matches_reference(spark, vals):
     assert math.isclose(got["point_mean"], sum(vals) / len(vals), rel_tol=1e-9)
     assert math.isclose(got["ci_lo"], pctl(0.025), rel_tol=1e-9)
     assert math.isclose(got["ci_hi"], pctl(0.975), rel_tol=1e-9)
+
+
+@settings(**_SET)
+@given(xs=st.lists(st.floats(-50.0, 50.0).map(lambda v: round(v, 3)),
+                   min_size=2, max_size=60))
+def test_holt_fold_matches_python_recurrence(spark, xs):
+    """The JVM aggregate() fold must replay Holt's recurrences exactly
+    (same IEEE op order as a sequential Python loop)."""
+    from pyspark.sql import functions as F
+
+    a, bb = 0.5, 0.3
+    df = spark.createDataFrame([(xs,)], "xs array<double>")
+    new_l = f"({a} * x + {1 - a} * (acc.l + acc.b))"
+    fold = F.expr(
+        "aggregate(slice(xs, 3, size(xs) - 2), "
+        "struct(CAST(element_at(xs, 2) AS DOUBLE) AS l, "
+        "CAST(element_at(xs, 2) - element_at(xs, 1) AS DOUBLE) AS b), "
+        f"(acc, x) -> struct({new_l} AS l, "
+        f"({bb} * ({new_l} - acc.l) + {1 - bb} * acc.b) AS b))"
+    )
+    got = df.select(fold.alias("hw")).collect()[0]["hw"]
+
+    l, b = xs[1], xs[1] - xs[0]
+    for x in xs[2:]:
+        nl = a * x + (1 - a) * (l + b)
+        b = bb * (nl - l) + (1 - bb) * b
+        l = nl
+    assert got["l"] == l and got["b"] == b  # bit-exact, not approx
