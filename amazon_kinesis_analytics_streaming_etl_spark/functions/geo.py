@@ -47,14 +47,25 @@ def u32_expr(key_sql: str, start: int = 1) -> str:
 def spark_expr(sql: str) -> str:
     """Rewrite the one DuckDB-only construct (hex-literal cast) into the
     Spark equivalent (``conv(hex,16,10)``), leaving everything else —
-    which is shared syntax — untouched."""
+    which is shared syntax — untouched.
+
+    The close paren of ``('0x' || <hex>)`` is found by balanced-paren
+    scan, NOT by searching for the next ``) AS BIGINT)`` — a key_sql
+    that itself contains ``CAST(... AS BIGINT)`` (e.g. a composite cell
+    key) would otherwise mis-splice into invalid Spark SQL."""
+    marker = "('0x' || "
     out = sql
-    # CAST(('0x' || <hex>) AS BIGINT)  ->  CAST(conv(<hex>, 16, 10) AS BIGINT)
-    while "('0x' || " in out:
-        i = out.index("('0x' || ")
-        j = out.index(") AS BIGINT)", i)
-        inner = out[i + len("('0x' || ") : j]
-        out = out[:i] + f"conv({inner}, 16, 10)" + out[j + 1 :]
+    while marker in out:
+        i = out.index(marker)
+        depth, j = 1, i + len(marker)
+        while depth:
+            if out[j] == "(":
+                depth += 1
+            elif out[j] == ")":
+                depth -= 1
+            j += 1
+        inner = out[i + len(marker) : j - 1]
+        out = out[:i] + f"conv({inner}, 16, 10)" + out[j:]
     return out
 
 

@@ -38,6 +38,12 @@ def token_count(text: Column | str) -> Column:
     return F.size(whitespace_tokens(text))
 
 
+#: DuckDB twin of :func:`lower_tokens` — THE one shared definition every
+#: oracle interpolates (plans/curation.py, plans/llm.py, plans/prep.py).
+#: Editing lower_tokens without this string (or vice versa) silently
+#: breaks engine/oracle tokenization parity corpus-wide.
+LOWER_TOKENS_SQL_TWIN = r"string_split_regex(trim(lower(text)), '\s+')"
+
 #: BPE-ish pre-tokenizer: word pieces, digit runs, single punctuation —
 #: the common first pass of byte-pair tokenizers. Same regex semantics in
 #: Java (Spark) and RE2 (DuckDB oracle): no lookarounds.

@@ -461,13 +461,11 @@ def hits(
             .localCheckpoint()
         )
     e.unpersist()
-    nodes = srcs.union(dsts).distinct()
-    return (
-        nodes.join(hubs.withColumnRenamed("node", "_h"), nodes["node"] == F.col("_h"), "left")
-        .join(auths.withColumnRenamed("node", "_a"), nodes["node"] == F.col("_a"), "left")
-        .select(
-            "node",
-            F.coalesce("hub", F.lit(0.0)).alias("hub"),
-            F.coalesce("authority", F.lit(0.0)).alias("authority"),
-        )
+    # hubs covers exactly the src side, auths the dst side (both already
+    # localCheckpointed) — a full-outer join assembles srcs UNION dsts
+    # without re-executing the caller's edge pipeline
+    return hubs.join(auths, "node", "full_outer").select(
+        "node",
+        F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        F.coalesce("authority", F.lit(0.0)).alias("authority"),
     )

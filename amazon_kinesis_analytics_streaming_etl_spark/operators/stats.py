@@ -523,12 +523,18 @@ def poisson_bootstrap_ci(
     # again — the two-step projection keeps exactly one md5 per draw.
     u = geo.spark_expr(geo.u32_expr("concat(k, '#', CAST(r AS STRING))"))
     w = F.expr(poisson_weight_expr("u"))
+    # an all-zero-weight replicate (P = 0.368^n, real at tiny n) must be
+    # NULL in BOTH engines: Spark's 0.0/0 is NULL but DuckDB's is NaN,
+    # which quantile_cont sorts as the LARGEST value — the explicit
+    # sum(w) > 0 guard (mirrored in the oracle) removes the divergence
     means = (
         rep.withColumn("u", F.expr(u))
         .withColumn("w", w)
         .select("r", (F.col("w") * F.col("v")).alias("wv"), "w")
         .groupBy("r")
-        .agg((F.sum("wv") / F.sum("w")).alias("mu"))
+        .agg(
+            F.when(F.sum("w") > 0, F.sum("wv") / F.sum("w")).alias("mu")
+        )
     )
     lo, hi = alpha / 2, 1 - alpha / 2
     ci = means.agg(

@@ -4200,7 +4200,10 @@ def _bootstrap_oracle() -> str:
     ),
     uni AS (SELECT v, r, {u} AS u FROM rep),
     wtd AS (SELECT r, {w} * v AS wv, {w} AS w FROM uni),
-    m AS (SELECT r, sum(wv) / sum(w) AS mu FROM wtd GROUP BY r)
+    m AS (
+      SELECT r, CASE WHEN sum(w) > 0 THEN sum(wv) / sum(w) END AS mu
+      FROM wtd GROUP BY r
+    )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_rows,
            CAST(count(*) AS BIGINT) AS n_replicates,
            round(CAST(CAST((SELECT avg(v) FROM base) AS REAL) AS DOUBLE)

@@ -26,8 +26,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-# Tokenization twins (Spark lower_tokens <-> DuckDB):
-_T = r"string_split_regex(trim(lower(text)), '\s+')"
+# Tokenization twins (Spark lower_tokens <-> DuckDB); the string itself
+# lives next to lower_tokens in functions/text.py so the pair can't drift.
+from ..functions.text import LOWER_TOKENS_SQL_TWIN as _T  # noqa: E402
 # DuckDB bigram list over the token list
 _BIGRAMS = f"list_transform(range(1, len({_T})), i -> {_T}[i] || ' ' || {_T}[i+1])"
 

@@ -472,10 +472,18 @@ def geo_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_clusters_alternating
 
     pts = _pts(spark, sf_dir)
-    cells = pts.groupBy(
-        F.expr("CAST(floor((lat + 90.0) / 0.01) AS BIGINT)").alias("yc"),
-        F.expr("CAST(floor((lon + 180.0) / 0.01) AS BIGINT)").alias("xc"),
-    ).agg(F.count("*").alias("n"))
+    # localCheckpoint: the cell aggregate is city-area-bounded and feeds
+    # FOUR downstream subtrees (density avg, core filter, neighbor
+    # probes, final labels join) — without it each one re-scans the raw
+    # events, which is exactly what this docstring promises not to do
+    cells = (
+        pts.groupBy(
+            F.expr("CAST(floor((lat + 90.0) / 0.01) AS BIGINT)").alias("yc"),
+            F.expr("CAST(floor((lon + 180.0) / 0.01) AS BIGINT)").alias("xc"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
     avg = cells.agg(F.avg("n").alias("avg_n"))
     core = (
         cells.crossJoin(F.broadcast(avg))

@@ -118,7 +118,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB twin of functions.text.normalized_text
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # DuckDB twin of functions.text.whitespace_tokens over lowered text
-_TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+from ..functions.text import LOWER_TOKENS_SQL_TWIN as _TOKS_SQL  # noqa: E402
 
 
 # --------------------------------------------------------------------------
@@ -1783,13 +1783,16 @@ _MMR_LAMBDA = 0.7
 def _mmr_oracle() -> str:
     """Unroll the greedy MMR selection step-for-step as chained CTEs
     (the pagerank/HITS precedent for sequential recurrences): step k
-    picks argmax of lambda*rel - (1-lambda)*max-sim-to-selected over the
-    remaining candidates, ties to the smallest vec_id."""
-    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    picks argmax of 7*rel6 - 3*max-sim6-to-selected over the remaining
+    candidates, ties to the smallest vec_id. The decision arithmetic is
+    EXACT INTEGERS over micro-unit (6dp) quantized cosines — lambda=0.7
+    scaled by 10 — so the only cross-engine seam left is the repo-wide
+    6dp cosine rounding itself (dedup_embedding precedent); no float
+    score near a rounding boundary can flip a selection."""
     steps = [
-        f"""p1 AS MATERIALIZED (
-      SELECT 1 AS rank, vec_id, rel, {lam} * rel - {mu} * 0.0 AS mmr_score
-      FROM cand ORDER BY mmr_score DESC, vec_id LIMIT 1
+        """p1 AS MATERIALIZED (
+      SELECT 1 AS rank, vec_id, rel, 7 * rel6 - 3 * 0 AS mmr6
+      FROM cand ORDER BY mmr6 DESC, vec_id LIMIT 1
     ),
     pk1 AS MATERIALIZED (SELECT vec_id FROM p1)"""
     ]
@@ -1797,13 +1800,13 @@ def _mmr_oracle() -> str:
         steps.append(
             f"""p{k} AS MATERIALIZED (
       SELECT {k} AS rank, c.vec_id, c.rel,
-             {lam} * c.rel - {mu} * (
-               SELECT max(p.s) FROM pair p
+             7 * c.rel6 - 3 * (
+               SELECT max(p.s6) FROM pair p
                WHERE p.ib = c.vec_id
-                 AND p.ia IN (SELECT vec_id FROM pk{k - 1})) AS mmr_score
+                 AND p.ia IN (SELECT vec_id FROM pk{k - 1})) AS mmr6
       FROM cand c
       WHERE c.vec_id NOT IN (SELECT vec_id FROM pk{k - 1})
-      ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+      ORDER BY mmr6 DESC, c.vec_id LIMIT 1
     ),
     pk{k} AS MATERIALIZED (SELECT vec_id FROM pk{k - 1}
               UNION ALL SELECT vec_id FROM p{k})"""
@@ -1820,18 +1823,22 @@ def _mmr_oracle() -> str:
     cand AS MATERIALIZED (
       SELECT b.vec_id, CAST(b.embedding AS DOUBLE[]) AS v,
              round(list_cosine_similarity(q.qv,
-                   CAST(b.embedding AS DOUBLE[])), 6) AS rel
+                   CAST(b.embedding AS DOUBLE[])), 6) AS rel,
+             CAST(round(list_cosine_similarity(q.qv,
+                   CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+               AS rel6
       FROM embeddings b, q
       ORDER BY rel DESC, b.vec_id LIMIT {_MMR_CAND}
     ),
     pair AS MATERIALIZED (
       SELECT a.vec_id AS ia, b.vec_id AS ib,
-             round(list_cosine_similarity(a.v, b.v), 6) AS s
+             CAST(round(list_cosine_similarity(a.v, b.v) * 1000000)
+                  AS BIGINT) AS s6
       FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
     ),
     {its}
     SELECT rank, vec_id, rel AS cos_sim,
-           round(mmr_score + 0.00000001, 4) AS mmr_score
+           round(mmr6 / 10000000.0 + 0.00000001, 4) AS mmr_score
     FROM ({union})
     ORDER BY rank
     """
@@ -1852,9 +1859,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the BOUNDED 30-row candidate frame (the documented pandas
     exception, same contract as Theil-Sen's bounded pairwise stage) —
     at 100 TB only candidate generation grows; the re-rank stays 30
-    rows. Both engines round cosines to 6dp BEFORE the greedy, so the
-    argmax decisions are taken on identical numbers; the oracle unrolls
-    all 10 selection steps CTE-for-CTE."""
+    rows. Both engines quantize cosines to integer micro-units (6dp)
+    BEFORE the greedy and score with EXACT INTEGER arithmetic
+    (7*rel6 - 3*maxsim6, lambda=0.7 scaled by 10), so no float score
+    near a rounding boundary can flip a selection — the only remaining
+    cross-engine seam is the repo-wide 6dp cosine rounding itself
+    (dedup_embedding precedent); the oracle unrolls all 10 selection
+    steps CTE-for-CTE."""
     import numpy as np
 
     from ..functions.vectors import cosine
@@ -1868,16 +1879,20 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(F.col("embedding"), qlit), 6).alias("rel"),
     )
     cand = scored.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_CAND)
-    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
 
     def greedy(pdf):
         import pandas as pd
 
         vs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
         norms = np.sqrt((vs * vs).sum(axis=1))
-        sims = np.round(vs @ vs.T / np.outer(norms, norms), 6)
+        # integer micro-unit quantization (6dp): decision arithmetic
+        # below is exact and engine-independent
+        sims6 = np.rint(vs @ vs.T / np.outer(norms, norms) * 1e6).astype(
+            np.int64
+        )
         ids = pdf["vec_id"].to_numpy()
         rels = pdf["rel"].to_numpy()
+        rel6 = np.rint(rels * 1e6).astype(np.int64)
         chosen: list[int] = []
         out = []
         remaining = set(range(len(ids)))
@@ -1886,14 +1901,16 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             best = None
             for j in sorted(remaining, key=lambda j: ids[j]):
-                ms = max((sims[j][c] for c in chosen), default=0.0)
-                score = lam * rels[j] - mu * ms
-                if best is None or score > best[0]:
-                    best = (score, j)
-            score, j = best
+                ms = max((int(sims6[j][c]) for c in chosen), default=0)
+                score6 = 7 * int(rel6[j]) - 3 * ms  # lambda=0.7, x10
+                if best is None or score6 > best[0]:
+                    best = (score6, j)
+            score6, j = best
             chosen.append(j)
             remaining.discard(j)
-            out.append((rank, int(ids[j]), float(rels[j]), float(score)))
+            out.append(
+                (rank, int(ids[j]), float(rels[j]), score6 / 10000000.0)
+            )
         return pd.DataFrame(
             out, columns=["rank", "vec_id", "cos_sim", "mmr_score"]
         )

@@ -40,8 +40,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CAP = 512  # tokens per training sequence
 
-# DuckDB twin of functions.text.lower_tokens
-_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+# DuckDB twin of functions.text.lower_tokens (shared definition)
+from ..functions.text import LOWER_TOKENS_SQL_TWIN as _TOKS  # noqa: E402
 
 
 @register(
@@ -1042,7 +1042,7 @@ def prep_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DSIR_B = 4096  # hashed-feature buckets
-_DSIR_T = r"string_split_regex(trim(lower(text)), '\s+')"
+from ..functions.text import LOWER_TOKENS_SQL_TWIN as _DSIR_T  # noqa: E402
 
 
 @register(

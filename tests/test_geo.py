@@ -175,19 +175,26 @@ def test_nearest_poi_argmin_matches_bruteforce(spark):
         )
         return 6371.0088 * 2 * math.asin(math.sqrt(a))
 
-    pts = _pts(spark, SF_SMOKE).select("lat", "lon").limit(200).collect()
+    # deterministic subset: LIMIT without ORDER BY can return different
+    # rows per invocation, so pin by event_id on BOTH sides
+    from pyspark.sql import functions as F
+
+    base = _pts(spark, SF_SMOKE).where(F.col("event_id") < 200)
+    pts = base.select("lat", "lon").collect()
     want_counts: dict[int, int] = {}
     for r in pts:
         best = min(pois, key=lambda p: (hav(r["lat"], r["lon"], p[1], p[2]), p[0]))
         want_counts[best[0]] = want_counts.get(best[0], 0) + 1
 
-    # engine-side argmin over the same 200 points
-    from pyspark.sql import functions as F
-
-    got_rows = geo_nearest_poi(spark, SF_SMOKE)  # full-table sanity: runs
+    # full-table sanity: EXECUTE the catalog query (not just analysis)
+    got_rows = geo_nearest_poi(spark, SF_SMOKE)
     assert got_rows.columns == ["poi_id", "n_assigned", "avg_km", "sum_value"]
+    full = got_rows.collect()
+    assert sum(r["n_assigned"] for r in full) == base.count() + _pts(
+        spark, SF_SMOKE
+    ).where(F.col("event_id") >= 200).count()
 
-    sub = _pts(spark, SF_SMOKE).limit(200)
+    sub = base
     poisl = F.array(
         *[
             F.struct(
