@@ -1886,13 +1886,18 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         vs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
         norms = np.sqrt((vs * vs).sum(axis=1))
         # integer micro-unit quantization (6dp): decision arithmetic
-        # below is exact and engine-independent
-        sims6 = np.rint(vs @ vs.T / np.outer(norms, norms) * 1e6).astype(
-            np.int64
-        )
+        # below is exact and engine-independent. Half-AWAY-from-zero
+        # (sign-aware floor(+0.5)) to match DuckDB/Spark round(); np.rint
+        # is half-to-even and would diverge on an exact .5 tie.
+        def _q6(x):
+            return (np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)).astype(
+                np.int64
+            )
+
+        sims6 = _q6(vs @ vs.T / np.outer(norms, norms))
         ids = pdf["vec_id"].to_numpy()
         rels = pdf["rel"].to_numpy()
-        rel6 = np.rint(rels * 1e6).astype(np.int64)
+        rel6 = _q6(rels)
         chosen: list[int] = []
         out = []
         remaining = set(range(len(ids)))
