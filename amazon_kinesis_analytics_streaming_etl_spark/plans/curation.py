@@ -279,9 +279,9 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT label,
            count(*) AS n,
-           round(avg(sqrt(list_aggregate(
-             list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))), 4)
-             AS avg_l2,
+           round(CAST(CAST(avg(sqrt(list_aggregate(
+             list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')))
+             AS REAL) AS DOUBLE), 4) AS avg_l2,
            round(min(sqrt(list_aggregate(
              list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))), 4)
              AS min_l2,
@@ -308,7 +308,10 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("l2"), 4).alias("avg_l2"),
+            # f32-squash (repo drift-avg convention): cross-engine
+            # accumulation order differs; min/max/per-row norms are
+            # order-identical folds and need no squash.
+            F.round(F.avg("l2").cast("float").cast("double"), 4).alias("avg_l2"),
             F.round(F.min("l2"), 4).alias("min_l2"),
             F.round(F.max("l2"), 4).alias("max_l2"),
         )
