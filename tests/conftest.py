@@ -11,6 +11,36 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_collection_finish(session):
+    """Keep README's 'NNN tests' line GENERATED, not hand-synced (it
+    drifted twice in round 9): on any full-suite collection (no -k/-m
+    filter, target = tests/ or the repo root — including
+    --collect-only), rewrite the count in place if it desynced."""
+    config = session.config
+    if config.option.keyword or config.option.markexpr:
+        return
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(tests_dir)
+    args = [os.path.abspath(a.split("::")[0]) for a in config.args]
+    if not args or any(a not in (tests_dir, repo_root) for a in args):
+        return
+    import re
+    import warnings
+
+    readme = os.path.join(repo_root, "README.md")
+    with open(readme) as f:
+        src = f.read()
+    new = re.sub(r"\b\d+ tests:", f"{len(session.items)} tests:", src, count=1)
+    if new != src:
+        with open(readme, "w") as f:
+            f.write(new)
+        warnings.warn(
+            f"README.md test count resynced to {len(session.items)} "
+            "(collected by full-suite run)",
+            stacklevel=1,
+        )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from amazon_kinesis_analytics_streaming_etl_spark.session import get_spark
