@@ -284,7 +284,8 @@ def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_static_enrich",
     """
-    SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT c_mktsegment, count(*) AS n,
+           round(CAST(CAST(sum(value) AS REAL) AS DOUBLE), 2) AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -299,7 +300,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, F.broadcast(dim), stream.user_id == dim.c_custkey
     )
     agged = joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n"),
+        # f32-squash (repo drift-sum convention): ~20k doubles per
+        # segment accumulate in different orders across engines; the
+        # largest-group stored-double sum in the streaming family.
+        F.round(F.sum("value").cast("float").cast("double"), 2).alias("sum_value"),
     )
     return replay_to_memory(spark, agged, output_mode="complete")
 

@@ -109,7 +109,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY x.vec_id, x.label
     )
     SELECT label, count(*) AS n_vectors,
-           round(avg(dot / (sqrt(n2v) * sqrt(n2c))), 5) AS avg_cosine,
+           round(CAST(CAST(avg(dot / (sqrt(n2v) * sqrt(n2c))) AS REAL)
+                      AS DOUBLE), 5) AS avg_cosine,
            round(min(dot / (sqrt(n2v) * sqrt(n2c))), 5) AS min_cosine
     FROM d GROUP BY label ORDER BY label
     """,
@@ -150,7 +151,10 @@ def centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("label")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.round(F.avg(cos), 5).alias("avg_cosine"),
+            # f32-squash (repo drift-avg convention): the group avg is
+            # order-dependent; min is left raw (5dp margin >> the
+            # pre-rounding drift of the per-vector sums).
+            F.round(F.avg(cos).cast("float").cast("double"), 5).alias("avg_cosine"),
             F.round(F.min(cos), 5).alias("min_cosine"),
         )
         .orderBy("label")
