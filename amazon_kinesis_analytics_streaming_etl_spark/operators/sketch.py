@@ -147,22 +147,40 @@ def _td_compress(means, weights, delta: float):
     """One merge-compress pass: sort by mean, greedily coalesce neighbors
     while the k1 size bound allows. Returns (means, weights) numpy arrays
     with O(delta) length. Deterministic for a fixed input order (stable
-    sort breaks mean ties by position)."""
+    sort breaks mean ties by position).
+
+    Two tiers with identical greedy boundaries: the raw build path
+    (all weights 1.0 — the only place input size is unbounded) is
+    vectorized, looping over the O(delta) output clusters instead of
+    the n input values; weighted merges (centroid streams, already
+    O(delta) per digest) keep the scalar greedy loop."""
     import numpy as np
 
     if len(means) == 0:
         return np.array([]), np.array([])
-    order = np.argsort(means, kind="stable")
-    means, weights = np.asarray(means, dtype=float)[order], np.asarray(
-        weights, dtype=float
-    )[order]
-    W = float(weights.sum())
+    means = np.asarray(means, dtype=float)
+    weights = np.asarray(weights, dtype=float)
 
     def k(q):
         return delta / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
 
     def k_inv(y):
         return (np.sin(np.clip(y, k(0.0), k(1.0)) * 2.0 * np.pi / delta) + 1.0) / 2.0
+
+    if np.all(weights == 1.0):
+        # Unit weights: the sort permutation among equal means is
+        # irrelevant (all rows identical), so plain np.sort replaces
+        # argsort + gather and the stable tie-break is vacuous.
+        return _td_compress_unit(np.sort(means), float(len(means)), k, k_inv)
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    return _td_compress_greedy(means, weights, float(weights.sum()), k, k_inv)
+
+
+def _td_compress_greedy(means, weights, W, k, k_inv):
+    """Scalar greedy reference loop (general weights). Also the parity
+    oracle for ``_td_compress_unit`` in tests/test_sketches.py."""
+    import numpy as np
 
     out_m, out_w = [], []
     cur_m, cur_w = means[0], weights[0]
@@ -181,6 +199,35 @@ def _td_compress(means, weights, delta: float):
     out_m.append(cur_m)
     out_w.append(cur_w)
     return np.array(out_m), np.array(out_w)
+
+
+def _td_compress_unit(means, W, k, k_inv):
+    """Unit-weight fast path of ``_td_compress``, O(delta log n).
+
+    With unit weights every greedy-loop quantity is an exact small
+    integer in binary64 (`emitted + cur_w + w` is exactly float(i+1)
+    when considering sorted item i), so the absorb condition
+    ``(emitted + cur_w + w)/W <= qlim`` is exactly ``(i+1)/W <= qlim``
+    — monotone in i, hence each cluster's end is one searchsorted over
+    the precomputed (i+1)/W ladder and the loop runs once per OUTPUT
+    centroid (O(delta)), not per input value. Cluster BOUNDARIES are
+    bit-identical to the greedy loop (property-tested); cluster means
+    use pairwise-summed reduceat instead of the loop's incremental
+    mean — last-ulp drift only, inside every gate's tolerance."""
+    import numpy as np
+
+    n = len(means)
+    qarr = np.arange(1, n + 1, dtype=float) / W
+    starts = []
+    s = 0
+    while s < n:
+        starts.append(s)
+        qlim = k_inv(k(s / W) + 1.0)
+        e = int(np.searchsorted(qarr, qlim, side="right")) - 1
+        s = max(e, s) + 1
+    starts = np.asarray(starts, dtype=np.intp)
+    counts = np.diff(np.append(starts, n)).astype(float)
+    return np.add.reduceat(means, starts) / counts, counts
 
 
 def _td_quantile(means, weights, q: float) -> float:

@@ -229,6 +229,63 @@ def test_tdigest_rollup_gate_query(spark):
         assert r["n"] > 0
 
 
+def test_tdigest_unit_fast_path_matches_greedy_reference():
+    """The vectorized unit-weight build path must produce bit-identical
+    cluster BOUNDARIES to the scalar greedy loop (the absorb condition
+    reduces to exact-integer float compares — see _td_compress_unit),
+    and means within last-ulp (reduceat pairwise sum vs the loop's
+    incremental mean)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.sketch import (
+        _td_compress,
+        _td_compress_greedy,
+    )
+
+    def greedy_unit(vals, delta):
+        v = np.sort(np.asarray(vals, dtype=float), kind="stable")
+        W = float(len(v))
+
+        def k(q):
+            return delta / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
+
+        def k_inv(y):
+            return (
+                np.sin(np.clip(y, k(0.0), k(1.0)) * 2.0 * np.pi / delta) + 1.0
+            ) / 2.0
+
+        return _td_compress_greedy(v, np.ones(len(v)), W, k, k_inv)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+            min_size=1,
+            max_size=500,
+        ),
+        delta=st.sampled_from([20.0, 50.0, 200.0]),
+    )
+    def prop(vals, delta):
+        v = np.array(vals, dtype=float)
+        m1, w1 = _td_compress(v, np.ones(len(v)), delta)
+        m2, w2 = greedy_unit(v, delta)
+        assert np.array_equal(w1, w2)  # boundaries bit-identical
+        assert np.allclose(m1, m2, rtol=1e-12, atol=1e-9)
+
+    prop()
+    # and at scale, off the hypothesis size budget
+    rng = np.random.default_rng(7)
+    for vals in (rng.lognormal(0, 2, 60_000), rng.uniform(0, 1, 60_000)):
+        m1, w1 = _td_compress(vals, np.ones(len(vals)), 200.0)
+        m2, w2 = greedy_unit(vals, 200.0)
+        assert np.array_equal(w1, w2)
+        assert np.allclose(m1, m2, rtol=1e-12, atol=1e-9)
+
+
 def test_tdigest_properties_hypothesis():
     """Property-based invariants of the pure digest functions: exact
     weight conservation, O(delta) centroid count, sorted centroid means,
