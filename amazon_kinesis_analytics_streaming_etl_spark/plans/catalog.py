@@ -125,6 +125,10 @@ _STALE_R10 = [
     # oracle-checked at sf0.01, covered by the final local sweeps).
     "sketch_tdigest_rollup",
     "stream_tdigest_percentiles",
+    # ---- position 69: float32-squash applied after
+    # tools/oracle_order_audit.py caught a live input-order rounding
+    # seam (re-proved PASS at sf0.01 and sf0.1, stable under scramble).
+    "mv_incremental_refresh",
 ]
 
 
@@ -154,8 +158,8 @@ def _reorder() -> None:
     stale_pos = {n: i for i, n in enumerate(_STALE_R10)}
 
     # Round 10: stale tier OUTRANKS the canary so the full 50-query
-    # window lands on the 64 oldest signals (canary right after the
-    # changed-code slots, at positions 69-71).
+    # window lands on the 64 oldest signals (canary resumes right
+    # after the changed-code slots).
     def key(name: str) -> tuple[int, int]:
         if name in stale_pos:
             return (0, stale_pos[name])

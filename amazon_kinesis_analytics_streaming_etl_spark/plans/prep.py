@@ -540,12 +540,15 @@ _MV_SPLIT = "2024-01-24 12:00:00"  # base MV covers ts < split; delta is >=
     f"""
     SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
-           round(sum(value) / count(*), 2) AS avg_value,
+           round(CAST(CAST(sum(value) AS REAL) AS DOUBLE)
+                 + 0.00000001, 2) AS sum_value,
+           round(CAST(CAST(sum(value) / count(*) AS REAL) AS DOUBLE)
+                 + 0.00000001, 2) AS avg_value,
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value,
-           round(sqrt(greatest(sum(value * value) / count(*)
-                               - (sum(value) / count(*)) ** 2, 0)), 2)
+           round(CAST(CAST(sqrt(greatest(sum(value * value) / count(*)
+                                         - (sum(value) / count(*)) ** 2, 0))
+                      AS REAL) AS DOUBLE) + 0.00000001, 2)
              AS stddev_pop
     FROM events
     GROUP BY 1, 2 ORDER BY 1, 2
@@ -563,6 +566,11 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg/stddev are derived from the merged sums (the standard mergeable
     decomposition: stddev_pop = sqrt(E[x^2] - E[x]^2)) — BOTH sides use
     the same formula so the gate checks merge algebra, not float trivia.
+    The three sum-derived outputs carry the repo's float32-squash on
+    both engines: the per-group double sums are order-dependent, and
+    tools/oracle_order_audit.py caught a live 2dp boundary straddle
+    (avg 42.205 flipping 42.2 vs 42.21 under a row-order scramble of
+    the same data). min/max are order-independent folds and need none.
     Plan: two partial-aggregable scans (base once in real life, here both
     sides of the simulated split) + a |MV|-sized merge groupBy."""
     ev = load_events(spark, sf_dir)
@@ -598,15 +606,18 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s") / F.col("n")
     var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    def _f32(c):
+        return F.round(c.cast("float").cast("double") + 0.00000001, 2)
+
     return merged.select(
         "event_type",
         "day",
         F.col("n").alias("n_events"),
-        F.round("s", 2).alias("sum_value"),
-        F.round(mean, 2).alias("avg_value"),
+        _f32(F.col("s")).alias("sum_value"),
+        _f32(mean).alias("avg_value"),
         F.round("mn", 6).alias("min_value"),
         F.round("mx", 6).alias("max_value"),
-        F.round(F.sqrt(var), 2).alias("stddev_pop"),
+        _f32(F.sqrt(var)).alias("stddev_pop"),
     ).orderBy("event_type", "day")
 
 

@@ -1,0 +1,120 @@
+"""Empirical input-order-sensitivity audit of every oracle.
+
+The two round-10 ADVICE findings (sum_safe_div, the MMR quantizer) were
+order-/rounding-seam bugs found by hand review. This tool mechanizes
+the detection: every ``oracle_sql()`` runs three times in DuckDB — once
+over the normal parquet views, then over two materialized copies of the
+tables whose ROW ORDER is scrambled with different seeds — and any
+query whose canonical (row-sorted, 9dp-rounded) output differs between
+runs has an input-order-dependent accumulation seam: exactly the class
+where DuckDB's double accumulation can drift from Spark's at larger
+SFs and straddle the output rounding boundary.
+
+A flagged query is not necessarily WRONG today (the sweeps prove both
+engines agree on this data) — it names the oracles whose agreement
+depends on accumulation order, i.e. the ones the float32-squash /
+coarser-rounding conventions exist for. Usage:
+
+    python tools/oracle_order_audit.py [sf_dir] [query ...]
+
+Prefix a query with ``!`` to exclude it instead (needed at sf0.1 for
+graph_triangle_count, whose self-join oracle loses its sorted-input
+join plan on the scrambled copies and goes quadratic in DuckDB; run
+it at sf0.01, where the full audit finishes in ~4 minutes).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from check_correctness import canon_rows  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _connect(sf_dir: str, seed: float | None):
+    import duckdb
+
+    con = duckdb.connect()
+    if seed is None:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+    else:
+        # Materialized scrambled copies: same multiset of rows, a
+        # different physical order per seed. setseed makes the shuffle
+        # reproducible so a flagged query can be re-run and debugged.
+        con.execute(f"SELECT setseed({seed})")
+        for t in TABLES:
+            con.execute(
+                f"CREATE TABLE {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet') "
+                f"ORDER BY random()"
+            )
+    return con
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = {a for a in sys.argv[2:] if not a.startswith("!")}
+    exclude = {a[1:] for a in sys.argv[2:] if a.startswith("!")}
+
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    cons = [
+        ("baseline", _connect(sf_dir, None)),
+        ("scramble_a", _connect(sf_dir, 0.17)),
+        ("scramble_b", _connect(sf_dir, 0.83)),
+    ]
+    n_stable = n_sensitive = n_err = 0
+    for name, sql in oracles.items():
+        if (only and name not in only) or name in exclude:
+            continue
+        t0 = time.time()
+        outs = []
+        err = None
+        for label, con in cons:
+            try:
+                rel = con.sql(sql)
+                cols = [d[0] for d in rel.description]
+                outs.append((label, canon_rows(cols, rel.fetchall())))
+            except Exception as e:  # pragma: no cover - surfaced to stdout
+                err = f"{label}: {type(e).__name__}: {e}"
+                break
+        dt = time.time() - t0
+        if err:
+            print(f"ERR       {name}: {err}")
+            n_err += 1
+            continue
+        base = outs[0][1]
+        diffs = [lbl for lbl, rows in outs[1:] if rows != base]
+        if diffs:
+            first = next(
+                (a, b)
+                for rows in (r for lbl, r in outs[1:] if r != base)
+                for a, b in zip(base, rows)
+                if a != b
+            )
+            print(
+                f"SENSITIVE {name}: differs under {','.join(diffs)} "
+                f"({dt:.1f}s) first diff: {first}"
+            )
+            n_sensitive += 1
+        else:
+            print(f"stable    {name} ({dt:.1f}s)")
+            n_stable += 1
+    print(f"\n{n_stable} stable, {n_sensitive} order-sensitive, {n_err} error")
+    return 1 if n_err else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
