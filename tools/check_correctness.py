@@ -47,15 +47,20 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    import os
+
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # tables may be a single file (the generated testdata) or a
+        # directory of part-files (e.g. a scrambled/repartitioned copy
+        # for layout-independence runs); duckdb needs a glob for dirs
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs, oracles = queries(), oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
