@@ -38,10 +38,15 @@ TABLES = [
 ]
 
 
-def _connect(sf_dir: str, seed: float | None):
+def _connect(sf_dir: str, seed: float | None, threads: int | None = None):
     import duckdb
 
     con = duckdb.connect()
+    if threads is not None:
+        # a different thread count changes DuckDB's parallel partial-sum
+        # merge order even on identical row order — a seam source the
+        # scrambles alone cannot reach
+        con.execute(f"PRAGMA threads={threads}")
     if seed is None:
         for t in TABLES:
             con.execute(
@@ -74,6 +79,7 @@ def main():
         ("baseline", _connect(sf_dir, None)),
         ("scramble_a", _connect(sf_dir, 0.17)),
         ("scramble_b", _connect(sf_dir, 0.83)),
+        ("single_thread", _connect(sf_dir, None, threads=1)),
     ]
     n_stable = n_sensitive = n_err = 0
     for name, sql in oracles.items():
