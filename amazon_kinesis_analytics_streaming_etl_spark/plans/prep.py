@@ -571,6 +571,14 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tools/oracle_order_audit.py caught a live 2dp boundary straddle
     (avg 42.205 flipping 42.2 vs 42.21 under a row-order scramble of
     the same data). min/max are order-independent folds and need none.
+
+    Precision ceiling of the squash (r10 ADVICE): float32 carries ~7
+    significant digits, so once a per-group sum passes ~1e5 the squash
+    quantizes coarser than the 2dp round implies — parity is unaffected
+    (both engines squash identically) but sum_value's absolute precision
+    degrades with SF. avg/stddev are magnitude-bounded and keep full 2dp
+    meaning at any scale; a production MV would publish the raw partials
+    (n/s/s2) and leave presentation rounding to the reader.
     Plan: two partial-aggregable scans (base once in real life, here both
     sides of the simulated split) + a |MV|-sized merge groupBy."""
     ev = load_events(spark, sf_dir)

@@ -25,10 +25,16 @@ it at sf0.01, where the full audit finishes in ~4 minutes).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# Explicit paths (not '.'): the tool must import both check_correctness
+# (sibling in tools/) and __spark_entry__ (repo root) regardless of the
+# caller's cwd or embedding (r10 ADVICE: '.'-relative breaks module use).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 from check_correctness import canon_rows  # noqa: E402
 
@@ -68,9 +74,10 @@ def _connect(sf_dir: str, seed: float | None, threads: int | None = None):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = {a for a in sys.argv[2:] if not a.startswith("!")}
-    exclude = {a[1:] for a in sys.argv[2:] if a.startswith("!")}
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = {a for a in argv[1:] if not a.startswith("!")}
+    exclude = {a[1:] for a in argv[1:] if a.startswith("!")}
 
     from __spark_entry__ import oracle_sql
 
@@ -104,11 +111,19 @@ def main():
         base = outs[0][1]
         diffs = [lbl for lbl, rows in outs[1:] if rows != base]
         if diffs:
+            # zip_longest + default: a pure row-COUNT difference has no
+            # differing aligned pair, which made bare next()/zip raise
+            # StopIteration and kill the whole audit (r10 ADVICE).
+            from itertools import zip_longest
+
             first = next(
-                (a, b)
-                for rows in (r for lbl, r in outs[1:] if r != base)
-                for a, b in zip(base, rows)
-                if a != b
+                (
+                    (a, b)
+                    for rows in (r for lbl, r in outs[1:] if r != base)
+                    for a, b in zip_longest(base, rows, fillvalue="<missing row>")
+                    if a != b
+                ),
+                ("<no aligned diff>", "<no aligned diff>"),
             )
             print(
                 f"SENSITIVE {name}: differs under {','.join(diffs)} "
@@ -119,7 +134,14 @@ def main():
             print(f"stable    {name} ({dt:.1f}s)")
             n_stable += 1
     print(f"\n{n_stable} stable, {n_sensitive} order-sensitive, {n_err} error")
-    return 1 if n_err else 0
+    # Sensitive findings are audit FAILURES for scripted/CI use (r10
+    # ADVICE): a standing gate must not exit 0 over an order-sensitive
+    # oracle. --sensitive-ok downgrades them for exploratory runs.
+    if n_err:
+        return 1
+    if n_sensitive and "--sensitive-ok" not in sys.argv:
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
