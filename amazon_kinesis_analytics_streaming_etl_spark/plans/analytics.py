@@ -1335,38 +1335,46 @@ _TRIANGLE_TOPK_EDGES = 2000  # similarity-graph sparsification: keep K strongest
 
 @register(
     "graph_triangle_count",
+    # Every CTE is MATERIALIZED: a DuckDB planner hint (zero semantic
+    # change) that stops the optimizer from re-inlining the whole
+    # pairs->kept->weighted pipeline into each consumer — un-hinted, the
+    # inlined plan goes from ~1.6 s to >5 min at sf0.1 (worse on
+    # scrambled copies), which is why the r10 order audit had to exclude
+    # this query at sf0.1. Stage-by-stage materialization profiled at
+    # <1 s total; hinted oracle verified equal on views and scrambled
+    # copies at both SFs.
     f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT c, s FROM pairs
       WHERE c IN (SELECT c FROM pairs GROUP BY c
                   HAVING COUNT(*) <= {_COPURCHASE_MAX_DEGREE})
     ),
-    weighted AS (
+    weighted AS MATERIALIZED (
       SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w
       FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
       GROUP BY a.s, b.s
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT sa, sb FROM weighted
       ORDER BY w DESC, sa, sb LIMIT {_TRIANGLE_TOPK_EDGES}
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT n, COUNT(*) AS d FROM (
         SELECT sa AS n FROM edges UNION ALL SELECT sb AS n FROM edges
       ) GROUP BY n
     ),
-    o AS (
+    o AS MATERIALIZED (
       SELECT CASE WHEN (da.d, e.sa) < (db.d, e.sb) THEN e.sa ELSE e.sb END AS lo,
              CASE WHEN (da.d, e.sa) < (db.d, e.sb) THEN e.sb ELSE e.sa END AS hi
       FROM edges e
       JOIN deg da ON da.n = e.sa
       JOIN deg db ON db.n = e.sb
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
       FROM o e1 JOIN o e2 ON e2.lo = e1.hi
       WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.lo = e1.lo AND e3.hi = e2.hi)

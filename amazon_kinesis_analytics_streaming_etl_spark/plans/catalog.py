@@ -3,8 +3,9 @@ family into one (QUERIES, ORACLES) pair — the driver contract surface.
 
 Iteration order is DELIBERATE: the driver walks ``queries()`` in order
 under a ~50-query budget. Round 11 keeps the catalog frozen and
-restores the changed-code-FIRST tier rule: the six round-10-changed
-queries lead the window, then the round-4-signal stragglers, then the
+restores the changed-code-FIRST tier rule: the changed-oracle and
+round-10-changed queries lead the window, then the round-4-signal
+stragglers, then the
 oldest round-5 signals — see the _STALE_R11 comment. In ordinary
 rounds the catalog front-loads (a) a small TPC-H canary, then (b)
 changed-code and stale-signal queries; everything exhaustively green
@@ -30,11 +31,12 @@ from .relational import ORACLES, QUERIES
 
 # Round 11 keeps the catalog FROZEN (no new queries) and restores the
 # changed-code-FIRST tier rule the round-10 freeze inverted (the r10
-# verdict's #1 ask): the six queries whose code or oracle changed in
+# verdict's #1 ask): graph_triangle_count (oracle hinted MATERIALIZED
+# this round) plus the six queries whose code or oracle changed in
 # round 10 lead the window so every one of them gets a post-change
 # driver green, then the 14 round-4-signal stragglers that spilled past
 # the r10 window, then the oldest round-5 signals fill the remaining
-# ~31 slots. The TPC-H canary stays suspended for one more round (the
+# 30 slots. The TPC-H canary stays suspended for one more round (the
 # window is exactly full at 50); it resumes at the head of the
 # post-window tail, followed by the round-5 spill, so any window
 # overrun reaches the engine-wide canary and the next-oldest signals
@@ -44,18 +46,22 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # Round-11 window: exactly 50 queries, three tiers, mechanically
 # derived from tools/rotate_catalog.py over CORRECTNESS_r01..r10.
 _STALE_R11 = [
-    # ---- tier (a), positions 1-6: round-10 changed-code queries with
-    # no post-change driver green (the r10 freeze placed them at
-    # overrun positions 65-69 — restored to the head per the tier rule).
+    # ---- tier (a), positions 1-7: changed-code/changed-oracle queries
+    # with no post-change driver green. Position 1 changed THIS round
+    # (graph_triangle_count's oracle gained DuckDB MATERIALIZED CTE
+    # hints — planner-only — so the sf0.1 order audit can cover it);
+    # positions 2-7 are the six round-10-changed queries the r10 freeze
+    # placed at overrun positions 65-69, restored per the tier rule.
     # stream_static_enrich is ALSO a round-4-signal straggler; it is
     # listed once, here, in its higher tier.
+    "graph_triangle_count",
     "scalar_try_arithmetic",
     "sim_mmr_rerank",
     "sketch_tdigest_rollup",
     "stream_tdigest_percentiles",
     "mv_incremental_refresh",
     "stream_static_enrich",
-    # ---- tier (b), positions 7-19: the 13 remaining round-4-signal
+    # ---- tier (b), positions 8-20: the 13 remaining round-4-signal
     # stragglers that spilled past the round-10 window.
     "stream_sliding_counts",
     "stream_stateful_running_totals",
@@ -70,11 +76,12 @@ _STALE_R11 = [
     "udf_grouped_map_zscore",
     "udf_pandas_grouped_agg",
     "udf_pandas_normalize",
-    # ---- tier (c), positions 20-50: the 31 oldest round-5 signals
+    # ---- tier (c), positions 21-50: the 30 oldest round-5 signals
     # (rotate_catalog.py age order; mv_incremental_refresh already sits
-    # in tier (a)). The 10 round-5 greens that do not fit
-    # (json_variant_typed .. layout_bucketed_join) lead the post-canary
-    # tail below and will head _STALE_R12.
+    # in tier (a)). The 11 round-5 greens that do not fit
+    # (filter_predicates, json_variant_typed .. layout_bucketed_join —
+    # filter_predicates displaced by graph_triangle_count's tier-(a)
+    # promotion) lead the post-canary tail below and head _STALE_R12.
     "hll_sketch_rollup",
     "heavy_hitters_lang",
     "table_diff_snapshots",
@@ -105,13 +112,13 @@ _STALE_R11 = [
     "join_enrich_events",
     "agg_rollup",
     "agg_cube",
-    "filter_predicates",
 ]
 
 # Post-window overrun order: canary first (engine-wide breakage
 # signal), then the round-5 greens that did not fit the window —
 # the head of _STALE_R12.
 _NEXT_OLDEST = [
+    "filter_predicates",
     "json_variant_typed",
     "agg_mode_argmax",
     "sql_recursive_spine",

@@ -17,10 +17,14 @@ coarser-rounding conventions exist for. Usage:
 
     python tools/oracle_order_audit.py [sf_dir] [query ...]
 
-Prefix a query with ``!`` to exclude it instead (needed at sf0.1 for
-graph_triangle_count, whose self-join oracle loses its sorted-input
-join plan on the scrambled copies and goes quadratic in DuckDB; run
-it at sf0.01, where the full audit finishes in ~4 minutes).
+Prefix a query with ``!`` to exclude it instead. (Round 11 removed the
+last standing exclusion: graph_triangle_count's oracle CTEs are now
+MATERIALIZED-hinted, so its DuckDB plan no longer goes quadratic on
+scrambled copies and the full catalog audits at sf0.1 too.)
+
+Exit status: nonzero on any ERR, and on any SENSITIVE finding unless
+``--sensitive-ok`` is passed — this tool is a standing pre-land gate
+for new or changed oracles, so order sensitivity must fail CI.
 """
 
 from __future__ import annotations
