@@ -77,6 +77,25 @@ def _connect(sf_dir: str, seed: float | None, threads: int | None = None):
     return con
 
 
+def first_diff(base, variants):
+    """First differing (base, variant) canonical-row pair across the
+    variant runs. zip_longest + a next() default: a pure row-COUNT
+    difference has no differing aligned pair, which made the original
+    bare next()/zip raise StopIteration and kill the whole audit
+    (r10 ADVICE)."""
+    from itertools import zip_longest
+
+    return next(
+        (
+            (a, b)
+            for rows in variants
+            for a, b in zip_longest(base, rows, fillvalue="<missing row>")
+            if a != b
+        ),
+        ("<no aligned diff>", "<no aligned diff>"),
+    )
+
+
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -115,20 +134,7 @@ def main():
         base = outs[0][1]
         diffs = [lbl for lbl, rows in outs[1:] if rows != base]
         if diffs:
-            # zip_longest + default: a pure row-COUNT difference has no
-            # differing aligned pair, which made bare next()/zip raise
-            # StopIteration and kill the whole audit (r10 ADVICE).
-            from itertools import zip_longest
-
-            first = next(
-                (
-                    (a, b)
-                    for rows in (r for lbl, r in outs[1:] if r != base)
-                    for a, b in zip_longest(base, rows, fillvalue="<missing row>")
-                    if a != b
-                ),
-                ("<no aligned diff>", "<no aligned diff>"),
-            )
+            first = first_diff(base, [r for lbl, r in outs[1:] if r != base])
             print(
                 f"SENSITIVE {name}: differs under {','.join(diffs)} "
                 f"({dt:.1f}s) first diff: {first}"
