@@ -68,6 +68,21 @@ def test_module_imports_from_foreign_cwd():
     assert out.stdout.strip() == "True"
 
 
+def test_unknown_query_name_fails_instead_of_passing_vacuously():
+    # A typo'd query name in a pre-land gate run must exit nonzero, not
+    # silently check nothing. Runs the real tool (DuckDB-only path —
+    # no Spark session is started before the name check short-circuits
+    # the loop, and the audit's table setup is seconds at sf0.001).
+    out = subprocess.run(
+        [sys.executable, _TOOL, "/root/testdata/sf0.001", "zz_not_a_query"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 1, out.stdout + out.stderr
+    assert "unknown query name" in out.stdout
+
+
 def test_sensitive_exit_semantics_source_contract():
     # The gate contract: nonzero exit on SENSITIVE unless --sensitive-ok.
     # Pinned at source level (running the full audit needs Spark+DuckDB

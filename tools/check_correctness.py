@@ -105,6 +105,10 @@ def main():
         else:
             print(f"PASS  {name}: {len(srows)} rows ({dt:.1f}s)")
             n_pass += 1
+    unknown = only - set(qs)
+    if unknown:  # a typo'd name must not pass the gate vacuously
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        n_fail += len(unknown)
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
     return 1 if n_fail else 0
 

@@ -143,6 +143,10 @@ def main():
         else:
             print(f"stable    {name} ({dt:.1f}s)")
             n_stable += 1
+    unknown = only - set(oracles)
+    if unknown:  # a typo'd name must not pass the gate vacuously
+        print(f"ERR       unknown query name(s): {sorted(unknown)}")
+        n_err += len(unknown)
     print(f"\n{n_stable} stable, {n_sensitive} order-sensitive, {n_err} error")
     # Sensitive findings are audit FAILURES for scripted/CI use (r10
     # ADVICE): a standing gate must not exit 0 over an order-sensitive
