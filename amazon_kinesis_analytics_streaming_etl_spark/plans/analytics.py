@@ -2114,14 +2114,19 @@ def _kcore_oracle() -> str:
     by the round-(i-1) survivors, a_i = endpoints with induced degree
     >= k — the SQL twin of operators/graph.py:k_core."""
     steps = []
+    # Every CTE is MATERIALIZED (DuckDB planner hint, zero semantic
+    # change): un-hinted, DuckDB re-inlines each peel's e_i/a_i into the
+    # next round's IN-subqueries — the unrolled pipeline recomputes
+    # everything per reference and runs ~11 s at sf0.1 vs ~0.4 s hinted,
+    # identical rows (same pathology as graph_triangle_count's).
     for i in range(1, _KCORE_ROUNDS + 1):
         steps.append(
-            f"""e{i} AS (
+            f"""e{i} AS MATERIALIZED (
       SELECT u, v FROM und
       WHERE u IN (SELECT node FROM a{i - 1})
         AND v IN (SELECT node FROM a{i - 1})
     ),
-    a{i} AS (
+    a{i} AS MATERIALIZED (
       SELECT node FROM (
         SELECT u AS node FROM e{i} UNION ALL SELECT v AS node FROM e{i}
       ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
@@ -2129,12 +2134,12 @@ def _kcore_oracle() -> str:
         )
     its = ",\n    ".join(steps)
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    und AS (SELECT c AS u, s AS v FROM pairs),
-    a0 AS (
+    und AS MATERIALIZED (SELECT c AS u, s AS v FROM pairs),
+    a0 AS MATERIALIZED (
       SELECT DISTINCT node FROM (
         SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
       )
@@ -4257,8 +4262,13 @@ _HOLT_B = 0.3  # trend smoothing
 
 @register(
     "ts_holt_linear",
+    # obs/last are MATERIALIZED (DuckDB planner hint, zero semantic
+    # change): un-hinted, the hourly-avg `obs` aggregate is re-inlined
+    # into EVERY iteration of the recursive hw join (~13 s at sf0.1 vs
+    # ~0.8 s hinted, identical rows). The recursive member itself is
+    # unchanged.
     f"""
-    WITH RECURSIVE obs AS (
+    WITH RECURSIVE obs AS MATERIALIZED (
       SELECT event_type, date_trunc('hour', ts) AS pt,
              {_F32_HOURLY_AVG_SQL} AS v,
              row_number() OVER (PARTITION BY event_type
@@ -4277,7 +4287,7 @@ _HOLT_B = 0.3  # trend smoothing
       FROM hw h JOIN obs o
         ON o.event_type = h.event_type AND o.rn = h.t + 1
     ),
-    last AS (
+    last AS MATERIALIZED (
       SELECT event_type, t, l, b,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY t DESC) AS rk

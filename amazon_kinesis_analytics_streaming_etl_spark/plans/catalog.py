@@ -31,12 +31,12 @@ from .relational import ORACLES, QUERIES
 
 # Round 11 keeps the catalog FROZEN (no new queries) and restores the
 # changed-code-FIRST tier rule the round-10 freeze inverted (the r10
-# verdict's #1 ask): graph_triangle_count (oracle hinted MATERIALIZED
-# this round) plus the six queries whose code or oracle changed in
-# round 10 lead the window so every one of them gets a post-change
-# driver green, then the 14 round-4-signal stragglers that spilled past
-# the r10 window, then the oldest round-5 signals fill the remaining
-# 30 slots. The TPC-H canary stays suspended for one more round (the
+# verdict's #1 ask): the six oracles hinted MATERIALIZED this round
+# (graph_triangle_count + the five other DuckDB re-inlining fixes)
+# plus the six queries whose code or oracle changed in round 10 lead
+# the window so every one of them gets a post-change driver green,
+# then the 14 round-4-signal stragglers that spilled past the r10
+# window, then the oldest round-5 signals fill the remaining 25 slots. The TPC-H canary stays suspended for one more round (the
 # window is exactly full at 50); it resumes at the head of the
 # post-window tail, followed by the round-5 spill, so any window
 # overrun reaches the engine-wide canary and the next-oldest signals
@@ -46,22 +46,28 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # Round-11 window: exactly 50 queries, three tiers, mechanically
 # derived from tools/rotate_catalog.py over CORRECTNESS_r01..r10.
 _STALE_R11 = [
-    # ---- tier (a), positions 1-7: changed-code/changed-oracle queries
-    # with no post-change driver green. Position 1 changed THIS round
-    # (graph_triangle_count's oracle gained DuckDB MATERIALIZED CTE
-    # hints — planner-only — so the sf0.1 order audit can cover it);
-    # positions 2-7 are the six round-10-changed queries the r10 freeze
-    # placed at overrun positions 65-69, restored per the tier rule.
-    # stream_static_enrich is ALSO a round-4-signal straggler; it is
-    # listed once, here, in its higher tier.
+    # ---- tier (a), positions 1-12: changed-code/changed-oracle queries
+    # with no post-change driver green. Positions 1-6 changed THIS round
+    # (DuckDB MATERIALIZED CTE hints — planner-only, verified
+    # row-identical and preland-gated at both SFs — fixing the
+    # re-inlining pathology that made these oracles minutes-slow at
+    # sf0.1); positions 7-12 are the six round-10-changed queries the
+    # r10 freeze placed at overrun positions 65-69, restored per the
+    # tier rule. stream_static_enrich is ALSO a round-4-signal
+    # straggler; it is listed once, here, in its higher tier.
     "graph_triangle_count",
+    "dedup_clusters",
+    "dedup_clusters_scale",
+    "dedup_keep_best",
+    "graph_kcore_trade",
+    "ts_holt_linear",
     "scalar_try_arithmetic",
     "sim_mmr_rerank",
     "sketch_tdigest_rollup",
     "stream_tdigest_percentiles",
     "mv_incremental_refresh",
     "stream_static_enrich",
-    # ---- tier (b), positions 8-20: the 13 remaining round-4-signal
+    # ---- tier (b), positions 13-25: the 13 remaining round-4-signal
     # stragglers that spilled past the round-10 window.
     "stream_sliding_counts",
     "stream_stateful_running_totals",
@@ -76,12 +82,13 @@ _STALE_R11 = [
     "udf_grouped_map_zscore",
     "udf_pandas_grouped_agg",
     "udf_pandas_normalize",
-    # ---- tier (c), positions 21-50: the 30 oldest round-5 signals
+    # ---- tier (c), positions 26-50: the 25 oldest round-5 signals
     # (rotate_catalog.py age order; mv_incremental_refresh already sits
-    # in tier (a)). The 11 round-5 greens that do not fit
-    # (filter_predicates, json_variant_typed .. layout_bucketed_join —
-    # filter_predicates displaced by graph_triangle_count's tier-(a)
-    # promotion) lead the post-canary tail below and head _STALE_R12.
+    # in tier (a)). The 16 round-5 greens that do not fit (displaced by
+    # the six changed-oracle promotions: join_right_outer .. agg_cube
+    # and filter_predicates, plus the original json_variant_typed ..
+    # layout_bucketed_join spill) lead the post-canary tail below and
+    # head _STALE_R12.
     "hll_sketch_rollup",
     "heavy_hitters_lang",
     "table_diff_snapshots",
@@ -107,17 +114,17 @@ _STALE_R11 = [
     "join_left_anti",
     "join_left_semi",
     "join_full_outer",
-    "join_right_outer",
-    "join_cross",
-    "join_enrich_events",
-    "agg_rollup",
-    "agg_cube",
 ]
 
 # Post-window overrun order: canary first (engine-wide breakage
 # signal), then the round-5 greens that did not fit the window —
 # the head of _STALE_R12.
 _NEXT_OLDEST = [
+    "join_right_outer",
+    "join_cross",
+    "join_enrich_events",
+    "agg_rollup",
+    "agg_cube",
     "filter_predicates",
     "json_variant_typed",
     "agg_mode_argmax",

@@ -152,10 +152,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
     ),
-    inv AS (
+    inv AS MATERIALIZED (
       SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
       FROM inv a JOIN inv b ON md5(a.sh) = md5(b.sh) AND a.doc_id < b.doc_id
@@ -290,8 +290,14 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared by dedup_clusters and dedup_clusters_scale: both compute the
 # same (doc_id, cluster_id) labeling, so one recursive-CTE oracle serves
 # the plain and the alternating-star implementations.
+# Non-recursive CTEs are MATERIALIZED (DuckDB planner hint, zero
+# semantic change): un-hinted, DuckDB re-inlines the shingle/inverted-
+# index pipeline into each consumer of `pairs`/`edges`, and the oracle
+# runs ~24-33 s at sf0.1 vs ~4-5 s hinted with identical rows (same
+# pathology as graph_triangle_count's; the recursive `reach` member
+# cannot be materialized and is unchanged).
 _CC_ORACLE = """
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
@@ -300,10 +306,10 @@ _CC_ORACLE = """
       FROM documents
       WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
     ),
-    inv AS (
+    inv AS MATERIALIZED (
       SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
@@ -311,7 +317,7 @@ _CC_ORACLE = """
         GROUP BY 1, 2, 3, 4
       ) WHERE inter * 1.0 / (na + nb - inter) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION SELECT id_b, id_a FROM pairs
     ),

@@ -267,8 +267,12 @@ def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_keep_best",
+    # Non-recursive CTEs are MATERIALIZED (DuckDB planner hint, zero
+    # semantic change) — same re-inlining pathology as plans/llm.py's
+    # _CC_ORACLE: ~29 s at sf0.1 un-hinted vs ~5 s hinted, identical
+    # rows. The recursive `reach` member cannot be materialized.
     """
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
@@ -277,10 +281,10 @@ def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
     ),
-    inv AS (
+    inv AS MATERIALIZED (
       SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
@@ -288,7 +292,7 @@ def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3, 4
       ) WHERE inter * 1.0 / (na + nb - inter) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION SELECT id_b, id_a FROM pairs
     ),
