@@ -15,10 +15,17 @@ import duckdb
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+
+# The canonical table list lives in tools/check_correctness.py (r11
+# ADVICE: one definition, imported everywhere, so adding a table cannot
+# desync the gates from each other or from this sweep).
+import os as _os
+import sys as _sys
+
+_TOOLS = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools")
+if _TOOLS not in _sys.path:
+    _sys.path.insert(0, _TOOLS)
+from check_correctness import TABLES  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -10,10 +10,26 @@ canonical value multiset. Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# Explicit script-derived paths (not '.'): the tool must import
+# __spark_entry__ (repo root) and stay importable as a sibling module
+# regardless of the caller's cwd (r11 ADVICE — mirrors
+# oracle_order_audit.py's fix; preland.py's cwd=_ROOT masked this).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+# THE canonical table list for every gate tool (r11 ADVICE: this was
+# hard-coded in three tools; a table added to one could silently desync
+# the Spark-layout leg from the correctness gate). scramble_layout.py
+# and oracle_order_audit.py import it from here.
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 
 
 def canon_cell(v):
@@ -47,14 +63,9 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    import os
-
     spark = get_spark("correctness-check")
     con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
+    for t in TABLES:
         # tables may be a single file (the generated testdata) or a
         # directory of part-files (e.g. a scrambled/repartitioned copy
         # for layout-independence runs); duckdb needs a glob for dirs

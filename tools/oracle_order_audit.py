@@ -40,12 +40,9 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 sys.path.insert(0, _HERE)
 
-from check_correctness import canon_rows  # noqa: E402
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# TABLES shared with the correctness gate (r11 ADVICE: one canonical
+# list so adding a table cannot desync the audit legs from the gate).
+from check_correctness import TABLES, canon_rows  # noqa: E402
 
 
 def _connect(sf_dir: str, seed: float | None, threads: int | None = None):
@@ -143,8 +140,11 @@ def main():
         else:
             print(f"stable    {name} ({dt:.1f}s)")
             n_stable += 1
-    unknown = only - set(oracles)
-    if unknown:  # a typo'd name must not pass the gate vacuously
+    # A typo'd name must not pass the gate vacuously — positional names
+    # AND '!'-prefixed exclusions (r11 ADVICE: a typo'd exclusion used
+    # to silently exclude nothing while the gate still exited 0).
+    unknown = (only | exclude) - set(oracles)
+    if unknown:
         print(f"ERR       unknown query name(s): {sorted(unknown)}")
         n_err += len(unknown)
     print(f"\n{n_stable} stable, {n_sensitive} order-sensitive, {n_err} error")

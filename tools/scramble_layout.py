@@ -25,11 +25,11 @@ import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# TABLES shared with the correctness gate (r11 ADVICE: one canonical
+# list so adding a table cannot desync this layout leg from the gate).
+from check_correctness import TABLES  # noqa: E402
 
 _SEED = 41  # r10's layout-leg seed, kept for comparability
 _FILES = 7  # deliberately != the 32 shuffle partitions and != 1
