@@ -2,15 +2,15 @@
 family into one (QUERIES, ORACLES) pair — the driver contract surface.
 
 Iteration order is DELIBERATE: the driver walks ``queries()`` in order
-under a ~50-query budget. Round 11 keeps the catalog frozen and
-restores the changed-code-FIRST tier rule: the changed-oracle and
-round-10-changed queries lead the window, then the round-4-signal
-stragglers, then the
-oldest round-5 signals — see the _STALE_R11 comment. In ordinary
-rounds the catalog front-loads (a) a small TPC-H canary, then (b)
-changed-code and stale-signal queries; everything exhaustively green
-on unchanged code follows in family order. Within a tier, registration
-order is preserved.
+under a ~50-query budget. STANDING RULE (restored r11, kept forever):
+any query whose code or oracle changed in the CURRENT round leads the
+window — a change must never wait a round for its post-change driver
+green. After the changed tier, the window re-verifies the queries with
+the OLDEST latest-green driver signal (age rotation, mechanically
+derived from ``tools/rotate_catalog.py`` over CORRECTNESS_r01..r{N-1}).
+The TPC-H canary and the next-oldest spill head the post-window tail so
+any window overrun reaches the engine-wide breakage signal first.
+Within a tier, registration order is preserved.
 """
 
 from __future__ import annotations
@@ -29,97 +29,28 @@ from . import tpch as _tpch  # noqa: F401
 from . import vectors as _vectors  # noqa: F401
 from .relational import ORACLES, QUERIES
 
-# Round 11 keeps the catalog FROZEN (no new queries) and restores the
-# changed-code-FIRST tier rule the round-10 freeze inverted (the r10
-# verdict's #1 ask): the six oracles hinted MATERIALIZED this round
-# (graph_triangle_count + the five other DuckDB re-inlining fixes)
-# plus the six queries whose code or oracle changed in round 10 lead
-# the window so every one of them gets a post-change driver green,
-# then the 14 round-4-signal stragglers that spilled past the r10
-# window, then the oldest round-5 signals fill the remaining 25 slots. The TPC-H canary stays suspended for one more round (the
-# window is exactly full at 50); it resumes at the head of the
-# post-window tail, followed by the round-5 spill, so any window
-# overrun reaches the engine-wide canary and the next-oldest signals
-# first.
+# Round 12 keeps the catalog FROZEN (no new queries). After round 11,
+# every one of the 276 queries carries a green latest driver signal
+# (zero fails), so the window is pure age rotation plus one changed-
+# oracle promotion: dedup_ngram_jaccard's oracle was MATERIALIZED-
+# hinted in round 11 alongside the six tier-(a) promotions but was
+# omitted from that tier (the r11 ADVICE medium finding — seven oracles
+# were hinted, not six), so it leads this window to finally collect its
+# post-change driver green. The canary resumes at the head of the
+# post-window tail, followed by the round-6 spill and the oldest
+# round-7 signals, so any window overrun reaches the engine-wide canary
+# and the next-oldest signals first.
 _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 
-# Round-11 window: exactly 50 queries, three tiers, mechanically
-# derived from tools/rotate_catalog.py over CORRECTNESS_r01..r10.
-_STALE_R11 = [
-    # ---- tier (a), positions 1-12: changed-code/changed-oracle queries
-    # with no post-change driver green. Positions 1-6 changed THIS round
-    # (DuckDB MATERIALIZED CTE hints — planner-only, verified
-    # row-identical and preland-gated at both SFs — fixing the
-    # re-inlining pathology that made these oracles minutes-slow at
-    # sf0.1); positions 7-12 are the six round-10-changed queries the
-    # r10 freeze placed at overrun positions 65-69, restored per the
-    # tier rule. stream_static_enrich is ALSO a round-4-signal
-    # straggler; it is listed once, here, in its higher tier.
-    "graph_triangle_count",
-    "dedup_clusters",
-    "dedup_clusters_scale",
-    "dedup_keep_best",
-    "graph_kcore_trade",
-    "ts_holt_linear",
-    "scalar_try_arithmetic",
-    "sim_mmr_rerank",
-    "sketch_tdigest_rollup",
-    "stream_tdigest_percentiles",
-    "mv_incremental_refresh",
-    "stream_static_enrich",
-    # ---- tier (b), positions 13-25: the 13 remaining round-4-signal
-    # stragglers that spilled past the round-10 window.
-    "stream_sliding_counts",
-    "stream_stateful_running_totals",
-    "stream_stream_join_conversions",
-    "stream_tumbling_counts",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_scrub",
-    "text_quality",
-    "text_stats",
-    "ts_similarity_topk",
-    "udf_grouped_map_zscore",
-    "udf_pandas_grouped_agg",
-    "udf_pandas_normalize",
-    # ---- tier (c), positions 26-50: the 25 oldest round-5 signals
-    # (rotate_catalog.py age order; mv_incremental_refresh already sits
-    # in tier (a)). The 16 round-5 greens that do not fit (displaced by
-    # the six changed-oracle promotions: join_right_outer .. agg_cube
-    # and filter_predicates, plus the original json_variant_typed ..
-    # layout_bucketed_join spill) lead the post-canary tail below and
-    # head _STALE_R12.
-    "hll_sketch_rollup",
-    "heavy_hitters_lang",
-    "table_diff_snapshots",
-    "rolling_window_features",
-    "drift_psi",
-    "pattern_match_funnel",
-    "rfm_segments",
-    "text_lm_bigram_score",
-    "dedup_ngram_prefix",
-    "sim_topk_lsh_multitable",
-    "sim_topk_ivf_trained",
-    "sim_topk_pq",
-    "dedup_semantic",
-    "multimodal_frame_sample",
-    "sample_weighted_topn",
-    "train_test_split_leakfree",
-    "sample_stratified",
-    "embedding_matryoshka",
-    "stream_chained_agg",
-    "stream_left_outer_join",
-    "stream_anomaly_flags",
-    "stream_cdc_latest",
-    "join_left_anti",
-    "join_left_semi",
-    "join_full_outer",
-]
-
-# Post-window overrun order: canary first (engine-wide breakage
-# signal), then the round-5 greens that did not fit the window —
-# the head of _STALE_R12.
-_NEXT_OLDEST = [
+# Round-12 window: exactly 50 queries, three tiers, mechanically
+# derived from tools/rotate_catalog.py over CORRECTNESS_r01..r11.
+_STALE_R12 = [
+    # ---- tier (a), position 1: the one r11-changed oracle with no
+    # post-change driver green (MATERIALIZED CTE hints on the inv/pairs
+    # CTEs in plans/llm.py — planner-only, preland-gated; r11 ADVICE).
+    "dedup_ngram_jaccard",
+    # ---- tier (b), positions 2-17: all 16 round-5 signals (the r11
+    # verdict's #1 ask — after this round no signal predates round 6).
     "join_right_outer",
     "join_cross",
     "join_enrich_events",
@@ -136,6 +67,65 @@ _NEXT_OLDEST = [
     "layout_compact_stats",
     "io_format_roundtrip",
     "layout_bucketed_join",
+    # ---- tier (c), positions 18-50: the 33 oldest round-6 signals
+    # (rotate_catalog.py age order). The 4 round-6 greens that do not
+    # fit (set_intersect_all .. time_bucket_rollup) lead the post-canary
+    # tail below and head _STALE_R13.
+    "sketch_cms_freq",
+    "hybrid_rrf_retrieval",
+    "agg_grouping_sets",
+    "agg_count_distinct",
+    "agg_percentiles",
+    "agg_corr_covar",
+    "scalar_intervals",
+    "curation_sample",
+    "agg_having",
+    "agg_stats",
+    "window_topk_per_group",
+    "window_rank_dense",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_rank_family",
+    "topk_global",
+    "set_intersect",
+    "set_except",
+    "set_union",
+    "scalar_datetime",
+    "scalar_string",
+    "scalar_conditional",
+    "scalar_math",
+    "json_extract_props",
+    "explode_tokens",
+    "posexplode_tokens",
+    "sessionize_events",
+    "semi_structured_arrays",
+    "hof_array_ops",
+    "unpivot_metrics",
+    "map_roundtrip",
+    "sql_subqueries",
+    "set_union_by_name",
+]
+
+# Post-window overrun order: canary first (engine-wide breakage
+# signal), then the round-6 greens that did not fit the window and the
+# oldest round-7 signals — the head of _STALE_R13.
+_NEXT_OLDEST = [
+    "set_intersect_all",
+    "set_except_all",
+    "salted_agg_events",
+    "time_bucket_rollup",
+    "sketch_theta_audience",
+    "gapfill_hourly",
+    "resample_interpolate",
+    "ewma_hourly",
+    "rolling_median_hourly",
+    "graph_pagerank",
+    "graph_copurchase_topk",
+    "ts_autocorr",
+    "ts_changepoint_cusum",
+    "graph_label_propagation",
+    "skyline_pareto",
+    "attribution_last_touch",
 ]
 
 
@@ -157,17 +147,17 @@ _FAMILY_PRIORITY = {
 
 def _reorder() -> None:
     names = list(QUERIES)
-    listed = set(_CANARY) | set(_STALE_R11) | set(_NEXT_OLDEST)
+    listed = set(_CANARY) | set(_STALE_R12) | set(_NEXT_OLDEST)
     unknown = listed - set(names)
     if unknown:  # a typo here silently strands a query past the window
         raise ValueError(f"catalog priority lists name unknown queries: {unknown}")
     original_pos = {n: i for i, n in enumerate(names)}
     canary_pos = {n: i for i, n in enumerate(_CANARY)}
-    stale_pos = {n: i for i, n in enumerate(_STALE_R11)}
+    stale_pos = {n: i for i, n in enumerate(_STALE_R12)}
     next_pos = {n: i for i, n in enumerate(_NEXT_OLDEST)}
 
-    # Round 11: changed-code + stale window (tier 0, exactly 50), then
-    # the resumed canary, then the round-5 spill, then family order.
+    # Round 12: changed-oracle + age-rotation window (tier 0, exactly 50),
+    # then the resumed canary, the round-6/7 spill, then family order.
     def key(name: str) -> tuple[int, int]:
         if name in stale_pos:
             return (0, stale_pos[name])
