@@ -3,7 +3,10 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. The final line is fitted to the
+driver's ~2000-byte stdout tail capture (section rates + keep-up
+booleans inline, full section dicts on the preceding "full_contract"
+detail line) so BENCH_r{N}.json always parses whole.
 
 Also measures the streaming keep-up analog (BASELINE.md): synthetic
 TripEvent JSON parse -> partition-column derivation -> partitioned
@@ -523,40 +526,77 @@ def main() -> None:
     spark.sparkContext.setLogLevel("FATAL")
     spark.stop()
     sys.stdout.flush()
-    # Per-run spreads go out on their OWN line first: the driver's tail
-    # capture is size-bounded, and in r5 the bulky "runs" map inside the
-    # single contract line pushed the headline-suite prefix past the
-    # window (BENCH_r05.json lost metric/value/queries). The FINAL line
-    # is the compact contract — headline medians, ETL, streaming, both
-    # replay models, gates — and always survives tail capture whole.
+    # Detail payloads go out on their OWN lines first: the driver's tail
+    # capture is SIZE-BOUNDED (~2000 bytes of final stdout), and for two
+    # rounds the full contract line (~5.2 KB with 65 queries + minmax +
+    # section dicts) exceeded it, so BENCH_r10/r11.json recorded
+    # "parsed": null with a truncated tail (r11 verdict #3). The FINAL
+    # line is now a compact summary fitted to a 1900-byte budget; the
+    # full sections/spreads/minmax survive on the detail lines and in
+    # any locally-saved BENCH_LOCAL_r{N}.json.
     print(json.dumps({"detail": "per_run_spreads", "bench_repeats": repeats, "runs": spreads}))
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total",
+                "detail": "full_contract",
                 "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "common30_total": round(
-                    sum(timings[n] for n in HEADLINE[:COMMON30_COUNT]), 3
-                ),
                 "queries": timings,
-                # compact per-query [min,max] across repeats (verdict r7
-                # #5: spreads IN the contract line, so a noisy host draw
-                # is auditable from BENCH_r{N}.json alone; full per-run
-                # lists stay on the detail line above)
-                "query_minmax": {
-                    n: [r[0], r[-1]] for n, r in spreads.items()
-                },
-                "sf": sf_val,
+                "query_minmax": {n: [r[0], r[-1]] for n, r in spreads.items()},
                 "etl": etl,
                 "streaming": streaming,
                 "kinesis_replay": kinesis_replay,
                 "kafka_replay": kafka_replay,
                 "gates": gates,
-                "bench_repeats": repeats,
             }
         )
     )
+    keepup_flags = {
+        "etl": bool(etl) and etl.get("recs_per_sec", 0) >= 16_000,
+        "streaming": bool(streaming) and bool(streaming.get("keepup")),
+        "kinesis_replay": bool(kinesis_replay) and bool(kinesis_replay.get("keepup")),
+        "kafka_replay": bool(kafka_replay) and bool(kafka_replay.get("keepup")),
+    }
+    summary = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": timings,
+        "common30_total": round(
+            sum(timings[n] for n in HEADLINE[:COMMON30_COUNT] if n in timings), 3
+        ),
+        "etl_recs_per_sec": etl.get("recs_per_sec") if etl else None,
+        "streaming_rows_per_sec": (
+            streaming.get("processed_rows_per_sec") if streaming else None
+        ),
+        "kinesis_replay_recs_per_sec": (
+            kinesis_replay.get("recs_per_sec") if kinesis_replay else None
+        ),
+        "kafka_replay_recs_per_sec": (
+            kafka_replay.get("recs_per_sec") if kafka_replay else None
+        ),
+        "keepup_all": all(keepup_flags.values()) if not queries_only else None,
+        "bench_repeats": repeats,
+    }
+    # Fit the final line to the tail-capture budget by degrading query
+    # precision, then (only if a future suite outgrows even 1dp) falling
+    # back to the common-30 series with an explicit truncation flag —
+    # the contract keys (metric/value/unit/queries/sf) are always whole.
+    budget = 1900
+    for dp in (3, 2, 1):
+        summary["queries"] = {n: round(v, dp) for n, v in timings.items()}
+        line = json.dumps(summary, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+    else:
+        summary["queries"] = {
+            n: round(timings[n], 1)
+            for n in HEADLINE[:COMMON30_COUNT]
+            if n in timings
+        }
+        summary["queries_truncated_to_common30"] = True
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     sys.stdout.flush()
 
 
