@@ -93,7 +93,7 @@ class DecodeBackend:
 
     @staticmethod
     def real(payload: bytes) -> tuple[int, int, str]:  # pragma: no cover
-        # Environment evidence (re-probed 2026-08-16, round 11): PIL, cv2,
+        # Environment evidence (re-probed 2026-08-16, round 12): PIL, cv2,
         # soundfile, av all raise ModuleNotFoundError and no ffmpeg binary
         # is on PATH, so the real codec stays a documented seam; the
         # deterministic fake keeps every downstream stage oracle-gated.

@@ -385,8 +385,8 @@ def kinesis_put_batch(
         if client_factory is not None:
             client = client_factory()
         else:  # pragma: no cover - needs AWS creds/network
-            # Environment evidence (re-probed 2026-08-16, round 11):
-            # boto3 1.43.11 is now importable in this container, so the
+            # Environment evidence (re-probed 2026-08-16, round 12):
+            # boto3 1.43.11 is importable in this container, so the
             # client construction below runs; botocore resolves no
             # credentials (get_credentials() -> None, no AWS_* key env)
             # and there is no network route, so the LIVE PutRecords path

@@ -249,8 +249,8 @@ def state_v2_available() -> bool:
     protobuf Python package (its driver-side runner speaks protobuf to
     the JVM). Absent protobuf, the runner crashes at init.
 
-    Environment evidence (re-probed 2026-08-16, round 11): ``import
-    google.protobuf`` raises ``ModuleNotFoundError: No module named
+    Environment evidence (re-probed 2026-08-16, round 12): ``import
+    google.protobuf`` still raises ``ModuleNotFoundError: No module named
     'google'`` in this container, and package installation is not
     available, so the v2 path stays gated here; the processor above is
     the complete implementation and the gate flips on automatically in
