@@ -2802,7 +2802,15 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary comparison (cum <= cutoff * total) are then all exact
     integer/one-multiplication arithmetic, so a part sitting ulps from
     a cutoff can never classify differently across engines (a float
-    grand total is order-dependent; an integer one is not). The
+    grand total is order-dependent; an integer one is not). The one
+    remaining float seam is UPSTREAM of the integer domain: each
+    part's cents derive from round(sum(double)*100), so a part whose
+    revenue sum sits within an ulp of a half-cent can round to
+    different cents across accumulation orders — stable at every gate
+    SF (four-leg audit), observed once as a ±1-cent class-total flip
+    on the round-12 synthetic-sf1 layout (10x the parts = 10x the
+    boundary trials); the classification machinery itself stayed
+    exact (identical n_parts per class). The
     descending cumulative sum is the distributed global_cumsum over
     the negated-cents order — one range shuffle, never a
     single-partition ORDER BY; the grand total is a 1-row whitelisted

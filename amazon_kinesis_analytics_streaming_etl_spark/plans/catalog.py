@@ -31,12 +31,13 @@ from .relational import ORACLES, QUERIES
 
 # Round 12 keeps the catalog FROZEN (no new queries). After round 11,
 # every one of the 276 queries carries a green latest driver signal
-# (zero fails), so the window is pure age rotation plus one changed-
-# oracle promotion: dedup_ngram_jaccard's oracle was MATERIALIZED-
-# hinted in round 11 alongside the six tier-(a) promotions but was
-# omitted from that tier (the r11 ADVICE medium finding — seven oracles
-# were hinted, not six), so it leads this window to finally collect its
-# post-change driver green. The canary resumes at the head of the
+# (zero fails), so the window is age rotation behind three changed-code
+# promotions: the two queries fixed this round after the synthetic-sf1
+# saturation sweep exposed them (train_test_split_leakfree,
+# dedup_semantic), then dedup_ngram_jaccard, whose oracle was
+# MATERIALIZED-hinted in round 11 alongside the six tier-(a) promotions
+# but omitted from that tier (the r11 ADVICE medium finding — seven
+# oracles were hinted, not six). The canary resumes at the head of the
 # post-window tail, followed by the round-6 spill and the oldest
 # round-7 signals, so any window overrun reaches the engine-wide canary
 # and the next-oldest signals first.
@@ -45,9 +46,17 @@ _CANARY = ["q1_pricing_summary", "q5_region_revenue", "q9_product_profit"]
 # Round-12 window: exactly 50 queries, three tiers, mechanically
 # derived from tools/rotate_catalog.py over CORRECTNESS_r01..r11.
 _STALE_R12 = [
-    # ---- tier (a), position 1: the one r11-changed oracle with no
-    # post-change driver green (MATERIALIZED CTE hints on the inv/pairs
-    # CTEs in plans/llm.py — planner-only, preland-gated; r11 ADVICE).
+    # ---- tier (a), positions 1-3: changed-code queries. Positions 1-2
+    # changed THIS round (both found by the synthetic-sf1 saturation
+    # sweep, both preland-gated at all three SFs and re-proved at sf1):
+    # train_test_split_leakfree's fully-leaked-split row drop fixed via
+    # left join + coalesce(0); dedup_semantic's planted-copy sentinel
+    # range re-anchored above the live id space. Position 3 is the one
+    # r11-changed oracle with no post-change driver green (MATERIALIZED
+    # CTE hints on the inv/pairs CTEs in plans/llm.py — planner-only,
+    # preland-gated; r11 ADVICE).
+    "train_test_split_leakfree",
+    "dedup_semantic",
     "dedup_ngram_jaccard",
     # ---- tier (b), positions 2-17: all 16 round-5 signals (the r11
     # verdict's #1 ask — after this round no signal predates round 6).
@@ -67,9 +76,10 @@ _STALE_R12 = [
     "layout_compact_stats",
     "io_format_roundtrip",
     "layout_bucketed_join",
-    # ---- tier (c), positions 18-50: the 33 oldest round-6 signals
-    # (rotate_catalog.py age order). The 4 round-6 greens that do not
-    # fit (set_intersect_all .. time_bucket_rollup) lead the post-canary
+    # ---- tier (c), positions 20-50: the 31 oldest round-6 signals
+    # (rotate_catalog.py age order). The 6 round-6 greens that do not
+    # fit (sql_subqueries .. time_bucket_rollup; the first two displaced
+    # by this round's two changed-code promotions) lead the post-canary
     # tail below and head _STALE_R13.
     "sketch_cms_freq",
     "hybrid_rrf_retrieval",
@@ -102,14 +112,14 @@ _STALE_R12 = [
     "hof_array_ops",
     "unpivot_metrics",
     "map_roundtrip",
-    "sql_subqueries",
-    "set_union_by_name",
 ]
 
 # Post-window overrun order: canary first (engine-wide breakage
 # signal), then the round-6 greens that did not fit the window and the
 # oldest round-7 signals — the head of _STALE_R13.
 _NEXT_OLDEST = [
+    "sql_subqueries",
+    "set_union_by_name",
     "set_intersect_all",
     "set_except_all",
     "salted_agg_events",

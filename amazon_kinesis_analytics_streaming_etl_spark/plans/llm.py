@@ -1006,20 +1006,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending-id sweep inside each cluster drops vectors whose cosine to
     a kept lower-id vector >= 0.99.
 
-    Driver gate by PLANTED duplicates: ids 0..9 are copied to id+1e6 and
-    unioned in — bit-identical embeddings land in their source's cluster
-    by construction, so the gate is deterministic regardless of where
-    k-means puts the cluster boundaries. Checks: every copy dropped,
-    every copy's dup_of names exactly its source, every source still
-    kept, total row count. Nothing is asserted about non-planted rows
-    (isotropic synthetic vectors never reach cos 0.99, but the gate does
-    not depend on that)."""
+    Driver gate by PLANTED duplicates: ids 0..9 are copied to
+    id + (max corpus id + 1) and unioned in — bit-identical embeddings
+    land in their source's cluster by construction, so the gate is
+    deterministic regardless of where k-means puts the cluster
+    boundaries. Anchoring the sentinel range ABOVE the live id space
+    (rather than the former fixed +1e6 offset) keeps the gate valid on
+    any id layout — the round-12 synthetic-sf1 sweep shifted replica
+    ids past 1e8, which swallowed the fixed sentinel range and turned
+    the dup_of check vacuously false. The max-id lookup is a bounded
+    1-row aggregate collect (gate setup, not operator work). Checks:
+    every copy dropped, every copy's dup_of names exactly its source,
+    every source still kept, total row count. Nothing is asserted about
+    non-planted rows (isotropic synthetic vectors never reach cos 0.99,
+    but the gate does not depend on that; identical-content replicas of
+    a source dedup onto that source, which the planted checks permit —
+    dup ties at cos 1.0 resolve to the lowest kept id)."""
     from ..operators.dedup import semantic_dedup
     from ..operators.similarity import ivf_train_centroids
 
     emb = _emb(spark, sf_dir)
+    base = int(emb.agg(F.max("vec_id")).head()[0]) + 1
     planted = emb.where(F.col("vec_id") < 10).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+        (F.col("vec_id") + base).alias("vec_id"), "embedding", "label"
     )
     corpus = emb.unionByName(planted)
     cents = _trained(
@@ -1027,9 +1036,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: ivf_train_centroids(corpus, nlist=8, iters=2),
     )
     res = semantic_dedup(corpus, cents, threshold=0.99)
-    copies = res.where(F.col("vec_id") >= 1_000_000).agg(
+    copies = res.where(F.col("vec_id") >= base).agg(
         F.bool_and(~F.col("kept")).alias("planted_dropped"),
-        F.bool_and(F.col("dup_of") == F.col("vec_id") - 1_000_000).alias(
+        F.bool_and(F.col("dup_of") == F.col("vec_id") - base).alias(
             "dup_of_exact"
         ),
     )

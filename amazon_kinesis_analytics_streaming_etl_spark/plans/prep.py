@@ -470,7 +470,17 @@ def train_test_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
             clean_test.groupBy("split").agg(F.count("*").alias("n_clean"))
         )
     )
-    return per_split.join(clean_counts, "split").orderBy("split")
+    # LEFT join + coalesce(0): a fully-leaked split has an EMPTY
+    # clean_test groupBy (zero rows, not a zero count), and the former
+    # inner join silently dropped that split's row while the oracle's
+    # FILTERed count kept it at n_clean=0. Organic corpora never fully
+    # leak, but the round-12 synthetic-sf1 layout (every text present
+    # 10x) does — caught by the full-catalog saturation sweep.
+    return (
+        per_split.join(clean_counts, "split", "left")
+        .withColumn("n_clean", F.coalesce(F.col("n_clean"), F.lit(0).cast("long")))
+        .orderBy("split")
+    )
 
 
 # --------------------------------------------------------------------------
