@@ -246,30 +246,33 @@ def global_cumsum(
     single-partition window — the running-offset primitive behind
     global row_number, sequence packing, and byte-offset assignment.
 
-    Plan shape (exactly ONE full-data shuffle):
+    Plan shape (exactly ONE full-data shuffle, ONE Python pass):
 
     1. ``repartitionByRange`` on the order key (sampled split points) +
-       ``sortWithinPartitions``, materialized ONCE via a lazy
-       ``localCheckpoint`` — the only wide op. The checkpoint is load-
-       bearing for correctness, not just speed: the prefix side and the
-       totals side must see the SAME partition boundaries, and two
-       physical instances of a range exchange each re-sample their own
-       split points (exchange reuse is not guaranteed to deduplicate
-       them — observed not to here). Storage cost ≈ dataset size in
-       executor memory/disk, the same order as the shuffle itself.
-    2. Local prefix sums via ``mapInPandas`` (vectorized ``np.cumsum``
-       per Arrow batch, running carry across batches). A
+       ``sortWithinPartitions`` — the only wide op.
+    2. Local prefix sums via ONE ``mapInPandas`` (vectorized
+       ``np.cumsum`` per Arrow batch, running carry across batches),
+       materialized ONCE via a lazy ``localCheckpoint``. A
        ``Window.partitionBy(spark_partition_id())`` would instead force
        a SECOND full-data hash exchange — Catalyst can't know the pid
        column is aligned with the range partitioning — and, being
        nondeterministic, ``spark_partition_id()`` also disables exchange
        reuse (measured: 4 full-data exchanges for the window form vs 1
-       here). The pid comes from ``TaskContext`` inside the UDF, which
-       is stable for the checkpointed partitioning.
-    3. Per-partition totals (a second ``mapInPandas`` over the same
-       checkpointed partitions, one output row per partition) →
-       cumulative predecessor offsets via an ``n_parts``-row single-
-       partition window → broadcast-joined back on pid.
+       here). The pid comes from ``TaskContext`` inside the UDF; the
+       checkpoint pins it, so the offsets side and the output side see
+       the SAME partition assignment (two physical instances of a range
+       exchange each re-sample their own split points — exchange reuse
+       is not guaranteed to deduplicate them, observed not to here).
+       Storage cost ≈ dataset size in executor memory/disk, the same
+       order as the shuffle itself.
+    3. Per-partition totals as a plain JVM aggregate over the
+       checkpointed prefix output — ``sum(value) GROUP BY _pid`` is the
+       partition total, so no second Python pass is needed (r12
+       optimization: the previous shape re-crossed the JVM↔Python
+       boundary with a dedicated ``_totals`` pass over the same rows;
+       guide §4 — eliminate boundary crossings). Predecessor offsets
+       via an ``n_parts``-row single-partition window → broadcast-
+       joined back on pid.
 
     Exact and total provided ``order_cols`` ends in a unique
     tie-breaking key. ``exclusive=True`` gives the sum-of-strict-
@@ -279,7 +282,6 @@ def global_cumsum(
     produce a ``long`` cumsum; everything else ``double``.
     """
     import numpy as np
-    import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql import types as T
 
@@ -291,10 +293,8 @@ def global_cumsum(
     np_dtype = np.int64 if integral else np.float64
     sum_type = T.LongType() if integral else T.DoubleType()
 
-    part = (
-        df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
-        .sortWithinPartitions(*cols)
-        .localCheckpoint(eager=False)
+    part = df.repartitionByRange(n_parts, *[F.col(c) for c in cols]).sortWithinPartitions(
+        *cols
     )
 
     local_schema = T.StructType(
@@ -321,25 +321,21 @@ def global_cumsum(
                 carry = carry + np_dtype(csum[-1])
             yield out
 
-    local = part.mapInPandas(_prefix, schema=local_schema)
-
-    def _totals(batches):
-        pid = TaskContext.get().partitionId()
-        total = np_dtype(0)
-        for pdf in batches:
-            total = total + _values(pdf).sum()
-        yield pd.DataFrame(
-            {"_pid": pd.array([pid], dtype="int32"), "_n": [total]}
-        )
-
-    totals_schema = T.StructType(
-        [T.StructField("_pid", T.IntegerType()), T.StructField("_n", sum_type)]
+    local = part.mapInPandas(_prefix, schema=local_schema).localCheckpoint(
+        eager=False
     )
+
     # n_parts rows total — the single-partition window here is over a
-    # dimension-sized frame, not the data. Both mapInPandas passes read
-    # the same checkpointed partitions; no second shuffle or sort.
+    # dimension-sized frame, not the data. The offsets side reads the
+    # same checkpointed rows the output side joins; no second shuffle,
+    # sort, or Python pass. SUM skips nulls — and NaN is masked to null
+    # — matching _prefix's fillna(0) contribution of 0 for both.
+    tot_v = F.col(value_col)
+    if not integral:
+        tot_v = F.when(~F.isnan(tot_v.cast("double")), tot_v)
     offsets = (
-        part.mapInPandas(_totals, schema=totals_schema)
+        local.groupBy("_pid")
+        .agg(F.sum(tot_v).cast(sum_type).alias("_n"))
         .withColumn(
             "_offset",
             F.coalesce(
@@ -373,11 +369,13 @@ def global_cummax(
     :func:`global_cumsum` (record-high series, 2-D skyline dominance).
 
     Identical plan shape to :func:`global_cumsum` (one range shuffle,
-    checkpointed once; narrow local prefixes via ``np.maximum.accumulate``;
-    per-partition maxes -> an ``n_parts``-row predecessor window ->
-    broadcast back), with max's algebra substituted for sum's: the
-    cross-partition combine is ``greatest`` instead of ``+`` and the
-    identity is -inf instead of 0. ``exclusive=True`` gives the
+    ONE ``np.maximum.accumulate`` Python pass whose output is
+    checkpointed once; per-partition maxes as a JVM ``max GROUP BY
+    _pid`` over that same checkpointed output — no second Python pass,
+    the r12 single-pass rewrite — then an ``n_parts``-row predecessor
+    window -> broadcast back), with max's algebra substituted for
+    sum's: the cross-partition combine is ``greatest`` instead of ``+``
+    and the identity is -inf instead of 0. ``exclusive=True`` gives the
     strict-predecessor form; the first global row has NO predecessor, so
     its exclusive cummax is NULL (the SQL frame's value for an empty
     frame), not -inf. Values are carried as double — exact for
@@ -385,16 +383,13 @@ def global_cummax(
     max), matching SQL MAX.
     """
     import numpy as np
-    import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql import types as T
 
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
 
-    part = (
-        df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
-        .sortWithinPartitions(*cols)
-        .localCheckpoint(eager=False)
+    part = df.repartitionByRange(n_parts, *[F.col(c) for c in cols]).sortWithinPartitions(
+        *cols
     )
 
     local_schema = T.StructType(
@@ -425,26 +420,21 @@ def global_cummax(
                 carry = max(carry, cmax[-1])
             yield out
 
-    local = part.mapInPandas(_prefix, schema=local_schema)
-
-    def _totals(batches):
-        pid = TaskContext.get().partitionId()
-        total = -np.inf
-        for pdf in batches:
-            v = _values(pdf)
-            if len(v):
-                total = max(total, v.max())
-        yield pd.DataFrame(
-            {"_pid": pd.array([pid], dtype="int32"), "_m": [total]}
-        )
-
-    totals_schema = T.StructType(
-        [T.StructField("_pid", T.IntegerType()), T.StructField("_m", T.DoubleType())]
+    local = part.mapInPandas(_prefix, schema=local_schema).localCheckpoint(
+        eager=False
     )
+
     # n_parts rows — dimension-sized predecessor window, same bound as
-    # global_cumsum's offsets side.
+    # global_cumsum's offsets side. The per-partition total max comes
+    # from a JVM aggregate over the checkpointed prefix output (MAX
+    # skips nulls — and NaN is masked to null, matching _values'
+    # fillna(-inf), where JVM max would otherwise elect NaN — so an
+    # all-null partition yields NULL = the -inf identity after the
+    # coalesce below, same as the old Python ``_totals`` pass's -inf).
+    tot_v = F.col(value_col).cast("double")
     offsets = (
-        part.mapInPandas(_totals, schema=totals_schema)
+        local.groupBy("_pid")
+        .agg(F.max(F.when(~F.isnan(tot_v), tot_v)).alias("_m"))
         .withColumn(
             "_offset",
             F.max("_m").over(

@@ -573,21 +573,49 @@ def sketch_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (percentile == quantile_cont, the agg_percentiles parity)."""
     from ..operators.sketch import tdigest_partials, tdigest_rollup
 
-    events = load_events(spark, sf_dir).withColumn(
-        "hour", F.date_format("ts", "yyyy-MM-dd HH")
+    # Spread the single-file small-SF scan before the Arrow-batched
+    # digest build: the parse_dead_letter precedent — the Python pass is
+    # this gate's whole cost and would otherwise run single-threaded
+    # (measured 1.85s -> ~0.3s at sf0.1 on 32 cores; a real corpus
+    # arrives pre-partitioned, so defaultParallelism keeps this
+    # cluster-shaped rather than a magic constant). Round-robin, NOT
+    # keyed by group: partials exist precisely so raw rows never shuffle
+    # by group key; digests merge across batches/partitions regardless.
+    events = (
+        load_events(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("hour", F.date_format("ts", "yyyy-MM-dd HH"))
     )
     partials = tdigest_partials(
         events, "value", ["event_type", "hour"], delta=200.0
     )
     rolled = tdigest_rollup(partials, ["event_type"], [0.50, 0.95], delta=200.0)
-    exact = load_events(spark, sf_dir).groupBy("event_type").agg(
-        F.count("value").cast("long").alias("n_exact"),
-        F.round(F.percentile("value", F.lit(0.50)), 4).alias("exact_p50"),
-        F.round(F.percentile("value", F.lit(0.95)), 4).alias("exact_p95"),
-        F.percentile("value", F.lit(0.45)).alias("_q45"),
-        F.percentile("value", F.lit(0.55)).alias("_q55"),
-        F.percentile("value", F.lit(0.93)).alias("_q93"),
-        F.percentile("value", F.lit(0.97)).alias("_q97"),
+    # ONE percentile buffer for all six quantiles (array form) instead
+    # of six independent aggregation buffers, each holding and sorting
+    # the full per-group value multiset (guide §1.2 per-task work;
+    # measured 0.69s -> 0.31s at sf0.1). Same Percentile aggregate, so
+    # each element is bit-identical to the scalar call's result.
+    qs = F.percentile(
+        "value",
+        F.array(*[F.lit(x) for x in (0.50, 0.95, 0.45, 0.55, 0.93, 0.97)]),
+    )
+    exact = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("value").cast("long").alias("n_exact"),
+            qs.alias("_qs"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(F.element_at("_qs", 1), 4).alias("exact_p50"),
+            F.round(F.element_at("_qs", 2), 4).alias("exact_p95"),
+            F.element_at("_qs", 3).alias("_q45"),
+            F.element_at("_qs", 4).alias("_q55"),
+            F.element_at("_qs", 5).alias("_q93"),
+            F.element_at("_qs", 6).alias("_q97"),
+        )
     )
     j = rolled.join(exact, "event_type")
     return j.select(

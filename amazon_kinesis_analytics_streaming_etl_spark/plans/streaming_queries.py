@@ -538,13 +538,27 @@ def stream_tdigest_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("est_p50", "n").alias("est_p50"),
         F.max_by("est_p95", "n").alias("est_p95"),
     )
-    exact = load_events(spark, sf_dir).groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.50)), 4).alias("exact_p50"),
-        F.round(F.percentile("value", F.lit(0.95)), 4).alias("exact_p95"),
-        F.percentile("value", F.lit(0.45)).alias("_q45"),
-        F.percentile("value", F.lit(0.55)).alias("_q55"),
-        F.percentile("value", F.lit(0.93)).alias("_q93"),
-        F.percentile("value", F.lit(0.97)).alias("_q97"),
+    # ONE percentile buffer for all six quantiles (array form) instead
+    # of six per-group value-multiset buffers — the sketch_tdigest_rollup
+    # exact-side optimization (guide §1.2); elements are bit-identical
+    # to the scalar calls.
+    qs = F.percentile(
+        "value",
+        F.array(*[F.lit(x) for x in (0.50, 0.95, 0.45, 0.55, 0.93, 0.97)]),
+    )
+    exact = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(qs.alias("_qs"))
+        .select(
+            "event_type",
+            F.round(F.element_at("_qs", 1), 4).alias("exact_p50"),
+            F.round(F.element_at("_qs", 2), 4).alias("exact_p95"),
+            F.element_at("_qs", 3).alias("_q45"),
+            F.element_at("_qs", 4).alias("_q55"),
+            F.element_at("_qs", 5).alias("_q93"),
+            F.element_at("_qs", 6).alias("_q97"),
+        )
     )
     j = last.join(exact, "event_type")
     return j.select(
