@@ -275,32 +275,57 @@ def tdigest_partials(
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # Vectorized per-batch build (r12): one lexsort + boundary scan
+        # replaces pandas groupby — at gate SF a batch holds thousands of
+        # (type, hour) groups of a few rows each, and the per-group
+        # pandas dispatch dominated the whole partials pass (guide §4.2:
+        # hand whole batches to numpy). Group membership, value order,
+        # and the unit-weight compress boundaries are identical to the
+        # groupby form, so emitted digests are bit-identical.
         for pdf in batches:
+            pdf = pdf.dropna(subset=[value_col])
             if pdf.empty:
                 continue
-            rows: list[tuple] = []
-            for key, grp in pdf.groupby(group_cols, dropna=False, sort=True):
-                vals = grp[value_col].dropna().to_numpy(dtype=float)
-                if len(vals) == 0:
-                    continue
-                m, w = _td_compress(vals, [1.0] * len(vals), delta)
-                key = key if isinstance(key, tuple) else (key,)
-                # NULL group values stay SQL NULL — str() would coerce
-                # them to the literal 'None'/'nan' and merge with any
-                # genuine 'None' string group
-                rows.append(
-                    tuple(
+            vals = pdf[value_col].to_numpy(dtype=float)
+            # NULL group values stay SQL NULL — str() would coerce them
+            # to the literal 'None'/'nan' and merge with any genuine
+            # 'None' string group
+            keys = [
+                np.array(
+                    [
                         None
                         if kk is None or (isinstance(kk, float) and kk != kk)
                         else str(kk)
-                        for kk in key
-                    )
-                    + (list(m), list(w), int(len(vals)))
+                        for kk in pdf[c]
+                    ],
+                    dtype=object,
                 )
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=group_cols + ["td_means", "td_weights", "td_n"]
-                )
+                for c in group_cols
+            ]
+            codes = pd.factorize(
+                pd.MultiIndex.from_arrays(keys) if len(keys) > 1 else keys[0],
+                use_na_sentinel=False,
+            )[0]
+            order = np.lexsort((vals, codes))
+            codes, vals = codes[order], vals[order]
+            starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+            ends = np.r_[starts[1:], len(codes)]
+            first = order[starts]  # one representative row per group
+            out = {
+                c: keys[i][first] for i, c in enumerate(group_cols)
+            }
+            ms, ws, ns = [], [], []
+            for s, e in zip(starts, ends):
+                m, w = _td_compress(vals[s:e], [1.0] * (e - s), delta)
+                ms.append(list(m))
+                ws.append(list(w))
+                ns.append(e - s)
+            out["td_means"] = ms
+            out["td_weights"] = ws
+            out["td_n"] = np.asarray(ns, dtype=np.int64)
+            yield pd.DataFrame(out)
 
     return df.select(*cols).mapInPandas(build, schema=schema)
 
