@@ -90,11 +90,24 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     MATERIALIZED (persist) — see module note. Callers must unpersist the
     returned DataFrame once their result is materialized (the public pair
     operators do this via ``_checkpoint_released``).
+
+    The RAW (id, text) rows are spread to defaultParallelism BEFORE the
+    shingle projection (parse_dead_letter precedent): a small-SF corpus
+    arrives as one parquet split, so without the spread the zip_with +
+    xxhash shingle chain — the dedup family's single most expensive
+    map stage — runs single-threaded, and the one-partition cache then
+    serializes every downstream map stage too (signature UDF, banding
+    explode, inverted-index explode). The exchange carries only the raw
+    text bytes; the arrays are computed ABOVE it (an earlier attempt
+    that repartitioned the computed arrays shuffled ~10x the bytes and
+    measured as a net loss). At real scale a corpus arrives
+    pre-partitioned and this is a no-op in spirit; all derived values
+    (hashes, counts, int-ratio Jaccard) are partitioning-independent.
     """
     return (
-        df.select(
-            F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), k).alias("_h")
-        )
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select("_id", shingle_hashes(F.col("_t"), k).alias("_h"))
         .withColumn("_n", F.size("_h"))
         .persist()
     )
@@ -590,6 +603,11 @@ def duplicated_span_stats(
         deferred = True
     deferred = bool(deferred)
 
+    # NOT spread before the span projection (unlike _shingled): measured
+    # twice at sf0.1, both the raw-text spread and the post-projection
+    # spread cost more than the single-split scan they parallelize —
+    # this operator's weight is in the positional explode + span-hash
+    # aggregate downstream, which already shuffle to full parallelism.
     docs = df.select(
         F.col(id_col).alias("_id"),
         token_count(F.col(text_col)).alias("_n"),
