@@ -26,6 +26,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with the raw rows spread to defaultParallelism before
+    any per-row array math (the operators/dedup.py `_shingled`
+    rationale): the small-SF corpus is one parquet split, so heavy
+    tokenize/shingle expressions otherwise run single-threaded. The
+    exchange carries raw text bytes only (the expressions compute above
+    it); at real scale a corpus arrives pre-partitioned and this is a
+    no-op in spirit. Used by the queries whose per-row expression work
+    measurably dominates (text_repetition 1.31s -> 0.38s, text_langid
+    0.93s -> 0.54s at sf0.1/32 cores); the sub-half-second scans skip
+    it — the exchange costs more than it parallelizes there."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # Tokenization twins (Spark lower_tokens <-> DuckDB); the string itself
 # lives next to lower_tokens in functions/text.py so the pair can't drift.
 from ..functions.text import LOWER_TOKENS_SQL_TWIN as _T  # noqa: E402
@@ -103,9 +119,9 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 most-repetitive documents by duplicate-bigram fraction —
     the boilerplate/low-information signal used to drop template pages
-    from training corpora. Pure array math per row; zero shuffles
-    before the final top-k."""
-    docs = _docs(spark, sf_dir)
+    from training corpora. Pure array math per row; the spread exchange
+    carries raw text only, then zero shuffles before the final top-k."""
+    docs = _docs_spread(spark, sf_dir)
     toks = lower_tokens("text")
     bi = word_bigrams(toks)
     return (
@@ -153,8 +169,10 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the benchmark n-gram set is broadcast (eval suites are
     tiny next to a 100 TB corpus), so the corpus side is one scan +
     narrow shingle derivation + broadcast semi-join-style match — no
-    corpus shuffle until the per-doc count aggregation."""
-    grams = _docs(spark, sf_dir).select(
+    corpus shuffle until the per-doc count aggregation. The 4-gram
+    derivation runs twice (bench build + corpus side), so the raw-text
+    spread pays double here."""
+    grams = _docs_spread(spark, sf_dir).select(
         "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("ng")
     )
     bench = grams.where(F.col("doc_id") % 97 == 0).select("ng").distinct()

@@ -1137,8 +1137,18 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tokenizes once per row (``lower_tokens`` materialized via withColumn;
     CollapseProject keeps non-cheap multi-referenced expressions in their
-    own project) and scores all four languages off the shared array."""
-    d = _docs(spark, sf_dir).withColumn("_toks", lower_tokens(F.col("text")))
+    own project) and scores all four languages off the shared array.
+    Raw rows spread to defaultParallelism before the scoring projection
+    (the _shingled/parse_dead_letter precedent — the one-split small-SF
+    scan otherwise runs the tokenize+score chain single-threaded;
+    measured 0.93s -> 0.54s at sf0.1/32 cores; counts are
+    partitioning-independent)."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_toks", lower_tokens(F.col("text")))
+    )
     return d.groupBy(
         detect_language_from_tokens(F.col("_toks")).alias("detected_lang")
     ).agg(F.count("*").alias("n"))
