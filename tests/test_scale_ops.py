@@ -577,3 +577,50 @@ def test_skyline_matches_bruteforce_dominance(spark):
         assert engine_skyline(pdf) == brute(pdf)
 
     run()
+
+
+def test_global_cumsum_cummax_nan_matches_fill_identity(spark):
+    """r12 single-pass rewrite guard: the JVM per-partition totals must
+    treat NaN exactly like the Python prefix pass does (fillna ->
+    contribute 0 to a sum, never win a max). A NaN that poisoned the
+    offsets side would corrupt every row of every LATER partition while
+    leaving partition 0 correct — invisible to small single-partition
+    cases, so this pins NaN in EVERY partition of a multi-partition
+    frame."""
+    import math
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        global_cummax,
+        global_cumsum,
+    )
+
+    rows = []
+    vals = [1.0, float("nan"), 2.0, None, float("nan"), 4.0, 8.0, float("nan")]
+    for i, v in enumerate(vals):
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "i long, v double")
+
+    got = (
+        global_cumsum(df, "i", "v", cumsum_col="cs", n_parts=4)
+        .orderBy("i")
+        .select("cs")
+        .collect()
+    )
+    ref, acc = [], 0.0
+    for v in vals:
+        acc += 0.0 if (v is None or math.isnan(v)) else v
+        ref.append(acc)
+    assert [r.cs for r in got] == ref
+
+    gotm = (
+        global_cummax(df, "i", "v", cummax_col="cm", n_parts=4)
+        .orderBy("i")
+        .select("cm")
+        .collect()
+    )
+    refm, cur = [], float("-inf")
+    for v in vals:
+        if v is not None and not math.isnan(v):
+            cur = max(cur, v)
+        refm.append(cur)
+    assert [r.cm for r in gotm] == refm

@@ -326,3 +326,46 @@ def test_tdigest_properties_hypothesis():
         assert all(a <= b + 1e-12 for a, b in zip(ests, ests[1:]))
 
     prop()
+
+
+def test_tdigest_partials_vectorized_matches_groupby_reference(spark):
+    """r12 vectorized-build guard: the lexsort + boundary-scan batch
+    build must emit exactly the digests the per-group pandas-groupby
+    form did — same group set (including NaN/None group keys kept as
+    SQL NULL, never the strings 'nan'/'None'), same per-group sorted
+    values, same unit-weight compress boundaries — for a frame mixing
+    null values, NaN group keys, and multi-row groups."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.sketch import (
+        _td_compress,
+        tdigest_partials,
+    )
+
+    rows = [
+        ("a", "h1", 3.0), ("a", "h1", 1.0), ("a", "h1", 2.0),
+        ("a", "h2", 5.0), ("b", "h1", 7.0), ("b", "h1", None),
+        (None, "h1", 9.0), (None, None, 11.0), ("None", "h1", 13.0),
+        ("b", "h2", None),  # all-null group: must not be emitted
+    ]
+    df = spark.createDataFrame(rows, "grp string, sub string, value double")
+    got = {
+        (r.grp, r.sub): (r.td_means, r.td_weights, r.td_n)
+        for r in tdigest_partials(
+            df.coalesce(1), "value", ["grp", "sub"], delta=200.0
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["grp", "sub", "value"])
+    ref = {}
+    for key, grp in pdf.groupby(["grp", "sub"], dropna=False, sort=True):
+        vals = grp["value"].dropna().to_numpy(dtype=float)
+        if len(vals) == 0:
+            continue
+        m, w = _td_compress(vals, [1.0] * len(vals), 200.0)
+        key = tuple(None if k != k or k is None else str(k) for k in key)
+        ref[key] = (list(m), list(w), len(vals))
+    assert got == ref
+    # the planted literal 'None' STRING group must stay distinct from
+    # the SQL NULL group
+    assert ("None", "h1") in got and (None, "h1") in got
