@@ -3450,25 +3450,59 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted (lower) median: the smallest l_extendedprice at which
     the running l_quantity weight reaches half the total — 'the price a
     typical unit sold at', which the unweighted median misstates when
-    quantities skew. Neither engine has a weighted-quantile builtin, so
-    both construct it identically: aggregate weight per DISTINCT value
-    (one map-side-combined shuffle, domain bounded by value cardinality,
-    not row count), running weight via operators.scale.global_cumsum
-    (one range shuffle — never a single-partition window over raw rows),
-    then min value past the half-weight mark. Exact, no interpolation."""
-    from ..operators.scale import global_cumsum
+    quantities skew. Neither engine has a weighted-quantile builtin;
+    the oracle states the running-sum semantics, and the Spark side
+    computes the SAME crossing point by two-level bucket selection (r12:
+    a full global cumsum materializes a running weight for EVERY
+    distinct price when only the half-weight crossing is consumed —
+    guide §1.2, don't compute things you throw away):
 
+    1. weight per DISTINCT price (one map-side-combined shuffle; exact —
+       integral quantities sum exactly in float64).
+    2. per-$64-bucket weights + an exclusive prefix over the BUCKET
+       frame: bounded by the price DOMAIN (~1.7k buckets over TPC-H's
+       ~[900, 105k] span), never by data size, so the one-task window is
+       the same dimension-sized class as the offsets windows elsewhere.
+    3. the crossing bucket's own prices (cents-quantized ⇒ ≤ 6400
+       distinct per bucket at ANY scale) get the only row-level running
+       sum, seeded with the bucket prefix — again a domain-bounded
+       one-task frame.
+
+    Versus the previous global_cumsum shape this removes the full-domain
+    range shuffle, its sort, and a Python prefix pass (measured
+    1.4-3.1s -> ~0.7s at sf0.1; the remaining cost is the per-price
+    aggregate). Exact, no interpolation: all running weights are sums of
+    integral-valued doubles, so the crossing row is bit-deterministic."""
     li = _t(spark, sf_dir, "lineitem")
     per_price = li.groupBy(F.col("l_extendedprice").alias("p")).agg(
         F.sum("l_quantity").cast("double").alias("w")
     )
-    per_price = per_price.localCheckpoint(eager=False)  # total + cumsum reuse
+    per_price = per_price.localCheckpoint(eager=False)  # 3 consumers, 1 agg
     tot = per_price.agg(
         F.sum("w").alias("tw"), F.count("*").cast("long").alias("np")
     )
-    cum = global_cumsum(per_price, "p", "w", "cw")
+    bucket = F.floor(F.col("p") / 64.0)
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bcum = (
+        per_price.groupBy(bucket.alias("b"))
+        .agg(F.sum("w").alias("bw"))
+        .withColumn("boff", F.coalesce(F.sum("bw").over(wb), F.lit(0.0)))
+    )
+    # the crossing bucket: first whose inclusive prefix reaches half
+    sel = (
+        bcum.crossJoin(F.broadcast(tot))
+        .where(F.col("boff") + F.col("bw") >= F.col("tw") / 2.0)
+        .agg(
+            F.min("b").alias("b"),
+            F.min_by("boff", "b").alias("boff"),
+        )
+    )
+    wr = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        cum.crossJoin(F.broadcast(tot))
+        per_price.crossJoin(F.broadcast(sel))
+        .where(F.floor(F.col("p") / 64.0) == F.col("b"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cw", F.col("boff") + F.sum("w").over(wr))
         .where(F.col("cw") >= F.col("tw") / 2.0)
         .agg(
             F.round(F.min("p"), 2).alias("weighted_median"),
