@@ -106,8 +106,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
-    customer (filtered) broadcasts; lineitem join shuffles on orderkey;
-    top-10 is TakeOrdered (no global sort shuffle)."""
+    customer (filtered) broadcasts onto orders BEFORE the orderkey
+    shuffle, so the exchange carries only the BUILDING-segment order
+    slice (~1/|segments|) instead of all date-filtered orders — a
+    shuffle-bytes reduction that matters at real scale; at sf0.1 the
+    exchange is too small for it to move wall-clock (r12 A/B medians
+    0.76 -> 0.77 s, parity within host noise, identical output).
+    lineitem joins that slice on orderkey; top-10 is TakeOrdered (no
+    global sort shuffle)."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
@@ -115,9 +121,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1999-01-01 00:00:00").cast("timestamp")
     )
+    o2 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o2, li.l_orderkey == o2.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -152,9 +158,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join. region/nation/supplier broadcast;
-    the orders filter pushes into the scan; only the customer-orders and
-    lineitem joins shuffle."""
+    """TPC-H Q5 shape: 6-way join, dimension-chain-first. The selective
+    r_name filter reaches lineitem BEFORE any shuffle: region -> nation
+    -> supplier collapses to one broadcast ASIA-supplier dim, lineitem
+    broadcast-joins it (cutting the fact table to the ASIA-supplier
+    slice, ~1/|regions|), and only then do the orderkey/custkey shuffle
+    joins run — so the big exchanges carry the filtered slice and orders
+    shuffles once, not twice (the previous customer-first order shuffled
+    full lineitem AND orders on two different keys; r12 A/B: 1.12 ->
+    0.67 s at sf0.1, identical output)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -164,15 +176,17 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    s_asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    j = (
+        li.join(F.broadcast(s_asia), li.l_suppkey == s_asia.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.join(c, (j.o_custkey == c.c_custkey) & (j.s_nationkey == c.c_nationkey))
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
