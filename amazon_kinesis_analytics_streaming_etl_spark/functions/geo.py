@@ -37,10 +37,25 @@ def u32_expr(key_sql: str, start: int = 1) -> str:
     ``('0x'||x)::bigint`` agree; the Spark side uses this exact text via
     a tiny rewrite in :func:`spark_expr` (DuckDB's ``::`` cast is not
     Spark syntax, so the one non-shared token is centralized here).
+
+    The hash integer is cast to DOUBLE *before* the division (r12): both
+    engines parse ``4294967296.0`` as a DECIMAL literal, so the bare
+    ``bigint / literal`` quotient — and every lat/lon/bound/weight
+    derived from it — was evaluated in decimal arithmetic (Spark:
+    decimal(36,13) columns, decimal(37,14) casts at every comparison),
+    which is both materially slower per row than double math and a
+    truncated 12-13-digit approximation rather than the exact value.
+    ``k / 2^32`` with k < 2^53 is exactly representable in IEEE-754
+    double, the division is exact, and double +,*,floor are the same
+    operation in both engines — so the module's bit-identical-trees
+    contract now holds in the type the docstring always promised, and
+    the Python float recipe in plans/geo.py:_poi_coords is literally
+    the same arithmetic. Shared-text change: Spark and the DuckDB
+    oracle flip together (re-gated at sf0.001/0.01/0.1, all consumers).
     """
     return (
-        f"(CAST(('0x' || substr(md5({key_sql}), {start}, 8)) AS BIGINT)"
-        " / 4294967296.0)"
+        f"(CAST(CAST(('0x' || substr(md5({key_sql}), {start}, 8)) AS BIGINT)"
+        " AS DOUBLE) / 4294967296.0)"
     )
 
 

@@ -271,3 +271,26 @@ def test_geohash_domain_edges_clamp_to_top_cell(spark):
     assert sql_geohash(spark, 90.0, 180.0, 6) == ref_geohash(90.0, 180.0, 6)
     assert sql_geohash(spark, 90.0, 180.0, 6) == "zzzzzz"
     assert sql_geohash(spark, -90.0, -180.0, 6) == "000000"
+
+
+def test_u32_uniform_is_double_and_bit_equals_python_float_recipe(spark):
+    """The md5-uniform (r12) divides in IEEE-754 double, not decimal:
+    the Spark column type must be DOUBLE and every value must bit-equal
+    the Python float recipe (int(md5hex[s:s+8], 16) / 2**32) that
+    plans/geo.py:_poi_coords uses — k/2^32 is exact in double, so any
+    mismatch means an engine fell back to truncated decimal division."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    keys = [f"probe{i}" for i in range(64)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    for start in (1, 9, 17, 25):
+        expr = geo.spark_expr(geo.u32_expr("k", start))
+        out = df.select("k", F.expr(expr).alias("u"))
+        assert dict(out.dtypes)["u"] == "double"
+        got = {r["k"]: r["u"] for r in out.collect()}
+        for k in keys:
+            h = hashlib.md5(k.encode()).hexdigest()
+            want = int(h[start - 1 : start + 7], 16) / 4294967296.0
+            assert got[k] == want and math.isfinite(got[k])
