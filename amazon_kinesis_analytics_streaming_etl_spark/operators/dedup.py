@@ -603,26 +603,40 @@ def duplicated_span_stats(
         deferred = True
     deferred = bool(deferred)
 
-    # NOT spread before the span projection (unlike _shingled): measured
-    # twice at sf0.1, both the raw-text spread and the post-projection
-    # spread cost more than the single-split scan they parallelize —
-    # this operator's weight is in the positional explode + span-hash
-    # aggregate downstream, which already shuffle to full parallelism.
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        token_count(F.col(text_col)).alias("_n"),
-        span_hashes(F.col(text_col), k).alias("_spans"),
-    ).persist()
+    # Spread the raw (id, text) rows before the span projection (r12,
+    # _shingled precedent): with the count-over-window hit derivation
+    # below, the tokenize + span-hash projection and the positional
+    # explode run exactly once on the critical path, so parallelizing
+    # them pays (A/B at sf0.1: 2.19 -> 1.85 s full-query medians; under
+    # the old aggregate+semi-join shape the same spread measured WORSE,
+    # which is why earlier rounds rejected it). The exchange carries
+    # raw text (~MBs), not the 50x-larger span arrays.
+    docs = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "_id",
+            token_count(F.col("_t")).alias("_n"),
+            span_hashes(F.col("_t"), k).alias("_spans"),
+        )
+        .persist()
+    )
     pos = docs.select(
         "_id", F.posexplode("_spans").alias("_pos", "_h")
     )
-    dup = (
-        pos.groupBy("_h")
-        .agg(F.count("*").alias("_c"))
+    # Corpus-wide span count as ONE count-over-window keyed by span hash
+    # (r12): the previous groupBy(_h) >= min_count + semi-join back onto
+    # pos exploded the span arrays twice and shuffled them twice (the
+    # aggregate's near-unique hashes barely compress under partial agg,
+    # so its exchange carried ~|pos| rows too). The window form explodes
+    # once and shuffles the positions once — measured 2.98 -> 1.54 s for
+    # the piece at sf0.1; same rows out (count per hash >= min_count,
+    # keep (id, pos)), proved by the oracle gate at three SFs.
+    hits = (
+        pos.withColumn("_c", F.count("*").over(Window.partitionBy("_h")))
         .where(F.col("_c") >= min_count)
-        .select("_h")
+        .select("_id", "_pos")
     )
-    hits = pos.join(dup, "_h").select("_id", "_pos")
     w = Window.partitionBy("_id").orderBy("_pos")
     contrib = F.least(
         F.lit(k),
