@@ -656,24 +656,36 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: HAVING-filtered semi-join. The qualifying-order set is
-    tiny after the threshold, so it broadcasts back into lineitem."""
+    """TPC-H Q18: HAVING-filtered semi-join, folded to ONE lineitem pass
+    (r12). The query's final ``sum(l_quantity)`` per order IS the
+    aggregate the HAVING clause computes — every other grouping column
+    (customer, orderdate, totalprice) is functionally dependent on
+    o_orderkey through the orders PK — so the old shape's second
+    lineitem scan (join back through the broadcast qualifying set and
+    re-aggregate) recomputed a value it already had. New shape: one
+    per-orderkey aggregate, filter > 150 (a tiny set), broadcast it onto
+    orders, then onto customer — lineitem read once, scans 4 -> 3,
+    exchanges 2 -> 1. Identical rows proved by the oracle gate (IN
+    subquery + re-join form) at sf0.001/0.01/0.1."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .where(F.col("sum_qty") > 150)
-        .select("l_orderkey")
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_orderkey")),
-                li.l_orderkey == F.col("big_orderkey"))
-        .join(o, li.l_orderkey == o.o_orderkey)
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("sum_qty"), 2).alias("total_qty"),
+        )
         .select(
             "c_custkey",
             "c_name",
