@@ -624,11 +624,22 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"))
         .select("event_type", F.col("bin").cast("int").alias("bin"))
     )
-    f = spine.join(c, ["event_type", "bin"], "left").select(
-        "event_type",
-        "bin",
-        F.coalesce("p_cnt", F.lit(0.0)).alias("p_cnt"),
-        F.coalesce("q_cnt", F.lit(0.0)).alias("q_cnt"),
+    # localCheckpoint: the ~|event_type|x10-row spine-filled aggregate
+    # feeds a diamond (the per-type totals AND the final join) — without
+    # truncation Catalyst re-evaluates the whole subtree per consumer,
+    # i.e. TWO full bin-count scans of events plus two min/max passes
+    # (r12: 6 parquet scans in the executed plan -> 3, one per pass
+    # actually required). The checkpointed side is bounded by
+    # |event_types| * 10 bins, never by data size.
+    f = (
+        spine.join(c, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("p_cnt", F.lit(0.0)).alias("p_cnt"),
+            F.coalesce("q_cnt", F.lit(0.0)).alias("q_cnt"),
+        )
+        .localCheckpoint(eager=False)
     )
     t = f.groupBy("event_type").agg(
         F.sum("p_cnt").alias("pt"), F.sum("q_cnt").alias("qt")

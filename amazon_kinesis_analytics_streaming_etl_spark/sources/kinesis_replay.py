@@ -244,21 +244,31 @@ def _rows(stream: str, shard: str, payloads: list[bytes], first_seq: int):
     timestamp boxing); building the columns once per chunk keeps the
     reader's per-record cost at C-loop speed — at real stream widths the
     reader must not be the bottleneck the executors wait on."""
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     # Kinesis sequence numbers are opaque decimal strings that sort by
     # arrival within a shard — a zero-padded line index reproduces that
-    # contract deterministically.
+    # contract deterministically. Formatted in C via arrow cast + lpad
+    # (r12): the per-record Python f-string was the replay reader's
+    # visible per-record cost vs the kafka twin (~7x slower than the
+    # vectorized form for the same byte-identical strings).
     for lo in range(0, len(payloads), _ARROW_BATCH_ROWS):
         chunk = payloads[lo : lo + _ARROW_BATCH_ROWS]
         n = len(chunk)
         first = first_seq + lo
+        seq = pc.utf8_lpad(
+            pc.cast(pa.array(np.arange(first, first + n, dtype=np.int64)), pa.string()),
+            width=20,
+            padding="0",
+        )
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(chunk, type=pa.binary()),
                 pa.array([stream] * n, type=pa.string()),
                 pa.array([shard] * n, type=pa.string()),
-                pa.array([f"{s:020d}" for s in range(first, first + n)]),
+                seq,
                 pa.nulls(n, pa.timestamp("us")),
                 pa.array([shard] * n, type=pa.string()),
             ],
