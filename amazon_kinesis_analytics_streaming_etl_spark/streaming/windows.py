@@ -140,7 +140,7 @@ def replay_to_memory(
     spark: SparkSession,
     plan: DataFrame,
     output_mode: str = "append",
-    shuffle_partitions: int = 4,
+    shuffle_partitions: int = 2,
 ) -> DataFrame:
     """Run a bounded streaming plan to completion (availableNow) into an
     in-memory table; return the result as a batch DataFrame.
@@ -154,6 +154,13 @@ def replay_to_memory(
     per micro-batch, so a small bounded replay at the session default
     (32+) pays ~10x state-store bookkeeping for no parallelism gain.
     Production streams size this to the cluster, not to the replay.
+    Default 2 (r12; was 4): still multi-partition — cross-partition
+    watermark propagation and shuffle semantics stay exercised — while
+    halving the per-batch store commits; measured ~0.3 s per streaming
+    query at sf0.1 (chained agg 1.68 -> 1.32, tumbling 1.18 -> 0.85
+    median-of-5), uniform across the replay family. Results are
+    partitioning-independent (event-time windows + watermarks), pinned
+    by every stream oracle gate at three SFs.
     """
     name = "mem_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
