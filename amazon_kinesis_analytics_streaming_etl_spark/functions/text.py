@@ -286,8 +286,25 @@ def winnow_fingerprints(
     offset w-p) — each pass is one zip_with over the whole hash array,
     never a per-window slice (that would be O(n*w) element evals).
     Docs with 0 < spans < w emit the single min of what exists; empty
-    docs emit an empty array."""
-    h = span_md5(text, k)
+    docs emit an empty array.
+
+    PASS A PRE-PROJECTED HASH COLUMN when the hashes are expensive to
+    derive (r12; the interleave_expr precedent): the window-min chain
+    references the hash array ~2 per doubling pass plus size/short
+    probes, HOF lambdas are interpreted (no codegen common-subexpression
+    elimination), so inlining ``span_md5(text)`` here re-tokenizes and
+    re-hashes the document per reference. Use
+    ``winnow_from_span_hashes(F.col("_h"), w)`` over a projection that
+    computed ``_h = span_md5(text, k)`` once, with an exchange or cache
+    between the two projections so ProjectCollapse cannot re-inline."""
+    return winnow_from_span_hashes(span_md5(text, k), w)
+
+
+def winnow_from_span_hashes(h: Column, w: int = 4) -> Column:
+    """Winnowing selection over an EXISTING span-hash array column —
+    see :func:`winnow_fingerprints` for the algorithm and for why
+    callers with expensive hash derivations should project the hashes
+    first and pass the column here."""
     n = F.size(h)
     m = h
     p = 1

@@ -2475,9 +2475,15 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.agg(
         F.count("*").cast("long").alias("n_converted"),
         # explicit floor: DuckDB CAST(double AS BIGINT) rounds, Spark
-        # truncates — floor() first makes both engines agree on .5 points
-        F.floor(F.percentile("dur_s", 0.5)).cast("long").alias("p50_s"),
-        F.floor(F.percentile("dur_s", 0.9)).cast("long").alias("p90_s"),
+        # truncates — floor() first makes both engines agree on .5 points.
+        # One percentile buffer for both quantiles (r12): the array form
+        # sorts once; per-element results bit-identical to the scalars.
+        F.floor(
+            F.percentile("dur_s", F.array(F.lit(0.5), F.lit(0.9)))[0]
+        ).cast("long").alias("p50_s"),
+        F.floor(
+            F.percentile("dur_s", F.array(F.lit(0.5), F.lit(0.9)))[1]
+        ).cast("long").alias("p90_s"),
         F.max("dur_s").cast("long").alias("max_s"),
     )
 
@@ -3092,8 +3098,10 @@ def eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         withcut.where(F.unix_millis("pt") < F.col("cut_ms"))
         .groupBy("event_type")
         .agg(
-            F.percentile("v", 0.5).alias("q50"),
-            F.percentile("v", 0.9).alias("q90"),
+            # one buffer for both quantiles (r12): identical aggregate
+            # expressions share one sort; bit-identical per element
+            F.percentile("v", F.array(F.lit(0.5), F.lit(0.9)))[0].alias("q50"),
+            F.percentile("v", F.array(F.lit(0.5), F.lit(0.9)))[1].alias("q90"),
         )
     )
     loss50 = F.when(

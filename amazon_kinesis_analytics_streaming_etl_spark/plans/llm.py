@@ -1218,17 +1218,32 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-crossable because both engines winnow the SAME md5 hex strings
     (functions/text.py span_md5); the Spark sliding-window min is the
     O(log w) doubling least() chain, never per-window slices."""
-    from ..functions.text import winnow_fingerprints
+    from ..functions.text import span_md5, winnow_from_span_hashes
+    from ..operators.dedup import _checkpoint_released
 
     d = _docs(spark, sf_dir)
-    sfp = (
-        d.select(
-            "source", F.explode(winnow_fingerprints("text", k=4, w=4)).alias("fp")
+    # Three-stage materialization (r12; the dedup.py explode note): the
+    # old one-projection `explode(winnow_fingerprints(text))` inlined
+    # the generator child, so the ENTIRE tokenize + md5 + window-min
+    # chain re-evaluated per OUTPUT fingerprint (O(spans^2) per doc) —
+    # and the interpreted window-min lambdas referenced the span_md5
+    # array ~6x within the projection on top of that (7.6 s at sf0.1).
+    # Now: (1) spread raw text and hash spans ONCE into _h, (2) winnow
+    # the _h COLUMN behind the exchange barrier (ProjectCollapse cannot
+    # re-inline the md5 chain) into a persisted per-doc array, (3)
+    # explode the materialized array. 7.6 -> 0.56 s, identical rows.
+    fps = (
+        d.select("source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("source", span_md5(F.col("text"), 4).alias("_h"))
+        .select(
+            "source", winnow_from_span_hashes(F.col("_h"), w=4).alias("_fps")
         )
-        .distinct()
+        .persist()
     )
+    sfp = fps.select("source", F.explode("_fps").alias("fp")).distinct()
     shared = sfp.groupBy("fp").agg(F.countDistinct("source").alias("ns"))
-    return (
+    out = (
         sfp.join(shared, "fp")
         .groupBy("source")
         .agg(
@@ -1239,6 +1254,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("fp").alias("min_fp"),
         )
     )
+    return _checkpoint_released(out, [fps])
 
 
 def _quality_oracle() -> str:

@@ -908,10 +908,14 @@ def prep_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row quantile pair broadcast as a whitelisted scalar."""
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     li = li.localCheckpoint(eager=False)  # quantile pass + stats pass
+    # ONE percentile(col, array(...)) buffer for both quantiles (r12,
+    # the sketch_tdigest_rollup change-(c) precedent): two scalar
+    # percentile aggregates each keep an independent full value-multiset
+    # buffer; the array form sorts once and interpolates both —
+    # per-element results are bit-identical (same Percentile aggregate).
     q = li.agg(
-        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
-    )
+        F.expr("percentile(l_extendedprice, array(0.01D, 0.99D))").alias("pq")
+    ).select(F.col("pq")[0].alias("p01"), F.col("pq")[1].alias("p99"))
     x = F.col("l_extendedprice")
     clipped = F.least(F.greatest(x, F.col("p01")), F.col("p99"))
     return li.crossJoin(F.broadcast(q)).agg(

@@ -430,9 +430,12 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-group sort buffer) — engine-specific, so the exact form is
     the oracle-checked one."""
     o = _t(spark, sf_dir, "orders")
+    # one percentile buffer for both quantiles (r12): the array form
+    # sorts each group once; per-element results are bit-identical
+    pq = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)))
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(pq[0], 4).alias("p50"),
+        F.round(pq[1], 4).alias("p95"),
     )
 
 
