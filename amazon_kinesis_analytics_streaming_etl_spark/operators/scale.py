@@ -356,6 +356,92 @@ def global_cumsum(
     )
 
 
+def bucketed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    cumsum_col: str = "cumsum",
+    bucket_width: float = 1.0,
+    exclusive: bool = False,
+) -> DataFrame:
+    """``SUM(value) OVER (ORDER BY order_col)`` for DOMAIN-BOUNDED numeric
+    order keys — the pure-JVM twin of :func:`global_cumsum` (r12, the
+    ``stats_weighted_median`` two-level bucket selection generalized).
+
+    Two-level decomposition, no Python pass, no checkpoint:
+
+    1. ``_bkt = floor(order_col / bucket_width)`` — per-bucket running
+       sums via one window ``partitionBy(_bkt) ORDER BY order_col``
+       (parallel across buckets; one hash shuffle of the input).
+    2. Bucket totals (a map-side-combined aggregate whose exchange
+       carries one row per bucket) -> exclusive prefix over the bucket
+       frame via a single-partition window whose row count is bounded by
+       ``domain_range / bucket_width``, NOT by data size -> broadcast
+       join back.
+
+    Versus :func:`global_cumsum` this removes the JVM<->Python boundary
+    (guide §4.1: prefer built-ins), the ``localCheckpoint``
+    materialization, and — because no checkpoint splits the plan — lets
+    Catalyst reuse the upstream aggregate's exchange between the cumsum
+    and any sibling consumer (measured: one ``events`` scan instead of
+    two in the rank-statistics queries). Use it when the order domain is
+    bounded (quantized metrics, calendar buckets, price/duration
+    domains); keep :func:`global_cumsum` for DATA-sized order domains
+    (doc ids, byte offsets) where the bucket frame would not be bounded.
+
+    Same contract as :func:`global_cumsum`: ``order_col`` values must be
+    unique per row (callers aggregate to the distinct domain first);
+    null ``value_col`` contributes 0 (JVM SUM skips nulls; NaN is masked
+    to null to match the Python form's ``fillna(0)``); integral value
+    columns produce a ``long`` cumsum, everything else ``double``.
+    ``exclusive=True`` gives the strict-predecessor form (0 for the
+    first row, matching ``coalesce(sum ... 1 PRECEDING, 0)``).
+    """
+    from pyspark.sql import types as T
+
+    integral = isinstance(
+        df.schema[value_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    sum_type = T.LongType() if integral else T.DoubleType()
+
+    val = F.col(value_col)
+    if not integral:
+        val = F.when(~F.isnan(val.cast("double")), val)
+
+    d = df.withColumn(
+        "_bkt", F.floor(F.col(order_col) / F.lit(float(bucket_width)))
+    )
+    wb = Window.partitionBy("_bkt").orderBy(order_col)
+    frame = wb.rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    offsets = (
+        d.groupBy("_bkt")
+        .agg(F.sum(val).cast(sum_type).alias("_bt"))
+        .withColumn(
+            "_boff",
+            F.coalesce(
+                F.sum("_bt").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast(sum_type),
+        )
+        .select("_bkt", "_boff")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            cumsum_col,
+            (
+                F.col("_boff") + F.coalesce(F.sum(val).over(frame), F.lit(0))
+            ).cast(sum_type),
+        )
+        .drop("_bkt", "_boff")
+    )
+
+
 def global_cummax(
     df: DataFrame,
     order_cols: str | list[str],

@@ -6,8 +6,9 @@ usable on any DataFrame.
 Scale discipline shared by all four:
 - statistics assemble from partial-aggregable scans (FILTERed
   aggregates, per-distinct-value counts) — never a sort of raw rows;
-- every running quantity rides :func:`operators.scale.global_cumsum`
-  (one range shuffle, broadcast offsets), never a bare
+- every running quantity rides :func:`operators.scale.bucketed_cumsum`
+  (pure-JVM two-level prefix over the bounded quantized domain; r12 —
+  was global_cumsum's Python pass), never a bare full-domain
   ``Window.orderBy``;
 - pairwise stages (Theil-Sen) run on calendar/domain-bounded
   aggregates, never raw rows.
@@ -18,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .scale import global_cumsum
+from .scale import bucketed_cumsum
 
 
 def welch_ttest(
@@ -72,7 +73,8 @@ def mannwhitney_u(
     ``quantize`` rounds values first so the aggregated rank domain is
     bounded by quantization, not row count (None = exact values).
     Midranks come from the exclusive running count over the DISTINCT
-    value domain (global_cumsum — one range shuffle)."""
+    value domain (bucketed_cumsum — pure-JVM two-level prefix over the
+    bounded value domain; r12, was global_cumsum's Python pass)."""
     v = F.round(F.col(value_col), quantize) if quantize is not None else F.col(value_col)
     src = df.where(
         F.col(value_col).isNotNull()
@@ -83,7 +85,7 @@ def mannwhitney_u(
         F.count(F.when(F.col(group_col) == group_b, 1)).alias("c2"),
     )
     pooled = pooled.withColumn("ties", F.col("c1") + F.col("c2"))
-    ranked = global_cumsum(pooled, "v", "ties", "below", exclusive=True)
+    ranked = bucketed_cumsum(pooled, "v", "ties", "below", exclusive=True)
     agg = ranked.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
@@ -118,16 +120,21 @@ def kaplan_meier(
     rows (observed=1 event, 0 right-censored): one row per distinct
     duration — ``(dur, n_risk, n_events, n_censored, survival)``, raw
     doubles. S(t) = prod over event times <= t of (1 - d_i/n_i) via the
-    running log-sum; both running quantities ride global_cumsum over
-    the duration domain (bounded by the observation window)."""
+    running log-sum; both running quantities ride bucketed_cumsum over
+    the duration domain (bounded by the observation window; r12 — the
+    pure-JVM two-level prefix replaced global_cumsum's two Python
+    passes, and dropping the localCheckpoint lets the distinct-duration
+    aggregate's exchange be reused between the total subquery and the
+    cumsum side instead of forcing separate jobs)."""
     d = durations.groupBy(F.col(duration_col).alias("dur")).agg(
         F.sum(F.col(observed_col)).alias("d_ev"),
         F.sum(1 - F.col(observed_col)).alias("c_cen"),
     )
     d = d.withColumn("dropped", F.col("d_ev") + F.col("c_cen"))
-    d = d.localCheckpoint(eager=False)  # total + both cumsums, one pass
     n = d.agg(F.sum("dropped").alias("total"))
-    r = global_cumsum(d, "dur", "dropped", "below", exclusive=True)
+    r = bucketed_cumsum(
+        d, "dur", "dropped", "below", bucket_width=64.0, exclusive=True
+    )
     r = r.crossJoin(F.broadcast(n)).withColumn(
         "n_risk", F.col("total") - F.col("below")
     )
@@ -140,7 +147,7 @@ def kaplan_meier(
             )
         ),
     )
-    s = global_cumsum(r, "dur", "ln_term", "ln_s")
+    s = bucketed_cumsum(r, "dur", "ln_term", "ln_s", bucket_width=64.0)
     return s.select(
         F.col("dur"),
         F.col("n_risk").cast("long").alias("n_risk"),
@@ -197,7 +204,7 @@ def ks_two_sample(
     Scale shape: values quantize (bounding the aggregated domain like
     :func:`mannwhitney_u`), per-distinct-value counts are one hash
     aggregate, and F1-F2 at every distinct value is ONE
-    :func:`global_cumsum` of the signed per-value mass c1/n1 - c2/n2 —
+    :func:`bucketed_cumsum` of the signed per-value mass c1/n1 - c2/n2 —
     the ECDF difference needs no second cumsum because both ECDFs step
     at the same pooled points. Never a sort of raw rows."""
     v = (
@@ -212,7 +219,10 @@ def ks_two_sample(
         F.count(F.when(F.col(group_col) == group_a, 1)).alias("c1"),
         F.count(F.when(F.col(group_col) == group_b, 1)).alias("c2"),
     )
-    pooled = pooled.localCheckpoint(eager=False)  # totals + cumsum, one pass
+    # No localCheckpoint: with the pure-JVM cumsum below, the pooled
+    # aggregate's exchange is REUSED between the totals subquery and the
+    # ECDF side (a checkpoint would split the plan into separate jobs
+    # and force a second events scan — r12).
     n = pooled.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
     )
@@ -225,7 +235,7 @@ def ks_two_sample(
             - F.col("c2").cast("double") / F.col("n2")
         ).alias("dmass"),
     )
-    ecdf = global_cumsum(diff, "v", "dmass", "fdiff")
+    ecdf = bucketed_cumsum(diff, "v", "dmass", "fdiff")
     out = ecdf.agg(
         F.first("n1").alias("n1"),
         F.first("n2").alias("n2"),
@@ -260,7 +270,7 @@ def spearman_corr(
     Scale shape: each variable's midranks come from its DISTINCT
     (quantized) value domain — one hash aggregate, then an exclusive
     running count over that domain-sized frame (a single
-    :func:`global_cumsum` range shuffle when ungrouped; a
+    :func:`bucketed_cumsum` two-level prefix when ungrouped; a
     group-partitioned window over the per-group domain when ``by`` is
     given — per-group ranks are the standard grouped-Spearman
     semantics, and the window frame is bounded by the quantized domain,
@@ -291,7 +301,12 @@ def spearman_corr(
                 "_below", F.coalesce(F.sum("_t").over(w), F.lit(0))
             )
         else:
-            r = global_cumsum(dom, "_v", "_t", "_below", exclusive=True)
+            # quantized numeric domain -> pure-JVM two-level prefix
+            # (r12; $64 buckets bound the offsets frame by the value
+            # domain / 64 while 2-3dp quantization bounds rows/bucket)
+            r = bucketed_cumsum(
+                dom, "_v", "_t", "_below", bucket_width=64.0, exclusive=True
+            )
         return r.select(
             *by,
             F.col("_v").alias(col),
@@ -331,7 +346,7 @@ def kruskal_wallis(
     :func:`mannwhitney_u`. H = (12/(N(N+1))) * sum_g R_g^2/n_g - 3(N+1),
     divided by 1 - sum(t^3 - t)/(N^3 - N).
 
-    Scale shape: midranks ride ONE global_cumsum over the pooled
+    Scale shape: midranks ride ONE bucketed_cumsum over the pooled
     distinct-value domain; per-(value, group) counts join to it by value
     (domain-sized hash join); the rest is partial aggregates."""
     v = (
@@ -344,7 +359,7 @@ def kruskal_wallis(
         F.count("*").alias("c")
     )
     per_v = per_vg.groupBy("v").agg(F.sum("c").alias("ties"))
-    ranked = global_cumsum(per_v, "v", "ties", "below", exclusive=True)
+    ranked = bucketed_cumsum(per_v, "v", "ties", "below", exclusive=True)
     ranked = ranked.withColumn(
         "midrank", F.col("below") + (F.col("ties") + 1) / 2.0
     )

@@ -349,6 +349,63 @@ def test_global_cumsum_property_random_frames(spark):
     run()
 
 
+def test_bucketed_cumsum_matches_global_cumsum(spark):
+    """Property: the pure-JVM two-level bucketed cumsum (r12) equals
+    global_cumsum (and a sequential reference) over random distinct
+    numeric domains — negative keys, fractional keys, several bucket
+    widths, long and double values, null/NaN values, both frames."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        bucketed_cumsum,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(-3000, 3000),  # distinct-ified key, scaled /7
+                st.one_of(st.none(), st.integers(-9, 9)),
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        ),
+        st.sampled_from([0.5, 1.0, 64.0]),
+        st.booleans(),  # exclusive
+        st.booleans(),  # double values (with NaN for the null slots)
+    )
+    def run(rows, width, exclusive, as_double):
+        pdf = pd.DataFrame(rows, columns=["k", "v"])
+        pdf["k"] = pdf["k"] / 7.0
+        if as_double:
+            pdf["v"] = [float("nan") if v is None else float(v) for v in pdf["v"]]
+        else:
+            pdf["v"] = pdf["v"].astype("Int64")
+        df = spark.createDataFrame(pdf)
+        got = {
+            r.k: r.cs
+            for r in bucketed_cumsum(
+                df, "k", "v", "cs", bucket_width=width, exclusive=exclusive
+            ).collect()
+        }
+        ref, run_sum = {}, 0
+        for k, v in sorted(zip(pdf["k"], pdf["v"])):
+            contrib = 0 if pd.isna(v) else v
+            if exclusive:
+                ref[k] = run_sum
+                run_sum += contrib
+            else:
+                run_sum += contrib
+                ref[k] = run_sum
+        assert set(got) == set(ref)
+        for k in ref:
+            assert abs(got[k] - ref[k]) < 1e-9, (k, got[k], ref[k], width)
+
+    run()
+
+
 def test_quantile_bucket_binary_search_matches_searchsorted(spark):
     """_with_bucket_col's O(bits)-per-row binary search must equal the
     definitional bucket id — count of boundaries <= value, capped at
