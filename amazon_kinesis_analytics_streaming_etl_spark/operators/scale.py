@@ -680,8 +680,7 @@ def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> Column:
     small non-negative ranges FIRST (h1 mod m, h2 mod 2^31) so the
     affine combination stays far from long overflow — ANSI mode (the
     Spark 4 default) makes wraparound an error, not a wrap."""
-    h1 = F.pmod(F.xxhash64(key), F.lit(num_bits))
-    h2 = F.pmod(F.xxhash64(key, F.lit(_BLOOM_SALT)), F.lit(0x7FFFFFFF)) + 1
+    h1, h2 = _bloom_h1_h2(key, num_bits)
     return F.array(
         *[F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)]
     )
@@ -728,6 +727,24 @@ def bloom_build(
     return bitmap
 
 
+# Bitmaps at or under this many 64-bit words (256 Kbit = 32 KB) inline
+# into the probe plan as a literal word array and the membership test
+# runs entirely in codegen; larger bitmaps broadcast out-of-band and
+# probe through the Arrow-batched numpy path. Tests force the Arrow
+# path by monkeypatching this to 0.
+_BLOOM_INLINE_MAX_WORDS = 4096
+
+
+def _bloom_h1_h2(key: Column, num_bits: int) -> tuple[Column, Column]:
+    """The double-hashing pair behind :func:`_bloom_positions` —
+    ``pos_i = (h1 + i*h2) mod num_bits`` reconstructs every position
+    from just these two values (h1 < num_bits, h2 <= 2^31, so the
+    affine combination stays far from long overflow)."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(_BLOOM_SALT)), F.lit(0x7FFFFFFF)) + 1
+    return h1, h2
+
+
 def bloom_prefilter(
     probe: DataFrame,
     key_col: str,
@@ -746,25 +763,61 @@ def bloom_prefilter(
     broadcast joins; being explicit, it also covers shuffle joins and
     multi-stage pipelines where the optimizer can't see the key set.
 
-    Positions are computed by the same JVM expressions as the build; the
-    membership test is one Arrow-batched pandas UDF over the (small)
-    position array — numpy gather + bit test, no per-row Python.
+    Two probe paths, picked by bitmap size (r12):
+
+    - **Inline JVM** (<= ``_BLOOM_INLINE_MAX_WORDS`` words): the word
+      array embeds in the plan as a literal and each of the
+      ``num_hashes`` bit tests is a codegen ``bit_get(element_at(...))``
+      — no Python worker, no broadcast, no Arrow transfer at all. Small
+      filters (dimension-slice key sets) live here.
+    - **Arrow-batched numpy** (larger): the bitmap broadcasts once and
+      the pandas UDF receives only the two double-hashing values per
+      row (16 bytes, not a ``num_hashes``-element position array — the
+      positions re-derive vectorized in numpy with the same int64
+      affine arithmetic), then gathers + bit-tests whole batches.
+
+    Both paths test the exact same positions as the build
+    (``pos_i = (h1 + i*h2) mod num_bits``), so the one-sided guarantee
+    is unchanged.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    h1c, h2c = _bloom_h1_h2(F.col(key_col), num_bits)
+    words = np.ascontiguousarray(bitmap)
+
+    if len(words) <= _BLOOM_INLINE_MAX_WORDS:
+        # explicit long literals: a small word value would otherwise make
+        # an array<int>, shrinking bit_get's legal position range to 32
+        arr = F.array(
+            *[F.lit(int(w)).cast("long") for w in words.view(np.int64)]
+        )
+        pred = F.lit(True)
+        for i in range(num_hashes):
+            pos = F.pmod(h1c + F.lit(i) * h2c, F.lit(num_bits))
+            word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
+            pred = pred & (
+                F.bit_get(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
+            )
+        return probe.where(pred)
+
     spark = probe.sparkSession
-    bc = spark.sparkContext.broadcast(np.ascontiguousarray(bitmap))
+    bc = spark.sparkContext.broadcast(words)
 
     @pandas_udf("boolean")
-    def _might_contain(pos: pd.Series) -> pd.Series:
-        if not len(pos):
+    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        if not len(h1):
             return pd.Series([], dtype=bool)
         bits = bc.value
-        mat = np.vstack(pos.to_numpy())  # (rows, num_hashes) int64 >= 0
-        hit = (bits[mat >> 6] >> (mat & 63).astype(np.uint64)) & np.uint64(1)
-        return pd.Series(hit.all(axis=1))
+        a = h1.to_numpy(dtype=np.int64)
+        b = h2.to_numpy(dtype=np.int64)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(num_hashes):
+            pos = (a + i * b) % num_bits  # same int64 affine as the JVM
+            hit &= (
+                (bits[pos >> 6] >> (pos & 63).astype(np.uint64))
+                & np.uint64(1)
+            ).astype(bool)
+        return pd.Series(hit)
 
-    return probe.where(
-        _might_contain(_bloom_positions(F.col(key_col), num_bits, num_hashes))
-    )
+    return probe.where(_might_contain(h1c, h2c))

@@ -97,7 +97,17 @@ def test_bloom_build_matches_local_bitmap(spark):
     assert np.array_equal(got, want)
 
 
-def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark):
+@pytest.mark.parametrize("path", ["inline_jvm", "arrow_numpy"])
+def test_bloom_prefilter_no_false_negatives_and_bounded_fp(
+    spark, path, monkeypatch
+):
+    """Both probe paths (r12: inline literal-array bit_get for small
+    bitmaps; broadcast + Arrow numpy for large) honor the one-sided
+    guarantee and the design fp bound — and agree row-for-row."""
+    from amazon_kinesis_analytics_streaming_etl_spark.operators import scale
+
+    if path == "arrow_numpy":
+        monkeypatch.setattr(scale, "_BLOOM_INLINE_MAX_WORDS", 0)
     member = set(range(0, 20_000, 4))  # 5k members
     keys = spark.createDataFrame([(k,) for k in sorted(member)], ["k"])
     num_bits = ((10 * len(member) + 63) // 64) * 64
@@ -110,6 +120,23 @@ def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark):
     non_members = 20_000 - len(member)
     # design fpp ~0.8% at m/n=10, k=7; assert under 3x that
     assert fp / non_members < 0.025
+    # the two paths must test identical positions: same pass-through set
+    monkeypatch.setattr(
+        scale, "_BLOOM_INLINE_MAX_WORDS", 0 if path == "inline_jvm" else 4096
+    )
+    other = {r["k"] for r in bloom_prefilter(probe, "k", bm, num_bits).collect()}
+    assert passed == other
+
+
+def test_bloom_prefilter_inline_handles_all_zero_words(spark):
+    """An empty key set builds an all-zero bitmap whose word literals
+    are small ints — the inline path must still type them as longs
+    (bit_get on an array<int> rejects positions >= 32) and drop every
+    probe row."""
+    keys = spark.createDataFrame([], "k long")
+    bm = bloom_build(keys, "k", 1024)
+    probe = spark.range(500).select(F.col("id").alias("k"))
+    assert bloom_prefilter(probe, "k", bm, 1024).count() == 0
 
 
 def test_pagerank_property_random_graphs(spark):
