@@ -441,11 +441,19 @@ def train_test_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-integrity twin of benchmark decontamination, which guards the
     TRAINING side). Output: per-split sizes before/after the scrub.
 
-    Plan: fingerprints are computed in the same scan as the assignment;
-    the leak check is a fingerprint-keyed left-semi join of the test
-    slice against distinct train fingerprints — co-partitioned shuffle,
-    no broadcast assumption on the train side (at 100 TB train is the
-    big side), then a 2-row aggregate."""
+    Plan (r12 single-pass rewrite): fingerprints are computed in the
+    same scan as the assignment, then ONE fingerprint-keyed aggregate
+    carries per-split counts per fingerprint and a 1-row rollup derives
+    every output — train is never scrubbed (its n_clean IS its n_docs),
+    and the clean test count is the test mass on fingerprints with zero
+    train occurrences, exactly the rows the old left-semi + left-anti
+    join pair kept (the previous shape re-scanned the corpus ~5x
+    through the assigned diamond: train-fp distinct, the two leak
+    joins, and two count branches). Null fingerprints keep the JOIN's
+    null semantics: a null never equals a train fingerprint, so
+    null-fingerprint test docs always count clean. Still co-partitioned
+    by fingerprint with no broadcast assumption on the train side (at
+    100 TB train is the big side); the rollup is a 1-row aggregate."""
     docs = _docs(spark, sf_dir)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -457,28 +465,43 @@ def train_test_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_md5(F.col("text")).alias("fingerprint"),
         F.when(u < 0.8, F.lit("train")).otherwise(F.lit("test")).alias("split"),
     )
-    train_fp = assigned.where(F.col("split") == "train").select("fingerprint").distinct()
-    test = assigned.where(F.col("split") == "test")
-    leaked = test.join(train_fp, "fingerprint", "left_semi").select("doc_id")
-    clean_test = test.join(leaked, "doc_id", "left_anti")
-    per_split = assigned.groupBy("split").agg(F.count("*").alias("n_docs"))
-    clean_counts = (
-        assigned.where(F.col("split") == "train")
-        .groupBy("split")
-        .agg(F.count("*").alias("n_clean"))
-        .unionByName(
-            clean_test.groupBy("split").agg(F.count("*").alias("n_clean"))
-        )
+    fp_counts = assigned.groupBy("fingerprint").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("_tr"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("_te"),
     )
-    # LEFT join + coalesce(0): a fully-leaked split has an EMPTY
-    # clean_test groupBy (zero rows, not a zero count), and the former
-    # inner join silently dropped that split's row while the oracle's
-    # FILTERed count kept it at n_clean=0. Organic corpora never fully
-    # leak, but the round-12 synthetic-sf1 layout (every text present
-    # 10x) does — caught by the full-catalog saturation sweep.
+    summary = fp_counts.agg(
+        F.sum("_tr").cast("long").alias("_train_docs"),
+        F.sum("_te").cast("long").alias("_test_docs"),
+        F.sum(
+            F.when(
+                (F.col("_tr") == 0) | F.col("fingerprint").isNull(),
+                F.col("_te"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_test_clean"),
+    )
+    # Emit one row per split actually present (a fully-leaked test split
+    # keeps its row at n_clean=0 — the round-12 synthetic-sf1 edge; an
+    # ABSENT split emits nothing, matching the oracle's GROUP BY split).
+    rows = F.array(
+        F.struct(
+            F.lit("test").alias("split"),
+            F.col("_test_docs").alias("n_docs"),
+            F.coalesce(F.col("_test_clean"), F.lit(0).cast("long")).alias(
+                "n_clean"
+            ),
+        ),
+        F.struct(
+            F.lit("train").alias("split"),
+            F.col("_train_docs").alias("n_docs"),
+            F.col("_train_docs").alias("n_clean"),
+        ),
+    )
     return (
-        per_split.join(clean_counts, "split", "left")
-        .withColumn("n_clean", F.coalesce(F.col("n_clean"), F.lit(0).cast("long")))
+        summary.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .where(F.col("n_docs") > 0)
         .orderBy("split")
     )
 

@@ -146,6 +146,40 @@ def test_train_test_split_is_leak_free(spark):
     assert test_clean.count() == out["test"].n_clean
 
 
+def test_train_test_split_fully_leaked_keeps_zero_clean_row(spark, tmp_path):
+    """The r12 single-aggregate rewrite must keep the fully-leaked edge
+    the old join shape was patched for: when every test text also exists
+    in train, the test row survives with n_clean=0 (not a dropped row),
+    and null-text docs keep the JOIN's null semantics (a null
+    fingerprint never matches train, so those test docs stay clean)."""
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
+
+    # One shared text for ids 0..199 guarantees both splits hold it;
+    # a few null texts ride along to pin the null-fingerprint path.
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 196, F.lit("identical corpus text")).alias("text"),
+    )
+    d = str(tmp_path / "leak")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {r.split: r for r in QUERIES["train_test_split_leakfree"](spark, d).collect()}
+    assert set(out) == {"train", "test"}
+    assert out["train"].n_clean == out["train"].n_docs
+    # every non-null-text test doc leaks; null-text test docs stay clean
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    flags = docs.select((u < 0.8).alias("is_train"), F.col("text").isNull().alias("no_text"))
+    n_test_null = flags.where(~F.col("is_train") & F.col("no_text")).count()
+    n_test = flags.where(~F.col("is_train")).count()
+    assert out["test"].n_docs == n_test
+    assert out["test"].n_clean == n_test_null
+
+
 def test_sample_stratified_quota_and_determinism(spark):
     from amazon_kinesis_analytics_streaming_etl_spark.plans.catalog import QUERIES
     from amazon_kinesis_analytics_streaming_etl_spark.plans.prep import _STRAT_N
