@@ -3561,25 +3561,45 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit — orphaned-FK counts for the three
     core relationships, the first data-quality gate after any ingest or
     backfill (a nonzero row means a partial load or a deleted parent).
-    Each check is ONE left-anti join on the FK (hash-shuffled
-    co-partitioned; the nation side broadcasts at dimension size) and a
-    count — no row materialization, partial-aggregable. Adding a
-    relationship adds one anti-join, never a rescan of existing ones."""
+    Each check is ONE pass over the child (r12; the previous anti-join +
+    separate total pair scanned every child twice): per-FK counts
+    aggregate map-side first, the distinct-key table left-joins the
+    parent's key set (hash co-partitioned; nation broadcasts at
+    dimension size), and both outputs fall out of one sum — orphans are
+    the count mass on keys with no parent. The shuffle carries one row
+    per DISTINCT key instead of one per child row. Adding a
+    relationship adds one key join, never a rescan of existing ones."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
 
     def audit(child, parent, ck, pk, name, bcast=False):
-        p = F.broadcast(parent) if bcast else parent
-        orphans = child.join(
-            p, child[ck] == p[pk], "left_anti"
-        ).agg(F.count("*").cast("long").alias("n_orphans"))
-        total = child.agg(F.count("*").cast("long").alias("n_child_rows"))
+        # .distinct() keeps the anti-join's any-match semantics even if
+        # a parent key ever duplicated; on a key-only projection it is
+        # one map-combinable aggregate.
+        p = parent.distinct()
+        if bcast:
+            p = F.broadcast(p)
+        per_key = child.groupBy(F.col(ck).alias("_k")).agg(
+            F.count("*").alias("_cnt")
+        )
         return (
-            orphans.crossJoin(F.broadcast(total))
+            per_key.join(p, per_key["_k"] == p[pk], "left")
+            .agg(
+                F.sum(F.when(p[pk].isNull(), F.col("_cnt")))
+                .cast("long")
+                .alias("n_orphans"),
+                F.sum("_cnt").cast("long").alias("n_child_rows"),
+            )
             .select(
-                F.lit(name).alias("relation"), "n_orphans", "n_child_rows"
+                F.lit(name).alias("relation"),
+                F.coalesce(F.col("n_orphans"), F.lit(0).cast("long")).alias(
+                    "n_orphans"
+                ),
+                F.coalesce(F.col("n_child_rows"), F.lit(0).cast("long")).alias(
+                    "n_child_rows"
+                ),
             )
         )
 
