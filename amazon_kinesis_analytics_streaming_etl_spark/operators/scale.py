@@ -358,7 +358,7 @@ def global_cumsum(
 
 def bucketed_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_cols: str | list[str],
     value_col: str,
     cumsum_col: str = "cumsum",
     bucket_width: float = 1.0,
@@ -389,16 +389,19 @@ def bucketed_cumsum(
     domains); keep :func:`global_cumsum` for DATA-sized order domains
     (doc ids, byte offsets) where the bucket frame would not be bounded.
 
-    Same contract as :func:`global_cumsum`: ``order_col`` values must be
-    unique per row (callers aggregate to the distinct domain first);
-    null ``value_col`` contributes 0 (JVM SUM skips nulls; NaN is masked
-    to null to match the Python form's ``fillna(0)``); integral value
-    columns produce a ``long`` cumsum, everything else ``double``.
-    ``exclusive=True`` gives the strict-predecessor form (0 for the
-    first row, matching ``coalesce(sum ... 1 PRECEDING, 0)``).
+    Same contract as :func:`global_cumsum`: the ``order_cols``
+    combination must be unique per row (a single domain column after a
+    distinct-value aggregate, or a numeric lead column plus tie-breaking
+    keys — the bucket derives from the FIRST column, which must be
+    numeric); null ``value_col`` contributes 0 (JVM SUM skips nulls;
+    NaN is masked to null to match the Python form's ``fillna(0)``);
+    integral value columns produce a ``long`` cumsum, everything else
+    ``double``. ``exclusive=True`` gives the strict-predecessor form (0
+    for the first row, matching ``coalesce(sum ... 1 PRECEDING, 0)``).
     """
     from pyspark.sql import types as T
 
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     integral = isinstance(
         df.schema[value_col].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
@@ -410,9 +413,9 @@ def bucketed_cumsum(
         val = F.when(~F.isnan(val.cast("double")), val)
 
     d = df.withColumn(
-        "_bkt", F.floor(F.col(order_col) / F.lit(float(bucket_width)))
+        "_bkt", F.floor(F.col(cols[0]) / F.lit(float(bucket_width)))
     )
-    wb = Window.partitionBy("_bkt").orderBy(order_col)
+    wb = Window.partitionBy("_bkt").orderBy(*cols)
     frame = wb.rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
     offsets = (
         d.groupBy("_bkt")
@@ -438,6 +441,58 @@ def bucketed_cumsum(
                 F.col("_boff") + F.coalesce(F.sum(val).over(frame), F.lit(0))
             ).cast(sum_type),
         )
+        .drop("_bkt", "_boff")
+    )
+
+
+def bucketed_cummax(
+    df: DataFrame,
+    order_cols: str | list[str],
+    value_col: str,
+    cummax_col: str = "cummax",
+    bucket_width: float = 1.0,
+    exclusive: bool = False,
+) -> DataFrame:
+    """``MAX(value) OVER (ORDER BY ...)`` for DOMAIN-BOUNDED numeric
+    lead order keys — the running-extreme sibling of
+    :func:`bucketed_cumsum` (r12), with max's algebra substituted for
+    sum's: the cross-bucket combine is ``greatest`` (null-skipping, so
+    an empty predecessor frame or all-null bucket contributes nothing)
+    and the identity is NULL instead of 0 — the first global row's
+    exclusive cummax is NULL, matching :func:`global_cummax` and the
+    SQL frame's value for an empty frame. Values carry as double
+    (exact for integrals below 2^53); nulls in ``value_col`` are
+    ignored and NaN is masked to null (JVM MAX would otherwise elect
+    NaN). Same boundedness contract as :func:`bucketed_cumsum`: the
+    FIRST order column must be numeric with a domain-bounded
+    ``range / bucket_width`` bucket frame.
+    """
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    val = F.col(value_col).cast("double")
+    val = F.when(~F.isnan(val), val)
+
+    d = df.withColumn(
+        "_bkt", F.floor(F.col(cols[0]) / F.lit(float(bucket_width)))
+    )
+    wb = Window.partitionBy("_bkt").orderBy(*cols)
+    frame = wb.rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    offsets = (
+        d.groupBy("_bkt")
+        .agg(F.max(val).alias("_bm"))
+        .withColumn(
+            "_boff",
+            F.max("_bm").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_bkt", "_boff")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_bkt")
+        .withColumn(cummax_col, F.greatest(F.col("_boff"), F.max(val).over(frame)))
         .drop("_bkt", "_boff")
     )
 

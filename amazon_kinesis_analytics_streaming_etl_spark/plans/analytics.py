@@ -1718,8 +1718,9 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     of all STRICT predecessors (after distinct, an equal-size
     predecessor is strictly cheaper, i.e. dominating — so the <=
     rejection is exact). The running max is
-    operators/scale.py:global_cummax — one range shuffle, no
-    single-partition window, no pairwise join — O(n log n) total and
+    operators/scale.py:bucketed_cummax — a pure-JVM two-level prefix
+    over the bounded price domain, no single-partition window over the
+    pairs, no pairwise join — O(n log n) total and
     scale-safe at any frontier size (anti-correlated data degrades the
     OUTPUT, never the plan). Frontier pairs then semi-join back to
     recover every tied part row; the frontier side is broadcast (a
@@ -1727,15 +1728,20 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarial frontiers are |distinct pairs| at worst, which AQE
     would demote to a shuffle join).
     """
-    from ..operators.scale import global_cummax
+    from ..operators.scale import bucketed_cummax
 
     part = _t(spark, sf_dir, "part")
     pairs = part.select("p_retailprice", "p_size").distinct()
-    ranked = global_cummax(
+    # distinct (price, size) pairs are bounded by the price x size
+    # DOMAIN product, and $1-wide price buckets bound the offsets frame
+    # by the price range — the pure-JVM running max (r12; was
+    # global_cummax's Python pass + checkpoint)
+    ranked = bucketed_cummax(
         pairs.withColumn("_neg_size", -F.col("p_size").cast("double")),
         ["p_retailprice", "_neg_size"],
         "p_size",
         cummax_col="_prior_max",
+        bucket_width=1.0,
         exclusive=True,
     )
     frontier = ranked.where(

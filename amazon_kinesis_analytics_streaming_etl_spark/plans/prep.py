@@ -777,13 +777,14 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: scores collapse to distinct values first (one hash
     aggregate), midranks come from the EXCLUSIVE distributed running
-    count (operators/scale.py:global_cumsum — one range shuffle, no
-    single-partition ORDER BY even at billions of distinct scores),
+    count (operators/scale.py:bucketed_cumsum — a pure-JVM two-level
+    prefix over the quantization-bounded score domain, no
+    single-partition ORDER BY over the data even at billions of rows),
     and the final reduction is a 1-row aggregate. Counts are exact
     integers; the one float division is the last step, so both engines
     agree to float64 ulps.
     """
-    from ..operators.scale import global_cumsum
+    from ..operators.scale import bucketed_cumsum
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     s = emb.select(
@@ -795,7 +796,13 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("score").agg(
         F.count("*").alias("n"), F.sum("y").alias("npos")
     )
-    r = global_cumsum(g, "score", "n", cumsum_col="bef", exclusive=True)
+    # scores are unit-interval components quantized to 6dp: 1/64-wide
+    # buckets bound the offsets frame by the score domain (<= 128 rows
+    # for [-1, 1]) and each bucket at <= 15625 quantized values — the
+    # pure-JVM prefix (r12; was global_cumsum's Python pass)
+    r = bucketed_cumsum(
+        g, "score", "n", cumsum_col="bef", bucket_width=1.0 / 64, exclusive=True
+    )
     npos = F.sum("npos")
     ntot = F.sum("n")
     rpos = F.sum(F.col("npos") * (F.col("bef") + (F.col("n") + 1) / 2.0))

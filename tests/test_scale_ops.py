@@ -406,6 +406,64 @@ def test_bucketed_cumsum_matches_global_cumsum(spark):
     run()
 
 
+def test_bucketed_cummax_matches_sequential_reference(spark):
+    """Property: the pure-JVM two-level bucketed cummax (r12) equals a
+    sequential running max under (lead, tie) order — negative keys,
+    several widths, null/NaN values, both frames; the first row's
+    exclusive cummax is NULL (empty frame), matching global_cummax."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.scale import (
+        bucketed_cummax,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(-500, 500),   # lead key, scaled /7
+                st.integers(0, 3),        # tie-breaker
+                st.one_of(st.none(), st.integers(-9, 9)),
+            ),
+            min_size=1,
+            max_size=50,
+            unique_by=lambda t: (t[0], t[1]),
+        ),
+        st.sampled_from([0.5, 64.0]),
+        st.booleans(),  # exclusive
+    )
+    def run(rows, width, exclusive):
+        pdf = pd.DataFrame(rows, columns=["k", "t", "v"])
+        pdf["k"] = pdf["k"] / 7.0
+        pdf["v"] = [float("nan") if v is None else float(v) for v in pdf["v"]]
+        df = spark.createDataFrame(pdf)
+        got = {
+            (r.k, r.t): r.cm
+            for r in bucketed_cummax(
+                df, ["k", "t"], "v", "cm", bucket_width=width,
+                exclusive=exclusive,
+            ).collect()
+        }
+        ref, run_max = {}, None
+        for k, t, v in sorted(zip(pdf["k"], pdf["t"], pdf["v"])):
+            contrib = None if pd.isna(v) else v
+            if exclusive:
+                ref[(k, t)] = run_max
+            if contrib is not None:
+                run_max = contrib if run_max is None else max(run_max, contrib)
+            if not exclusive:
+                ref[(k, t)] = run_max
+        assert set(got) == set(ref)
+        for key in ref:
+            if ref[key] is None:
+                assert got[key] is None, (key, got[key])
+            else:
+                assert got[key] == ref[key], (key, got[key], ref[key], width)
+
+    run()
+
+
 def test_quantile_bucket_binary_search_matches_searchsorted(spark):
     """_with_bucket_col's O(bits)-per-row binary search must equal the
     definitional bucket id — count of boundaries <= value, capped at
