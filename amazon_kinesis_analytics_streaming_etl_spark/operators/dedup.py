@@ -264,9 +264,17 @@ def ngram_jaccard_pairs_prefix(
     lists), verify joins (keyed by doc id). Nothing is broadcast."""
     sh = _shingled(df, text_col, id_col, k)
     inv = sh.select("_id", F.explode("_h").alias("_shash"))
-    dfreq = inv.groupBy("_shash").agg(F.count("*").alias("_df"))
+    # Document frequency as ONE count-over-window keyed by shingle hash
+    # (r12, the span-coverage precedent): the previous groupBy + join
+    # back exploded the postings twice and shuffled them twice — the
+    # near-unique shingle hashes barely compress under partial agg, so
+    # the aggregate's exchange carried ~|postings| rows as well.
+    # Measured 1.26 -> 0.92 s for the piece at sf0.1; same rows by
+    # construction (count per hash attached to each posting).
     ordered = (
-        inv.join(dfreq, "_shash")
+        inv.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("_shash"))
+        )
         .groupBy("_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("_df", "_shash"))).alias("_os"),
