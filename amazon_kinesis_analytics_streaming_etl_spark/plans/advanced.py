@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators.merge import merge_changes
 from ..operators.rangejoin import interval_join
-from ..schemas import load_events
+from ..schemas import load_events, read_sf_parquet
 from .relational import register
 
 
@@ -92,7 +92,7 @@ def cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap, like a later CDC event — inserts at keys %23 shifted) is
     applied via anti-join + union (operators/merge.py), then rolled up
     per segment so the gate compares a compact result."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_sf_parquet(spark, sf_dir, "customer")
     updates = (
         cust.where((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 17 != 0))
         .withColumn("c_acctbal", F.col("c_acctbal") + 100)
@@ -139,7 +139,7 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserting the KLL/GK approx answer lands within 1% of exact, so the
     sketch's quality is part of the gate without putting its engine-
     specific value in the hash."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_sf_parquet(spark, sf_dir, "lineitem")
     exact = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     approx = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
@@ -286,7 +286,7 @@ def heavy_hitters_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     question."""
     from ..operators.sketch import heavy_hitters
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_sf_parquet(spark, sf_dir, "documents")
     return heavy_hitters(docs, "lang", 6).orderBy("key")
 
 
@@ -347,7 +347,7 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans the anti join fine."""
     from ..operators.merge import merge_changes
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_sf_parquet(spark, sf_dir, "customer")
     updates = (
         cust.where((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 17 != 0))
         .withColumn("c_acctbal", F.col("c_acctbal") + 100)
@@ -431,7 +431,7 @@ def sketch_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     the diff, 0.32% of the union; sf0.01 sits below the 4096 nominal
     entries, exact mode, zero error).
     """
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = read_sf_parquet(spark, sf_dir, "orders")
     sk = o.agg(
         F.theta_sketch_agg(
             F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..schemas import load_events
+from ..schemas import load_events, read_sf_parquet
 from .relational import _t, register
 
 
@@ -304,7 +304,7 @@ def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: 1-row min/max aggregate broadcast onto the scan (whitelisted
     1-row BNLJ), then a hash aggregate on 20 keys with map-side partial
     aggregation — two passes over the column, zero wide shuffles."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_sf_parquet(spark, sf_dir, "lineitem")
     m = li.agg(
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
     )
@@ -422,7 +422,7 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     out to one row per column — vs the oracle's 4 scans. At 100 TB the
     exact multi-distinct is the knob to watch: swap count_distinct for
     approx_count_distinct when profiling, the shape is unchanged."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = read_sf_parquet(spark, sf_dir, "orders")
     a = o.agg(
         F.count(F.lit(1)).alias("rows"),
         F.count("o_custkey").alias("c1"),

@@ -19,11 +19,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import lower_tokens, word_shingles
+from ..schemas import read_sf_parquet
 from .relational import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_sf_parquet(spark, sf_dir, "documents")
 
 
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,7 +315,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     max) — the sanity check before cosine ops assume unit-ish norms.
     F.aggregate over the array keeps it JVM-side and shuffle-free until
     the per-label rollup."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_sf_parquet(spark, sf_dir, "embeddings")
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),

@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..schemas import read_sf_parquet
 from .relational import register
 
 
@@ -86,7 +87,7 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["l_extendedprice", "l_quantity"]
     n_files = 32
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    df = read_sf_parquet(spark, sf_dir, "lineitem").select(
         "l_orderkey", *cols
     )
     src_rows = df.count()
@@ -196,7 +197,7 @@ def io_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``SELECT * FROM nation`` hash-checks every cell through every codec.
     The result is localCheckpointed before the scratch dirs are removed
     (bounded: |nation| = 25 rows at every SF)."""
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = read_sf_parquet(spark, sf_dir, "nation")
     cols = nation.columns
     root = tempfile.mkdtemp(prefix="io_roundtrip_")
     try:
@@ -254,8 +255,8 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides on a genuinely cross-engine result."""
     from ..operators.scale import read_table, write_bucketed
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = read_sf_parquet(spark, sf_dir, "lineitem")
+    o = read_sf_parquet(spark, sf_dir, "orders")
     t_li, t_o = "layout_bj_li", "layout_bj_o"
     try:
         write_bucketed(
@@ -326,7 +327,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     automatically when the m >= 1024 floor makes the filter sparser."""
     from ..operators.scale import bloom_build, bloom_prefilter
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = read_sf_parquet(spark, sf_dir, "orders")
     # localCheckpoint both diamond-reused intermediates (the
     # triangle_count rule): keys feeds four consumers (count,
     # bloom_build, both joins) and the Arrow-UDF bloom probe is the
@@ -347,7 +348,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below m/10 when the 1024-bit floor engaged)
     fp_design = (1.0 - math.exp(-7.0 * n / num_bits)) ** 7
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_sf_parquet(spark, sf_dir, "lineitem")
     pre = bloom_prefilter(li, "l_orderkey", bitmap, num_bits).localCheckpoint(
         eager=False
     )
@@ -410,7 +411,7 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     write; this query pins that the cheap path gives the right answer.
     Result is localCheckpointed before the scratch dir is removed
     (bounded: |nation| = 25 rows at every SF)."""
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = read_sf_parquet(spark, sf_dir, "nation")
     root = tempfile.mkdtemp(prefix="io_evolve_")
     try:
         old = nation.where(F.col("n_nationkey") < 13).select(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..schemas import read_sf_parquet
 from .relational import register
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
@@ -77,7 +78,7 @@ def tfidf_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     df table is vocabulary-sized — broadcastable in practice), and a
     per-doc top-3 window. No all-pairs anything; everything keys on
     doc_id or token."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_sf_parquet(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
@@ -154,7 +155,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _eq(term: str):
         return lambda x: x == F.lit(term)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_sf_parquet(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.size(_tokens(F.col("text"))).cast("double").alias("dl"),
@@ -255,7 +256,7 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield doc_id, i, len(part), " ".join(part)
 
     spark.udtf.register("chunk_doc", ChunkDoc)
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+    read_sf_parquet(spark, sf_dir, "documents").createOrReplaceTempView(
         "_lex_docs"
     )
     return spark.sql(
@@ -340,7 +341,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_neg_lex"
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_sf_parquet(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]

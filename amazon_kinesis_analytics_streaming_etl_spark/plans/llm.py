@@ -44,6 +44,7 @@ from ..operators.multimodal import (
     synthetic_media,
 )
 from ..operators.similarity import brute_force_topk, lsh_topk, topk_pairs_per_group
+from ..schemas import read_sf_parquet
 from .relational import register
 
 # Deterministic LSH hyperplanes (seeded; 64-dim embeddings).
@@ -108,11 +109,11 @@ def _restrict_pairs(pairs: DataFrame, ids: DataFrame, id_name: str) -> DataFrame
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_sf_parquet(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_sf_parquet(spark, sf_dir, "embeddings")
 
 
 # DuckDB twin of functions.text.normalized_text

@@ -25,13 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_md5, lower_tokens
-from ..schemas import load_events
+from ..schemas import load_events, read_sf_parquet
 from ..operators.scale import global_cumsum
 from .relational import _t, register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_sf_parquet(spark, sf_dir, "documents")
 
 
 # --------------------------------------------------------------------------
@@ -138,7 +138,7 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row result. The oracle's UNION-ALL-of-scans form is the semantics;
     the engine pays one scan regardless of rule count.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_sf_parquet(spark, sf_dir, "lineitem")
     aggs = [F.count("*").alias("_n")] + [
         F.sum(F.when(~F.expr(pred), 1).otherwise(0))
         .cast("long")
@@ -786,7 +786,7 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.scale import bucketed_cumsum
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_sf_parquet(spark, sf_dir, "embeddings")
     s = emb.select(
         F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
         F.when(F.col("label") == _AUC_POS_LABEL, F.lit(1))
@@ -860,7 +860,7 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate down to B rows. Bin means go through the float32 squash +
     half-tie epsilon, the repo's cross-engine summation contract.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_sf_parquet(spark, sf_dir, "embeddings")
     s = emb.select(
         F.round(F.col("embedding")[0].cast("double"), 6).alias("score"),
         F.when(F.col("label") == _AUC_POS_LABEL, F.lit(1.0))

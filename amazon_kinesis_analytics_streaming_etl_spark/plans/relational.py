@@ -41,7 +41,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from ..schemas import load_events
 
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..schemas import read_sf_parquet
+
+    return read_sf_parquet(spark, sf_dir, name)
 
 
 # --------------------------------------------------------------------------

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import load_events_stream
+from ..schemas import load_events_stream, read_sf_parquet
 from ..streaming.windows import (
     replay_to_memory,
     session_window_agg,
@@ -295,7 +295,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_enrich_events): per micro-batch the static dim is broadcast;
     the stream side never shuffles for the join."""
     stream = _events_stream(spark, sf_dir)
-    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = read_sf_parquet(spark, sf_dir, "customer")
     joined = stream_static_join(
         stream, F.broadcast(dim), stream.user_id == dim.c_custkey
     )

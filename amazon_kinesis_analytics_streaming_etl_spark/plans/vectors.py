@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..schemas import read_sf_parquet
 from .relational import register
 
 
@@ -55,7 +56,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles, output one row per vector. The floor(x+0.5) form is
     deliberately used instead of round(): identical IEEE inputs give
     identical results in every engine, so the oracle hash is stable."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_sf_parquet(spark, sf_dir, "embeddings")
     scale = (
         F.greatest(
             F.array_max(F.transform("embedding", lambda x: F.abs(x))),
@@ -128,7 +129,7 @@ def centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed shuffles, no collect, no all-pairs. (For very wide vectors,
     the applyInPandas/numpy per-label variant trades the explode for
     one grouped Arrow batch — same result, different constant.)"""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_sf_parquet(spark, sf_dir, "embeddings")
     x = emb.select(
         "vec_id",
         "label",
@@ -196,7 +197,7 @@ def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     a second column store."""
     from ..functions.vectors import cosine
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_sf_parquet(spark, sf_dir, "embeddings")
     to_d = F.transform("embedding", lambda x: x.cast("double"))
     a = emb.select(F.col("vec_id").alias("vec_id_a"), to_d.alias("ea"))
     b = emb.select((F.col("vec_id") - 250).alias("vec_id_a"),
@@ -242,7 +243,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a |dim|-key hash aggregate with map-side partials; std derives
     from the same sum/sum-sq decomposition both engines share. No joins,
     no driver traffic beyond |dim| result rows."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_sf_parquet(spark, sf_dir, "embeddings")
     d = emb.select(F.posexplode("embedding").alias("dim", "v0")).select(
         "dim", F.col("v0").cast("double").alias("v")
     )
@@ -326,7 +327,7 @@ def embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_sf_parquet(spark, sf_dir, "embeddings")
 
     def _partials(batches):
         S = None
@@ -435,7 +436,7 @@ def embedding_drift_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift reduce over the |labels| x |dims| frame and a |labels|-row
     join for cohort counts. No per-row vector math, no driver traffic
     beyond |labels| rows."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_sf_parquet(spark, sf_dir, "embeddings")
     d = emb.select(
         "label",
         (F.col("vec_id") % 2).alias("half"),
