@@ -379,14 +379,34 @@ def minhash_signature(
 
     @pandas_udf("array<bigint>")
     def _sig(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            if h is None or len(h) == 0:
-                out.append(None)
-                continue
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            prods = mult[:, None] * hv[None, :]  # wraps mod 2^64
-            out.append(prods.min(axis=1).view(np.int64).tolist())
+        # One flattened segment-min pass per batch (r12): the per-doc loop
+        # dispatched a tiny (H x S_doc) multiply+min per document, so the
+        # batch cost was Python-dispatch-bound at thousands of small docs.
+        # Flatten every doc's hashes into ONE array and run H vectorized
+        # multiply+minimum.reduceat sweeps over it (segment boundaries =
+        # doc starts) — identical uint64 wraparound products, identical
+        # per-segment mins, so signatures are bit-identical to the loop
+        # form (pinned by test_minhash_signature_vectorized_reference).
+        # Memory stays ~S_total x 8 bytes per sweep, not H x S_total.
+        n = len(hs)
+        out = [None] * n
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hs), dtype=np.int64, count=n
+        )
+        keep = np.flatnonzero(lens > 0)
+        if keep.size == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(hs.iloc[int(i)], dtype=np.int64) for i in keep]
+        ).view(np.uint64)
+        starts = np.zeros(keep.size, dtype=np.int64)
+        np.cumsum(lens[keep][:-1], out=starts[1:])
+        sig = np.empty((mult.size, keep.size), dtype=np.uint64)
+        for j in range(mult.size):
+            sig[j] = np.minimum.reduceat(mult[j] * flat, starts)
+        rows = sig.T.view(np.int64)
+        for pos, i in enumerate(keep):
+            out[int(i)] = rows[pos]
         return pd.Series(out)
 
     return sh.select(

@@ -743,3 +743,45 @@ def test_mmr_rerank_diversifies_vs_plain_topk(spark):
         emb, key=lambda i: (-(emb[i] @ q / (np.linalg.norm(emb[i]) * np.linalg.norm(q))), i)
     )[:10]
     assert mean_pairwise(ids) <= mean_pairwise(plain) + 1e-12
+
+
+def test_minhash_signature_vectorized_reference(spark):
+    """The r12 flattened reduceat signature body must be BIT-identical to
+    the per-doc loop it replaced (same uint64 wraparound products, same
+    per-segment mins), including None-signature handling for empty and
+    whitespace-only docs."""
+    import numpy as np
+
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.text import (
+        shingle_hashes,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        _minhash_multipliers,
+        minhash_signature,
+    )
+
+    docs = _mk_docs(n=40)
+    # empty / whitespace-only docs produce empty shingle arrays -> NULL sig;
+    # a one-word doc exercises the single-shingle (k-truncated) edge.
+    rows = docs + [(1000, ""), (1001, "   "), (1002, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        r["_id"]: r["signature"]
+        for r in minhash_signature(df, "text", "doc_id", num_hashes=64, k=3).collect()
+    }
+
+    # independent reference: JVM shingle hashes -> the old per-doc loop
+    mult = _minhash_multipliers(64)
+    ref_rows = df.select(
+        F.col("doc_id").alias("_id"), shingle_hashes(F.col("text"), 3).alias("_h")
+    ).collect()
+    for r in ref_rows:
+        h = r["_h"]
+        if h is None or len(h) == 0:
+            assert got[r["_id"]] is None
+            continue
+        hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+        prods = mult[:, None] * hv[None, :]
+        expect = prods.min(axis=1).view(np.int64).tolist()
+        assert got[r["_id"]] == expect, r["_id"]
