@@ -468,11 +468,15 @@ def main() -> None:
     # is not query work; this extends the same rule to the Python side.
     # One trivial pandas_udf over defaultParallelism partitions forks
     # every worker once; queries then measure computation, not forks.
+    # (pandas is imported here, not at module top, so the type hints
+    # resolve in this module's globals under `from __future__
+    # import annotations` without paying the import before argv checks.)
+    global pd
+    import pandas as pd
     from pyspark.sql import functions as _F
-    import pandas as _pd
 
     @_F.pandas_udf("long")
-    def _warm(s: _pd.Series) -> _pd.Series:
+    def _warm(s: pd.Series) -> pd.Series:
         return s
 
     (
