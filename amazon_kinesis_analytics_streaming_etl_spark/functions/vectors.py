@@ -66,6 +66,80 @@ def l2sq(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _double_sql(x: float) -> str:
+    """SQL text that lexes to EXACTLY this IEEE-754 double. ``repr`` emits
+    the shortest decimal string that round-trips in Python, and Spark's
+    lexer hands exponent-form numeric literals to Java ``Double.valueOf``,
+    which returns the nearest double — the same value. An ``E0`` marker is
+    appended when ``repr`` has no exponent so the literal lexes as DOUBLE
+    (bare decimals like ``1.5`` lex as DECIMAL in Spark SQL)."""
+    import math
+
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite plane component: {x!r}")
+    s = repr(v)
+    return s if ("e" in s or "E" in s) else s + "E0"
+
+
+def _array_double_sql(vals: list[float]) -> str:
+    """An ``array<double>`` literal as SQL text (bit-exact components)."""
+    return "ARRAY(" + ",".join(_double_sql(v) for v in vals) + ")"
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-text twin of :func:`dot` — same zip_with+aggregate fold, same
+    per-element cast order, so the float result is bit-identical."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a_sql: str) -> str:
+    """SQL-text twin of :func:`norm` (same fold order)."""
+    return (
+        f"SQRT(aggregate({a_sql}, CAST(0 AS DOUBLE), (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def cosine_to_query(vec_col: str, query_vec: list[float]) -> Column:
+    """``cosine(F.col(vec_col), F.lit(query_vec))`` as ONE parsed SQL
+    expression (one py4j round-trip instead of ~25 — r12 driver-side
+    construction cost; see :func:`_sign_bits_sql`). Bit-identical to the
+    Column-API form: same dot/norm folds in the same float order, same
+    duplicated-denominator CASE shape, same zero-norm -> NULL contract
+    (pinned by tests/test_vectors_sql_form.py)."""
+    a = f"`{vec_col}`"
+    b = _array_double_sql(query_vec)
+    denom = f"({_norm_sql(a)} * {_norm_sql(b)})"
+    return F.expr(
+        f"CASE WHEN {denom} != CAST(0 AS DOUBLE) "
+        f"THEN {_dot_sql(a, b)} / {denom} END"
+    )
+
+
+def _sign_bits_sql(col_name: str, planes: list[list[float]]) -> str:
+    """The :func:`sign_bits` expression as ONE SQL string — same Catalyst
+    tree as the Column-API form after constant folding (each plane is an
+    array literal; the per-plane dot is the same zip_with+aggregate fold
+    in the same float order; the bit packing is the same left-associated
+    long-add chain), built in one py4j round-trip instead of ~12 per
+    plane (r12: driver-side construction cost — the suite spent more
+    wall-clock in py4j socket round-trips than in executors; guide §1.2
+    applied to the DRIVER's per-query work). Bit-equality of the two
+    forms is pinned by tests/test_vectors_sql_form.py."""
+    col = f"`{col_name}`"
+    terms = ["CAST(0 AS BIGINT)"]
+    for i, plane in enumerate(planes):
+        d = _dot_sql(col, _array_double_sql(plane))
+        bit = f"(CASE WHEN {d} >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        terms.append(f"({bit} * CAST({int(2 ** i)} AS BIGINT))")
+    return " + ".join(terms)
+
+
 def sign_bits(a: Column | str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed as a
     long. ``planes`` is a small deterministic list (seeded off-line), so the
@@ -73,8 +147,15 @@ def sign_bits(a: Column | str, planes: list[list[float]]) -> Column:
 
     Scale path for ANN: group vectors by signature bucket; compare only
     within buckets (and neighboring probes) instead of all pairs.
+
+    Given a column NAME, the whole signature is built as one parsed SQL
+    expression (one py4j round-trip — see :func:`_sign_bits_sql`); given
+    an arbitrary ``Column``, the equivalent expression is assembled
+    through the Column API. Both forms produce bit-identical signatures
+    (same dot-fold order, same integer packing).
     """
-    a = F.col(a) if isinstance(a, str) else a
+    if isinstance(a, str):
+        return F.expr(_sign_bits_sql(a, planes))
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         # one array-literal node per plane (not dim lit nodes — plan size)
@@ -110,5 +191,10 @@ def sign_bits_tables(
     computed in a single JVM projection pass; downstream ops explode the
     array with its table index so buckets from different tables never
     collide with each other."""
-    a = F.col(a) if isinstance(a, str) else a
+    if isinstance(a, str):
+        return F.expr(
+            "ARRAY("
+            + ",".join(_sign_bits_sql(a, planes) for planes in tables)
+            + ")"
+        )
     return F.array(*[sign_bits(a, planes) for planes in tables])

@@ -973,7 +973,7 @@ def embedding_near_dup_pairs_multitable(
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     # Materialize signatures once before the explode (same discipline as
     # minhash_lsh_candidates: don't recompute L x b plane dots per pair).
-    sigs = base.withColumn("_sigs", sign_bits_tables(F.col("_v"), tables)).persist()
+    sigs = base.withColumn("_sigs", sign_bits_tables("_v", tables)).persist()
     bucketed = sigs.select(
         "_id", F.posexplode("_sigs").alias("_tbl", "_sig")
     )

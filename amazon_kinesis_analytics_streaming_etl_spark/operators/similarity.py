@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, sign_bits
+from ..functions.vectors import cosine, cosine_to_query, sign_bits
 
 
 def _query_lit(query_vec: list[float]):
@@ -47,7 +47,7 @@ def brute_force_topk(
     """
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
+        F.round(cosine_to_query(vec_col, query_vec), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -86,13 +86,13 @@ def lsh_topk(
                 s ^= 1 << b
             probes.add(s)
 
-    sig = sign_bits(F.col(vec_col), planes)
+    sig = sign_bits(vec_col, planes)
     cand = df.withColumn("_sig", sig).where(
         F.col("_sig").isin([int(p) for p in probes])
     )
     scored = cand.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
+        F.round(cosine_to_query(vec_col, query_vec), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -137,11 +137,11 @@ def lsh_topk_multitable(
 
     cond = None
     for planes in tables:
-        hit = sign_bits(F.col(vec_col), planes).isin(probes_for(planes))
+        hit = sign_bits(vec_col, planes).isin(probes_for(planes))
         cond = hit if cond is None else (cond | hit)
     scored = df.where(cond).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
+        F.round(cosine_to_query(vec_col, query_vec), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -216,7 +216,7 @@ def ivf_topk(
     )
     scored = cand.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
+        F.round(cosine_to_query(vec_col, query_vec), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -537,7 +537,7 @@ def pq_topk(
     cand_ids = [int(r[0]) for r in shortlist]
     scored = df.where(F.col(id_col).isin(cand_ids)).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), _query_lit(query_vec)), 6).alias("cos_sim"),
+        F.round(cosine_to_query(vec_col, query_vec), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -618,7 +618,7 @@ def ann_recall_eval(
     """
     if query_pred is None:
         query_pred = (F.col(id_col) % 50) == 0
-    sig = sign_bits(F.col(vec_col), planes)
+    sig = sign_bits(vec_col, planes)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

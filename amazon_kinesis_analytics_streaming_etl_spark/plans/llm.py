@@ -700,7 +700,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import sign_bits
 
     emb = _emb(spark, sf_dir).withColumn(
-        "_bucket", sign_bits(F.col("embedding"), LSH_PLANES)
+        "_bucket", sign_bits("embedding", LSH_PLANES)
     )
     found = embedding_near_dup_pairs(emb, block_col="_bucket", threshold=0.3)
     # one margined twin: the >=0.3 slice is the DuckDB-comparable count;
@@ -819,7 +819,7 @@ def dedup_embedding_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, LSH_TABLES, threshold=0.3
     )
     single = embedding_near_dup_pairs(
-        emb.withColumn("_bucket", sign_bits(F.col("embedding"), LSH_PLANES)),
+        emb.withColumn("_bucket", sign_bits("embedding", LSH_PLANES)),
         block_col="_bucket",
         threshold=0.3,
     )

@@ -1,0 +1,122 @@
+"""The one-round-trip SQL form of sign_bits / sign_bits_tables must be
+bit-identical to the Column-API form (r12: driver-side construction was
+rebuilt as one parsed expression; the VALUES must not move by a single
+bit — the LSH bucket assignment feeds oracle-gated queries)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_kinesis_analytics_streaming_etl_spark.functions.vectors import (
+    _double_sql,
+    sign_bits,
+    sign_bits_tables,
+)
+
+
+def _planes(n_bits: int, dim: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def test_double_sql_round_trips_exactly(spark):
+    # Adversarial doubles: exponent reprs, integral floats, negatives,
+    # denormals, a value at the repr-shortening boundary.
+    vals = [
+        0.1,
+        -0.1,
+        2.0,
+        -2.0,
+        1e-17,
+        -1e22,
+        5e-324,
+        1.7976931348623157e308,
+        0.30000000000000004,
+        -0.0,
+        123456789.123456789,
+    ]
+    exprs = ",".join(_double_sql(v) for v in vals)
+    row = spark.sql(f"SELECT ARRAY({exprs}) AS a").head()
+    got = row["a"]
+    for v, g in zip(vals, got):
+        # bit equality (0.0 == -0.0 under ==, so compare the bit patterns)
+        import struct
+
+        assert struct.pack("<d", g) == struct.pack("<d", float(v)), (v, g)
+
+
+def test_double_sql_rejects_non_finite():
+    with pytest.raises(ValueError):
+        _double_sql(math.inf)
+    with pytest.raises(ValueError):
+        _double_sql(math.nan)
+
+
+@pytest.mark.parametrize("n_bits,dim", [(8, 64), (16, 8), (1, 3)])
+def test_sign_bits_sql_form_matches_column_form(spark, n_bits, dim):
+    planes = _planes(n_bits, dim, seed=n_bits * 100 + dim)
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    both = df.select(
+        "id",
+        sign_bits("v", planes).alias("sql_form"),
+        sign_bits(F.col("v"), planes).alias("col_form"),
+    ).collect()
+    assert all(r["sql_form"] == r["col_form"] for r in both)
+    # non-degenerate: more than one bucket over 200 gaussian vectors
+    assert len({r["sql_form"] for r in both}) > 1
+
+
+def test_sign_bits_tables_sql_form_matches_column_form(spark):
+    tables = [_planes(8, 16, seed=s) for s in range(4)]
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(16)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    both = df.select(
+        "id",
+        sign_bits_tables("v", tables).alias("sql_form"),
+        sign_bits_tables(F.col("v"), tables).alias("col_form"),
+    ).collect()
+    assert all(list(r["sql_form"]) == list(r["col_form"]) for r in both)
+
+
+def test_cosine_to_query_matches_column_form(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.vectors import (
+        cosine,
+        cosine_to_query,
+    )
+
+    rng = random.Random(5)
+    dim = 32
+    qvec = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(150)]
+    rows.append((150, [0.0] * dim))  # zero norm -> NULL contract
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    both = df.select(
+        "id",
+        cosine_to_query("v", qvec).alias("sql_form"),
+        cosine(F.col("v"), F.lit([float(x) for x in qvec])).alias("col_form"),
+    ).collect()
+    for r in both:
+        assert r["sql_form"] == r["col_form"], r
+    assert both[-1]["sql_form"] is None  # zero-norm row
+
+
+def test_sign_bits_sql_form_on_float_arrays(spark):
+    # The real embeddings tables carry array<float>; the zip_with lambda
+    # casts elementwise, so float inputs must behave identically too.
+    planes = _planes(8, 4, seed=3)
+    rows = [(i, [float(i) * 0.25 - 1.5, -0.5, 0.125, 2.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    both = df.select(
+        sign_bits("v", planes).alias("sql_form"),
+        sign_bits(F.col("v"), planes).alias("col_form"),
+    ).collect()
+    assert all(r["sql_form"] == r["col_form"] for r in both)
