@@ -438,19 +438,25 @@ def minhash_lsh_candidates(
     # Band hash = xxhash64 over the band's signature slots, statically
     # unrolled with element_at — stays in numeric codegen (hashing a
     # sliced-array-cast-to-string serializes per band; ~2x slower).
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at("signature", b * rows_per_band + j + 1)
-                        for j in range(rows_per_band)
-                    ]
-                ).alias("band_hash"),
+    # Built as ONE parsed SQL expression (r12 driver-side construction
+    # cost, vectors._sign_bits_sql precedent): the Column-API unroll made
+    # ~8 py4j round-trips per band; the parsed tree is the same
+    # CreateNamedStruct/xxhash64(seed 42)/element_at chain, so band
+    # hashes are bit-identical (pinned by
+    # test_minhash_banding_sql_form_matches_column_api).
+    band_structs = F.expr(
+        "ARRAY("
+        + ",".join(
+            "NAMED_STRUCT('band', {b}, 'band_hash', XXHASH64({slots}))".format(
+                b=b,
+                slots=",".join(
+                    f"element_at(`signature`, {b * rows_per_band + j + 1})"
+                    for j in range(rows_per_band)
+                ),
             )
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = (
         signatures.where(F.col("signature").isNotNull())

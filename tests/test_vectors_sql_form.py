@@ -120,3 +120,60 @@ def test_sign_bits_sql_form_on_float_arrays(spark):
         sign_bits(F.col("v"), planes).alias("col_form"),
     ).collect()
     assert all(r["sql_form"] == r["col_form"] for r in both)
+
+
+def test_minhash_banding_sql_form_matches_column_api(spark):
+    # The r12 SQL-text banding in minhash_lsh_candidates must produce the
+    # same (band, band_hash) rows as the Column-API unroll it replaced.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    bands, num_hashes = 16, 64
+    rows_per_band = num_hashes // bands
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.randrange(-(2**62), 2**62) for _ in range(num_hashes)])
+        for i in range(60)
+    ]
+    rows.append((60, None))
+    sigs = spark.createDataFrame(rows, "_id long, signature array<bigint>")
+
+    legacy_band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("signature", b * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    legacy = (
+        sigs.where(F.col("signature").isNotNull())
+        .select("_id", F.explode(legacy_band_structs).alias("bh"))
+        .select("_id", "bh.band", "bh.band_hash")
+    )
+    legacy_a, legacy_b = legacy.alias("a"), legacy.alias("b")
+    legacy_pairs = (
+        legacy_a.join(
+            legacy_b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    new_pairs = minhash_lsh_candidates(sigs, bands=bands, num_hashes=num_hashes)
+    assert new_pairs.exceptAll(legacy_pairs).count() == 0
+    assert legacy_pairs.exceptAll(new_pairs).count() == 0
+    sigs.unpersist()
