@@ -105,6 +105,35 @@ def _norm_sql(a_sql: str) -> str:
     )
 
 
+def _nested_array_double_sql(vals) -> str:
+    if isinstance(vals, (list, tuple)):
+        return (
+            "ARRAY(" + ",".join(_nested_array_double_sql(v) for v in vals) + ")"
+        )
+    return _double_sql(vals)
+
+
+def array_double_lit(vals: list) -> Column:
+    """A (possibly nested) ``array<double>`` literal built as ONE parsed
+    SQL expression. ``F.lit(list)`` expands to ``array(lit, lit, ...)``
+    element-by-element over py4j — a 1,024-element nested codebook costs
+    thousands of driver round-trips per use (r12: the IVF/PQ family spent
+    2-3 s per query CONSTRUCTION in those conversions). The parsed
+    ``ARRAY(...)`` text constant-folds to the same CreateArray-of-Literals
+    tree with bit-identical components (:func:`_double_sql`). Empty (sub)
+    arrays fall back to ``F.lit`` — SQL ``ARRAY()`` types as
+    array<string>, not the array<double> the Column form infers."""
+
+    def _has_empty(v) -> bool:
+        return isinstance(v, (list, tuple)) and (
+            len(v) == 0 or any(_has_empty(x) for x in v)
+        )
+
+    if _has_empty(vals):
+        return F.lit(vals)
+    return F.expr(_nested_array_double_sql(vals))
+
+
 def cosine_to_query(vec_col: str, query_vec: list[float]) -> Column:
     """``cosine(F.col(vec_col), F.lit(query_vec))`` as ONE parsed SQL
     expression (one py4j round-trip instead of ~25 — r12 driver-side

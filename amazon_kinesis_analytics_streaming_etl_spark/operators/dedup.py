@@ -807,31 +807,34 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # inside whole-stage codegen (HOF lambdas are interpreted and ~2x
     # slower here). Partial aggregation collapses each doc's votes
     # map-side, so the shuffle is docs x 64 longs, not tokens.
-    masks = [1 << i if i < 63 else -(1 << 63) for i in range(64)]
+    #
+    # The 64 vote aggregates and the 64-term signature packing are built
+    # as parsed SQL text (r12 driver-side construction cost,
+    # vectors._sign_bits_sql precedent): the Column-API form made ~11,900
+    # py4j round-trips per call. shiftleft(CAST(1 AS BIGINT), i)
+    # constant-folds to exactly the old mask literals — including bit 63,
+    # where Java's long shift wraps to Long.MIN_VALUE == -(1 << 63) — so
+    # votes and signatures are bit-identical (pinned by
+    # test_simhash64_sql_form_matches_column_api).
     flat = df.select(
         F.col(id_col).alias("_id"),
         F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("_tok"),
     ).select("_id", F.xxhash64("_tok").alias("_th"))
     votes = flat.groupBy("_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.col("_th").bitwiseAND(F.lit(m).cast("long")) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"_v{i}")
-            for i, m in enumerate(masks)
+            F.expr(
+                "SUM(CASE WHEN (`_th` & shiftleft(CAST(1 AS BIGINT), "
+                f"{i})) != 0 THEN 1 ELSE -1 END) AS _v{i}"
+            )
+            for i in range(64)
         ]
     )
-    sig_terms = [
-        F.when(F.col(f"_v{i}") > 0, F.lit(m).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        for i, m in enumerate(masks)
-    ]
-    sig = sig_terms[0]
-    for term in sig_terms[1:]:
-        sig = sig + term
-    return votes.select("_id", sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN `_v{i}` > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(64)
+    )
+    return votes.select("_id", F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -23,13 +23,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, cosine_to_query, sign_bits
-
-
-def _query_lit(query_vec: list[float]):
-    # single array literal (one expression node), not array(lit, lit, ...):
-    # a 64-dim vector as 64 literal nodes measurably slows analysis/codegen
-    return F.lit([float(x) for x in query_vec])
+from ..functions.vectors import (
+    array_double_lit,
+    cosine,
+    cosine_to_query,
+    sign_bits,
+)
 
 
 def brute_force_topk(
@@ -276,7 +275,7 @@ def nearest_centroid(vec_col, centroids: list[list[float]]):
 
         return _assign(vec_col)
 
-    cent_lit = F.lit(normed)
+    cent_lit = array_double_lit(normed)
     dots = F.transform(
         cent_lit,
         lambda c: F.aggregate(
@@ -436,7 +435,7 @@ def pq_train_codebooks(
     try:
         ex.count()  # materialize once; every iteration re-reads the cache
         for _ in range(iters):
-            cb_lit = F.lit(codebooks)  # one literal node: m x ksub x d
+            cb_lit = array_double_lit(codebooks)  # one literal node: m x ksub x d
             sub_cb = F.element_at(cb_lit, F.col("sub") + 1)
             dists = F.transform(sub_cb, lambda c: l2sq(F.col("subvec"), c))
             code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -504,7 +503,7 @@ def pq_topk(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda i: F.slice(F.col(vec_col), i * F.lit(d) + 1, d),
     )
-    cb_lit = F.lit(codebooks)
+    cb_lit = array_double_lit(codebooks)
     codes = F.zip_with(
         subs,
         cb_lit,
@@ -516,7 +515,7 @@ def pq_topk(
             - 1
         ).cast("int"),
     )
-    ip_lit, sqn_lit = F.lit(ip_tab), F.lit(sqn_tab)
+    ip_lit, sqn_lit = array_double_lit(ip_tab), array_double_lit(sqn_tab)
     lookup = lambda tab: F.aggregate(  # noqa: E731
         F.zip_with(codes, tab, lambda c, t: F.element_at(t, c + 1)),
         F.lit(0.0),

@@ -177,3 +177,82 @@ def test_minhash_banding_sql_form_matches_column_api(spark):
     assert new_pairs.exceptAll(legacy_pairs).count() == 0
     assert legacy_pairs.exceptAll(new_pairs).count() == 0
     sigs.unpersist()
+
+
+def test_simhash64_sql_form_matches_column_api(spark):
+    # r12: simhash64's vote aggregates + packing moved to parsed SQL text;
+    # signatures must equal the legacy Column-API form bit for bit
+    # (including bit 63, where shiftleft(1L, 63) wraps to Long.MIN_VALUE).
+    from pyspark.sql import functions as F
+
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.text import (
+        whitespace_tokens,
+    )
+    from amazon_kinesis_analytics_streaming_etl_spark.operators.dedup import (
+        simhash64,
+    )
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(1, 30))))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    masks = [1 << i if i < 63 else -(1 << 63) for i in range(64)]
+    flat = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("_tok"),
+    ).select("_id", F.xxhash64("_tok").alias("_th"))
+    votes = flat.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_th").bitwiseAND(F.lit(m).cast("long")) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i, m in enumerate(masks)
+        ]
+    )
+    sig_terms = [
+        F.when(F.col(f"_v{i}") > 0, F.lit(m).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i, m in enumerate(masks)
+    ]
+    sig = sig_terms[0]
+    for term in sig_terms[1:]:
+        sig = sig + term
+    legacy = {
+        r["_id"]: r["simhash"]
+        for r in votes.select("_id", sig.alias("simhash")).collect()
+    }
+    new = {r["_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert new == legacy
+    assert len(set(new.values())) > 1  # non-degenerate
+
+
+def test_array_double_lit_matches_f_lit(spark):
+    from amazon_kinesis_analytics_streaming_etl_spark.functions.vectors import (
+        array_double_lit,
+    )
+
+    rng = random.Random(17)
+    flat = [rng.gauss(0.0, 1.0) for _ in range(8)]
+    two = [[rng.gauss(0.0, 1.0) for _ in range(4)] for _ in range(3)]
+    three = [[[rng.gauss(0.0, 1.0) for _ in range(2)] for _ in range(3)] for _ in range(2)]
+    row = spark.range(1).select(
+        array_double_lit(flat).alias("f_sql"),
+        F.lit(flat).alias("f_col"),
+        array_double_lit(two).alias("t_sql"),
+        F.lit(two).alias("t_col"),
+        array_double_lit(three).alias("d_sql"),
+        F.lit(three).alias("d_col"),
+    ).head()
+    assert list(row["f_sql"]) == list(row["f_col"])
+    assert [list(x) for x in row["t_sql"]] == [list(x) for x in row["t_col"]]
+    assert row["d_sql"] == row["d_col"]
+    # empty arrays take the F.lit fallback and still evaluate
+    empty = spark.range(1).select(array_double_lit([]).alias("e")).head()
+    assert list(empty["e"]) == []
