@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_md5, shingle_hashes
-from ..functions.vectors import cosine
+from ..functions.vectors import array_double_lit, cosine
 
 
 def _checkpoint_released(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
@@ -1043,7 +1043,7 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
+    cent_arr = array_double_lit([[float(x) for x in c] for c in centroids])
     sims = F.transform(cent_arr, lambda c: cosine(F.col(vec_col), c))
     assigned = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
     clustered = df.select(

@@ -25,6 +25,8 @@ import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import array_double_lit
+
 # --- bucketing --------------------------------------------------------------
 
 
@@ -630,7 +632,7 @@ def _with_bucket_col(
     Duplicate boundaries (heavy skew) leave some bucket ids unreachable
     — harmless for clustering, identical to the fold.
     """
-    arr = F.lit([float(b) for b in boundaries])  # one literal node
+    arr = array_double_lit([float(b) for b in boundaries])  # one literal node
     v = F.col(col_name).cast("double")
     n = len(boundaries)  # 2^bits - 1; answer (the count) lies in [0, n]
     lo_c, hi_c = f"__{out_col}_lo", f"__{out_col}_hi"

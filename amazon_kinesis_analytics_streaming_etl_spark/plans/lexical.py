@@ -331,7 +331,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (co-partitioned shuffle), top-10 by TakeOrdered. Rank inputs are
     rounded to 4 dp so the orderings (and hence the integer ranks) are
     engine-portable; ties break by id."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine_to_query
     from ..operators.scale import global_rank
 
     lex = _bm25_scored(spark, sf_dir).select(
@@ -348,7 +348,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sem = emb.select(
         F.col("vec_id").alias("doc_id"),
-        (-F.round(cosine(F.col("embedding"), F.lit(qvec)), 4)).alias("_neg_sem"),
+        (-F.round(cosine_to_query("embedding", qvec), 4)).alias("_neg_sem"),
     )
     sem_r = global_rank(sem, ["_neg_sem", "doc_id"], rank_col="rank_sem").drop(
         "_neg_sem"
