@@ -845,9 +845,19 @@ def bloom_prefilter(
 
     if len(words) <= _BLOOM_INLINE_MAX_WORDS:
         # explicit long literals: a small word value would otherwise make
-        # an array<int>, shrinking bit_get's legal position range to 32
-        arr = F.array(
-            *[F.lit(int(w)).cast("long") for w in words.view(np.int64)]
+        # an array<int>, shrinking bit_get's legal position range to 32.
+        # Built as ONE parsed SQL expression (r12 driver-side construction
+        # cost, vectors.array_double_lit precedent): the per-word F.lit
+        # loop cost ~3 py4j round-trips per word — ~12k at the inline cap.
+        # CAST(string AS BIGINT) round-trips every int64 exactly,
+        # including Long.MIN_VALUE, which a bare negative literal would
+        # lex as DECIMAL.
+        arr = F.expr(
+            "ARRAY("
+            + ",".join(
+                f"CAST('{int(w)}' AS BIGINT)" for w in words.view(np.int64)
+            )
+            + ")"
         )
         pred = F.lit(True)
         for i in range(num_hashes):
