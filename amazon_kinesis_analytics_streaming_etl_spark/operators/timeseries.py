@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import array_double_lit
+
 
 def znormalize(values: list[float]) -> list[float]:
     """Driver-side z-normalization for the (small, constant) query
@@ -80,7 +82,7 @@ def znorm_series_topk(
         mu.alias("_mu"),
         F.sqrt(F.greatest(msq - mu * mu, F.lit(1e-12))).alias("_sd"),
     )
-    qlit = F.array(*[F.lit(float(v)) for v in q])
+    qlit = array_double_lit([float(v) for v in q])
     diff_sq = F.zip_with(
         s,
         qlit,

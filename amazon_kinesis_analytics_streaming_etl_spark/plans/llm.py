@@ -1910,11 +1910,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps CTE-for-CTE."""
     import numpy as np
 
-    from ..functions.vectors import cosine
+    from ..functions.vectors import array_double_lit, cosine
 
     emb = _emb(spark, sf_dir)
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = array_double_lit(qvec)
     scored = emb.select(
         "vec_id",
         "embedding",
